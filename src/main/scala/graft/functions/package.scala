@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.Shim
+
+/** Column-level API over the custom Catalyst expressions. */
+package object functions {
+  def vec_dot(a: Column, b: Column): Column =
+    Shim.column(VecDot(Shim.expression(a), Shim.expression(b)))
+
+  def vec_l2(a: Column, b: Column): Column =
+    Shim.column(VecL2(Shim.expression(a), Shim.expression(b)))
+
+  def vec_cosine_sim(a: Column, b: Column): Column =
+    Shim.column(VecCosineSim(Shim.expression(a), Shim.expression(b)))
+
+  /** angular distance = 1 - cosine similarity (reference distance.py:44) */
+  def vec_angular(a: Column, b: Column): Column =
+    Shim.column(VecCosineSim(Shim.expression(a), Shim.expression(b))) * -1 + 1
+
+  def vec_sign_hamming(a: Column, b: Column): Column =
+    Shim.column(VecSignHamming(Shim.expression(a), Shim.expression(b)))
+
+  /** Bounded top-k per group: array<struct<id,score>> best-first.
+    * asc=true keeps smallest scores (distances), asc=false largest
+    * (similarities). Partial-aggregates map-side (see CollectTopK).
+    */
+  def collect_topk(score: Column, id: Column, k: Int, asc: Boolean): Column =
+    Shim.column(
+      CollectTopK(Shim.expression(score), Shim.expression(id), k, asc)
+        .toAggregateExpression())
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+import graft.operators.{KnnSearch, VecMetric}
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class VectorSuiteSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("vector expressions match hand-computed values") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, -5.0f, 6.0f)))
+      .toDF("a", "b")
+    val row = df.select(
+      vec_dot($"a", $"b").as("dot"),
+      vec_l2($"a", $"b").as("l2"),
+      vec_cosine_sim($"a", $"b").as("cos"),
+      vec_sign_hamming($"a", $"b").as("ham")).head()
+    assert(row.getDouble(0) == 1.0 * 4 - 2 * 5 + 3 * 6)
+    assert(math.abs(row.getDouble(1) - math.sqrt(9.0 + 49 + 9)) < 1e-12)
+    val expCos = 12.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(row.getDouble(2) - expCos) < 1e-12)
+    assert(row.getLong(3) == 1L)
+  }
+
+  test("collect_topk keeps k best with id tie-break, both directions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 5.0, 10L), (1L, 1.0, 11L), (1L, 1.0, 9L), (1L, 3.0, 12L),
+      (2L, 2.0, 20L), (2L, 4.0, 21L)
+    ).toDF("query_id", "score", "id")
+    val asc = df.groupBy("query_id")
+      .agg(collect_topk($"score", $"id", 2, asc = true).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getDouble(1)))).toMap
+    assert(asc(1L) == Seq((9L, 1.0), (11L, 1.0)))
+    assert(asc(2L) == Seq((20L, 2.0), (21L, 4.0)))
+    val desc = df.groupBy("query_id")
+      .agg(collect_topk($"score", $"id", 2, asc = false).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getDouble(1)))).toMap
+    assert(desc(1L) == Seq((10L, 5.0), (12L, 3.0)))
+  }
+
+  test("bruteForce knn: rank-1 neighbor of a vector is itself (l2/cosine)") {
+    val got = SparkEntry.queries("q01_knn_euclidean")(spark, sf)
+      .filter(col("rank") === 1).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+    val cos = SparkEntry.queries("q02_knn_cosine")(spark, sf)
+      .filter(col("rank") === 1).collect()
+    cos.foreach(r => assert(r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+  }
+
+  test("knn plan broadcasts queries and avoids sort-based topk") {
+    val plan = SparkEntry.queries("q01_knn_euclidean")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.toLowerCase.contains("window"))
+  }
+
+  test("every oracleSql key has a queries entry") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
