@@ -12,9 +12,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.VectorQueries.queries
+    graft.queries.VectorQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   /** DuckDB-equivalent SQL for every exactly-checkable query. */
   def oracleSql: Map[String, String] =
-    graft.queries.VectorQueries.oracleSql
+    graft.queries.VectorQueries.oracleSql ++
+      graft.queries.AnalyticsQueries.oracleSql
 }

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Mutations
+import graft.streaming.EventStream
+
+/** Mutations, streaming ingest, and benchmark-harness analytics
+  * (SURVEY.md §2: q30/q31, a01-a03). All money/value sums are integer
+  * cents — order-independent, so distributed partial aggregation is
+  * bit-exact vs the oracle.
+  */
+object AnalyticsQueries {
+
+  /** q30: one batch of inserts+updates+deletes merged latest-wins
+    * (reference insert/update/delete, base/module.py:140-180).
+    */
+  def upsertBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val upserts = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), (col("label") + 100).as("label"))
+      .unionByName(emb.select((col("vec_id") + 10000).as("vec_id"), col("label")))
+    val deletes = emb.filter(col("vec_id") % 10 === 0).select(col("vec_id"))
+    Mutations.applyBatch(emb, upserts, deletes, "vec_id")
+      .orderBy("vec_id")
+  }
+
+  /** q31: streaming micro-batch ingest w/ event-time window. */
+  def streamIngest(s: SparkSession, dir: String): DataFrame =
+    EventStream.hourlyAgg(s, dir)
+
+  /** a01: pricing-summary aggregation over lineitem (bench sanity at
+    * sf0.1+; the shape every OLAP engine is judged on).
+    */
+  def pricingAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("disc_price_cents"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** a02: latency percentile summary (reference runner's QPS/latency
+    * metrics, runner.py) — exact interpolated percentiles over integer
+    * cents.
+    */
+  def latencyPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.95)).as("p95"),
+        percentile(col("v"), lit(0.99)).as("p99"))
+      .orderBy("event_type")
+
+  /** a03: gap-based sessionization (30 min) of the event stream —
+    * the batch shape of stateful stream processing.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    // ts arrives as Long nanoseconds (nanosAsLong); ns→us by integer
+    // division, matching DuckDB's TIMESTAMP_NS→TIMESTAMP truncation
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ev.withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_no",
+        sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_no")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("us").as("start_us"),
+        max("us").as("end_us"))
+      .orderBy("user_id", "session_no")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_upsert_batch" -> (upsertBatch _),
+    "q31_stream_ingest" -> (streamIngest _),
+    "a01_pricing_agg" -> (pricingAgg _),
+    "a02_latency_percentiles" -> (latencyPercentiles _),
+    "a03_sessionize" -> (sessionize _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_upsert_batch" ->
+      """WITH base AS (SELECT vec_id, label FROM embeddings),
+        |     ups AS (SELECT vec_id, label + 100 AS label FROM base WHERE vec_id % 7 = 0
+        |             UNION ALL
+        |             SELECT vec_id + 10000 AS vec_id, label FROM base),
+        |     dels AS (SELECT vec_id FROM base WHERE vec_id % 10 = 0),
+        |     merged AS (
+        |       SELECT vec_id, label FROM base
+        |       WHERE vec_id NOT IN (SELECT vec_id FROM ups)
+        |       UNION ALL
+        |       SELECT vec_id, label FROM ups)
+        |SELECT vec_id, label FROM merged
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dels)
+        |ORDER BY vec_id""".stripMargin,
+    "q31_stream_ingest" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000 AS hour_start,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS disc_price_cents
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a02_latency_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |       quantile_cont(v, 0.5) AS p50,
+        |       quantile_cont(v, 0.95) AS p95,
+        |       quantile_cont(v, 0.99) AS p99
+        |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a03_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |     flagged AS (
+        |       SELECT user_id, event_id, us,
+        |              CASE WHEN lag(us) OVER w IS NULL
+        |                     OR us - lag(us) OVER w > 1800 * 1000000
+        |                   THEN 1 ELSE 0 END AS new_session
+        |       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |     numbered AS (
+        |       SELECT user_id, us,
+        |              sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |       FROM flagged)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |       count(*) AS n_events,
+        |       min(us) AS start_us, max(us) AS end_us
+        |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

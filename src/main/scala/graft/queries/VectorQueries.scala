@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{KnnSearch, VecMetric}
+import graft.operators.{KnnSearch, MultiVectorSearch, VecMetric}
 
 /** Core ANN query suite (SURVEY.md §2) with DuckDB oracle parity:
   * ids/ranks only in gated outputs (integer-exact), ordering ties
@@ -46,18 +46,209 @@ object VectorQueries {
        |  FROM q CROSS JOIN b)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  val RangeRadius = 1.25
+  val FilterPred = "label IN (1, 2, 3)"
+
+  /** q04: reference filtered ANN (runner.py:62-88) — top-k among rows
+    * satisfying a label predicate; predicate pushed into the scan.
+    */
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      col("label"))
+    val queries = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    ranked(KnnSearch.bruteForce(base, queries, K, VecMetric.Euclidean,
+      preFilter = Some(expr(FilterPred))))
+  }
+
+  /** q05: ε-range search. */
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    KnnSearch.rangeSearch(base, queries, RangeRadius, VecMetric.Euclidean)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private def mvParts(vecCol: String, n: Int = 4, dim: Int = 16): Seq[String] =
+    (0 until n).map(i => s"slice($vecCol, ${i * dim + 1}, $dim)")
+
+  private def withMvFields(df: DataFrame, vecCol: String, prefix: String): DataFrame =
+    mvParts(vecCol).zipWithIndex.foldLeft(df) { case (d, (sl, i)) =>
+      d.withColumn(s"$prefix$i", expr(sl))
+    }
+
+  /** q06/q07: the embedding split into 4x16-dim fields = the multi-
+    * vector entity (reference random_mv dataset, datasets.py:412).
+    */
+  private def mvBaseAndQueries(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    val base = withMvFields(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")), "vec", "bv")
+      .drop("vec")
+    val queries = withMvFields(
+      emb.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      "qvec", "qv").drop("qvec")
+    (base, queries)
+  }
+
+  def multiVectorWeighted(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = mvBaseAndQueries(s, dir)
+    ranked(MultiVectorSearch.weighted(base, queries, K,
+      (0 until 4).map(i => (s"bv$i", s"qv$i", 0.25))))
+  }
+
+  def multiVectorRrf(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = mvBaseAndQueries(s, dir)
+    ranked(MultiVectorSearch.rrf(base, queries, K,
+      (0 until 4).map(i => (s"bv$i", s"qv$i")), perFieldK = 50))
+  }
+
+  /** q09: jaccard top-k over document token sets (reference jaccard
+    * metric, distance.py:12-16, on real set data not floats).
+    */
+  def knnJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val base = docs.select(col("doc_id").as("id"), col("toks").as("vec"))
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("toks").as("qvec"))
+    val scored = base.crossJoin(broadcast(queries))
+      .select(
+        col("query_id"),
+        (size(array_intersect(col("qvec"), col("vec"))).cast("double") /
+          (size(col("qvec")) + size(col("vec")) -
+            size(array_intersect(col("qvec"), col("vec")))).cast("double"))
+          .as("score"),
+        col("id"))
+    ranked(KnnSearch.topKOf(scored, K, asc = false))
+  }
+
+  /** q10: whole-table batch query (reference batch_query throughput
+    * mode) — every vector queries the full base.
+    */
+  def batchQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    ranked(KnnSearch.bruteForce(base, queries, K, VecMetric.Euclidean))
+  }
+
+  /** q11: exact ground-truth top-100 (reference write_output,
+    * datasets.py:118-170).
+    */
+  def gtTop100(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    ranked(KnnSearch.bruteForce(base, queries, 100, VecMetric.Euclidean))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_knn_euclidean" -> knn(VecMetric.Euclidean) _,
     "q02_knn_cosine" -> knn(VecMetric.Cosine) _,
     "q03_knn_dot" -> knn(VecMetric.InnerProduct) _,
-    "q08_knn_hamming" -> knn(VecMetric.SignHamming) _
+    "q04_knn_filtered" -> (knnFiltered _),
+    "q05_range_search" -> (rangeSearch _),
+    "q06_multi_vector" -> (multiVectorWeighted _),
+    "q07_multi_vector_rrf" -> (multiVectorRrf _),
+    "q08_knn_hamming" -> knn(VecMetric.SignHamming) _,
+    "q09_knn_jaccard" -> (knnJaccard _),
+    "q10_batch_query" -> (batchQuery _),
+    "q11_gt_top100" -> (gtTop100 _)
   )
+
+  /** cosine pinned to our exact formula (dot / sqrt(na*nb)) so fused
+    * near-ties can't flip on engine-internal rounding differences. */
+  private def cosSql(a: String, b: String): String =
+    s"(list_inner_product($a, $b) / sqrt(list_inner_product($a, $a) * list_inner_product($b, $b)))"
+
+  private def mvSliceSql(v: String, i: Int): String =
+    s"($v[${i * 16 + 1}:${i * 16 + 16}])"
+
+  private val mvWeightedOrder: String =
+    (0 until 4).map(i =>
+      s"0.25 * ${cosSql(mvSliceSql("q.qv", i), mvSliceSql("b.v", i))}")
+      .mkString(" + ") + " DESC"
+
+  private val rrfSql: String = {
+    val perField = (0 until 4).map { i =>
+      s"""SELECT query_id, id, $i AS field, rank FROM (
+         |  SELECT q.query_id, b.id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${cosSql(mvSliceSql("q.qv", i), mvSliceSql("b.v", i))} DESC, b.id) AS rank
+         |  FROM q CROSS JOIN b) WHERE rank <= 50""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < $NQ),
+       |     b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |     lists AS ($perField),
+       |     piv AS (SELECT query_id, id,
+       |               max(CASE WHEN field = 0 THEN rank END) AS r0,
+       |               max(CASE WHEN field = 1 THEN rank END) AS r1,
+       |               max(CASE WHEN field = 2 THEN rank END) AS r2,
+       |               max(CASE WHEN field = 3 THEN rank END) AS r3
+       |             FROM lists GROUP BY query_id, id),
+       |     fused AS (SELECT query_id, id,
+       |               (CASE WHEN r0 IS NOT NULL THEN 1.0/(60+r0) ELSE 0.0 END)
+       |             + (CASE WHEN r1 IS NOT NULL THEN 1.0/(60+r1) ELSE 0.0 END)
+       |             + (CASE WHEN r2 IS NOT NULL THEN 1.0/(60+r2) ELSE 0.0 END)
+       |             + (CASE WHEN r3 IS NOT NULL THEN 1.0/(60+r3) ELSE 0.0 END) AS score
+       |             FROM piv)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT query_id, id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, id) AS rank
+       |  FROM fused)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val jaccardSql: String =
+    s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |           FROM documents),
+       |     q AS (SELECT doc_id AS query_id, toks AS qtoks FROM d WHERE doc_id < 5)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT q.query_id, d.doc_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |           (CAST(len(list_intersect(q.qtoks, d.toks)) AS DOUBLE) /
+       |            CAST(len(q.qtoks) + len(d.toks)
+       |                 - len(list_intersect(q.qtoks, d.toks)) AS DOUBLE)) DESC,
+       |           d.doc_id) AS rank
+       |  FROM q CROSS JOIN d)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  private def knnSqlCustom(orderExpr: String, where: String = "",
+      nq: Long = NQ, k: Int = K): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < $nq),
+       |     b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings $where)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT q.query_id, b.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |                            ORDER BY $orderExpr, b.id) AS rank
+       |  FROM q CROSS JOIN b)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q01_knn_euclidean" -> knnSql("list_distance(q.qv, b.v)"),
     "q02_knn_cosine" -> knnSql("list_cosine_similarity(q.qv, b.v) DESC"),
     "q03_knn_dot" -> knnSql("list_inner_product(q.qv, b.v) DESC"),
+    "q04_knn_filtered" -> knnSqlCustom("list_distance(q.qv, b.v)",
+      where = s"WHERE $FilterPred"),
+    "q05_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id < $NQ),
+         |     b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT q.query_id, b.id AS neighbor_id
+         |FROM q CROSS JOIN b
+         |WHERE list_distance(q.qv, b.v) <= $RangeRadius
+         |ORDER BY query_id, neighbor_id""".stripMargin,
+    "q06_multi_vector" -> knnSqlCustom(mvWeightedOrder),
+    "q07_multi_vector_rrf" -> rrfSql,
     "q08_knn_hamming" -> knnSql(
-      "len(list_filter(list_zip(q.qv, b.v), p -> (p[1] > 0) != (p[2] > 0)))")
+      "len(list_filter(list_zip(q.qv, b.v), p -> (p[1] > 0) != (p[2] > 0)))"),
+    "q09_knn_jaccard" -> jaccardSql,
+    "q10_batch_query" -> knnSqlCustom("list_distance(q.qv, b.v)",
+      nq = Long.MaxValue),
+    "q11_gt_top100" -> knnSqlCustom("list_distance(q.qv, b.v)", k = 100)
   )
 }

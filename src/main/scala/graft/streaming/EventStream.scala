@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming ingest path — the continuous-insert side of
+  * the reference's mutation workload run as micro-batches with event-
+  * time windows + watermark (bounded state at any corpus size).
+  * For verification the finite events table drives the stream with
+  * Trigger.AvailableNow into a memory sink.
+  */
+object EventStream {
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Tumbling 1-hour window per event_type: count + value sum (in
+    * integer cents, so results are order-independent and exact).
+    */
+  def hourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the streaming file source wants a directory: stream the sf dir
+    // with a glob that selects only the events table
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      // ts is Long ns (nanosAsLong): derive a proper event-time col
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        unix_timestamp(col("w.start")).as("hour_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+    val sink = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("hour_start", "event_type")
+  }
+}
