@@ -13,10 +13,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.VectorQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.TextQueries.queries
 
   /** DuckDB-equivalent SQL for every exactly-checkable query. */
   def oracleSql: Map[String, String] =
     graft.queries.VectorQueries.oracleSql ++
-      graft.queries.AnalyticsQueries.oracleSql
+      graft.queries.AnalyticsQueries.oracleSql ++
+      graft.queries.TextQueries.oracleSql
 }

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit-safe polynomial rolling-hash fingerprint over a string's
+  * codepoints: h = fold(h * 31 + cp) mod 1e9+7. Small modulus keeps
+  * every intermediate < 2^35 so the DuckDB oracle can replicate it in
+  * BIGINT arithmetic (DuckDB errors on int64 overflow, so a full
+  * 64-bit hash would not be oracle-checkable). Document fingerprinting
+  * for shard-local dedup at ingest (SURVEY.md §2 t04).
+  */
+case class TextFingerprint(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+       |String s = $c.toString();
+       |long h = 0L;
+       |int i = 0;
+       |while (i < s.length()) {
+       |  int cp = s.codePointAt(i);
+       |  h = (h * 31L + cp) % 1000000007L;
+       |  i += Character.charCount(cp);
+       |}
+       |${ev.value} = h;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "text_fingerprint"
+}
+
+/** Sum of byte values of a binary payload — the checksum leg of the
+  * multimodal decode stub (SURVEY.md §2 m01); codegen over BinaryType
+  * shows the pattern any real byte-level feature extractor would use.
+  */
+case class ByteSum(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc += bytes(i) & 0xff; i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+       |long acc = 0L;
+       |byte[] arr = $c;
+       |for (int i = 0; i < arr.length; i++) { acc += arr[i] & 0xff; }
+       |${ev.value} = acc;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "byte_sum"
+}

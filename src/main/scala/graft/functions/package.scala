@@ -21,6 +21,12 @@ package object functions {
   def vec_sign_hamming(a: Column, b: Column): Column =
     Shim.column(VecSignHamming(Shim.expression(a), Shim.expression(b)))
 
+  def text_fingerprint(c: Column): Column =
+    Shim.column(TextFingerprint(Shim.expression(c)))
+
+  def byte_sum(c: Column): Column =
+    Shim.column(ByteSum(Shim.expression(c)))
+
   /** Bounded top-k per group: array<struct<id,score>> best-first.
     * asc=true keeps smallest scores (distances), asc=false largest
     * (similarities). Partial-aggregates map-side (see CollectTopK).

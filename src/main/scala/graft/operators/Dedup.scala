@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Corpus deduplication suite (SURVEY.md §2 d01-d05) — the LLM-
+  * training-data operators run over `documents`. Every variant is a
+  * shuffle-on-short-keys plan: hashes/signatures travel, never full
+  * texts, which is what makes these viable at 100 TB.
+  */
+object Dedup {
+
+  /** d01: exact dedup on md5(text); keeps the smallest doc_id per
+    * hash group (one shuffle on a 32-byte key).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text_hash")
+
+  /** Word n-gram shingle set per doc. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(0, size(t) - $n), i -> " +
+          (0 until n).map(j => s"element_at(t, i + ${j + 1})")
+            .mkString(" || ' ' || ") + ")")).as("sh"))
+
+  /** d02: exact near-dup pairs with shingle-jaccard >= tau, found via
+    * an inverted-index self-join (only docs sharing >=1 shingle are
+    * compared — no all-pairs blowup; oversized shingle buckets are a
+    * skew risk handled by AQE).
+    */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val inv = sh.select(col("doc_id"), col("sh"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), col("s"))
+    val a = inv.toDF("doc_a", "n_a", "s")
+    val b = inv.toDF("doc_b", "n_b", "s")
+    a.join(b, "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jac") >= tau)
+      .select("doc_a", "doc_b")
+  }
+
+  private val Prime = 2147483647L // 2^31 - 1
+
+  /** MinHash signature columns sig0..sig{h-1}: universal-hash rows
+    * min_s ((a_i * xxhash64(s) + b_i) mod p), constants from a fixed
+    * seed so runs are reproducible.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int, seed: Long): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val coefs = Seq.fill(numHashes)(
+      (math.abs(rng.nextLong()) % Prime + 1, math.abs(rng.nextLong()) % Prime))
+    val hashed = sh.withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
+    coefs.zipWithIndex.foldLeft(hashed) { case (df, ((a, b), i)) =>
+      // reduce h mod p first so a*h stays inside int64 (ANSI mode)
+      df.withColumn(s"sig$i",
+        expr(s"array_min(transform(hs, h -> pmod($a * pmod(h, ${Prime}L) + $b, ${Prime}L)))"))
+    }.drop("hs")
+  }
+
+  /** d03: MinHash + banded LSH candidates, verified against the exact
+    * shingle jaccard. bands x rowsPerBand signatures; candidate pairs
+    * collide on at least one full band. The shuffle key is
+    * (band, band-hash) — tiny — and verification only touches
+    * candidate pairs.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      tau: Double,
+      bands: Int = 8,
+      rowsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val h = bands * rowsPerBand
+    val sh = shingles(docs).cache()
+    val sig = minhashSignatures(sh, h, seed)
+    val banded = (0 until bands).map { bnd =>
+      val cols = (0 until rowsPerBand).map(r => s"sig${bnd * rowsPerBand + r}")
+      sig.select(col("doc_id"),
+        lit(bnd).as("band"),
+        xxhash64(cols.map(col): _*).as("bucket"))
+    }.reduceLeft(_ unionAll _)
+    val candA = banded.toDF("doc_a", "band", "bucket")
+    val candB = banded.toDF("doc_b", "band", "bucket")
+    val cands = candA.join(candB, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // verify candidates with the exact jaccard
+    val withSets = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jac") >= tau)
+      .select("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash over token hashes: bit j of the signature is the
+    * sign of sum_t (+1/-1 by bit j of xxhash64(t)).
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr("transform(split(text, ' '), t -> xxhash64(t))").as("hs"))
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  sequence(0, 63),
+          |  cast(0 as bigint),
+          |  (acc, j) -> acc + shiftleft(
+          |    cast(if(aggregate(hs, 0,
+          |      (s, h) -> s + if(((h >> j) & 1) = 1, 1, -1)) > 0, 1, 0) as bigint),
+          |    j))""".stripMargin).as("simhash"))
+
+  /** d04: near-dup pairs with simhash hamming distance <= maxDist,
+    * candidates via 4x16-bit band buckets (a pair within distance 3
+    * must agree on >=1 band).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sig = simhash(docs).cache()
+    val banded = (0 until 4).map { bnd =>
+      sig.select(col("doc_id"), lit(bnd).as("band"),
+        expr(s"(simhash >> ${bnd * 16}) & 65535").as("bucket"))
+    }.reduceLeft(_ unionAll _)
+    val cands = banded.toDF("doc_a", "band", "bucket")
+      .join(banded.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cands
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select("doc_a", "doc_b")
+  }
+
+  /** d05: embedding-cosine near-dup pairs (exact all-pairs; the scale
+    * path buckets by LSH sign-bands first — see LshRhp).
+    */
+  def embeddingNearDups(emb: DataFrame, tau: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", vec_cosine_sim(col("va"), col("vb")))
+      .filter(col("cos") >= tau)
+      .select("id_a", "id_b")
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Text-analysis suite for LLM-pipeline curation (SURVEY.md §2
+  * t01-t05). All scores reduce to integer counts and fixed-order
+  * double arithmetic so the DuckDB oracle reproduces them bit-exact.
+  */
+object TextAnalysis {
+
+  /** t01: per-doc quality features + a composite score:
+    * 0.3*type_token_ratio + 0.3*(1 - stopword_ratio)
+    * + 0.4*min(1, n_tokens/100).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stop = EnStopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter(toks, t -> array_contains($stop, t))")).cast("long"))
+      .withColumn("ttr",
+        col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("quality",
+        lit(0.3) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+      .select("doc_id", "n_tokens", "n_distinct", "n_stop", "ttr",
+        "stop_ratio", "quality")
+  }
+
+  /** t02: token counting three ways — whitespace split, alpha-word
+    * regex, and a bytes/4 BPE estimate (the public rule of thumb).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+")).cast("long").as("alpha_tokens"),
+      expr("(length(text) + 3) div 4").as("est_bpe_tokens"))
+
+  /** Stopword-profile language ID (t03). Marker sets are public
+    * high-frequency stopwords; argmax with alphabetical tie-break.
+    * (On the synthetic corpus the `lang` column is random, so
+    * accuracy vs it is meaningless — the operator contract is the
+    * deterministic classification itself.)
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "los", "que", "y", "en", "es", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "est", "pas", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就")
+  )
+  val EnStopwords: Seq[String] = LangMarkers.find(_._1 == "en").get._2
+
+  def langId(docs: DataFrame): DataFrame = {
+    val base = docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("double"))
+    val scored = LangMarkers.foldLeft(base) { case (df, (lang, words)) =>
+      val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+      df.withColumn(s"s_$lang",
+        size(expr(s"filter(toks, t -> array_contains($arr, t))"))
+          .cast("double") / col("n"))
+    }
+    val langs = LangMarkers.map(_._1)
+    // alphabetical priority CASE chain == deterministic argmax
+    val pred = langs.foldRight(lit(langs.last)) { case (l, rest) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(geAll, lit(l)).otherwise(rest)
+    }
+    scored.select(
+      (col("doc_id") +: langs.map(l => col(s"s_$l")) :+ pred.as("pred_lang")): _*)
+  }
+
+  /** t04: rolling-hash fingerprint (custom codegen'd expression). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), text_fingerprint(col("text")).as("fp"))
+
+  /** t05: TF-IDF top-k terms per doc (reference transform_bag_of_words,
+    * datasets.py:590). BM25-flavoured rational idf
+    * (N - df + 0.5)/(df + 0.5) keeps scores in exact-int-derived
+    * doubles — no log() whose libm rounding could differ per engine.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docLen = toks.groupBy("doc_id").agg(sum("tf").as("n_toks"))
+    val df_ = toks.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct("doc_id").as("n_docs"))
+    val scored = toks.join(docLen, "doc_id").join(df_, "term").crossJoin(broadcast(n))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("score",
+        col("tf").cast("double") / col("n_toks").cast("double") * col("idf"))
+    // top-k terms per doc; ties by term asc — reuse the topk machinery
+    // over a dense per-doc ranking
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"))
+  }
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+
+/** Dedup + text-analysis + multimodal suites (SURVEY.md §2 d01-d05,
+  * t01-t05, m01) over `documents`.
+  */
+object TextQueries {
+  val NgramTau = 0.8
+  val CosTau = 0.45
+
+  def d01(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir)).orderBy("doc_id")
+
+  def d02(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), NgramTau)
+      .orderBy("doc_a", "doc_b")
+
+  def d03(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, dir), NgramTau)
+      .orderBy("doc_a", "doc_b")
+
+  def d04(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)
+      .orderBy("doc_a", "doc_b")
+
+  def d05(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(s, dir), CosTau)
+      .orderBy("id_a", "id_b")
+
+  def t01(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
+
+  def t02(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")
+
+  def t03(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(s, dir))
+      .drop("toks", "n").orderBy("doc_id")
+
+  def t04(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")
+
+  def t05(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, dir))
+      .orderBy("doc_id", "rank")
+
+  def m01(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pipeline(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> (d01 _),
+    "d02_dedup_ngram_jaccard" -> (d02 _),
+    "d03_dedup_minhash_lsh" -> (d03 _),
+    "d04_dedup_simhash" -> (d04 _),
+    "d05_dedup_embedding" -> (d05 _),
+    "t01_quality_score" -> (t01 _),
+    "t02_token_count" -> (t02 _),
+    "t03_lang_id" -> (t03 _),
+    "t04_fingerprint" -> (t04 _),
+    "t05_tfidf_bow" -> (t05 _),
+    "m01_multimodal_pipeline" -> (m01 _)
+  )
+
+  private val shingleCte =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |     s AS (SELECT doc_id, list_distinct(list_transform(
+      |             range(1, len(t) - 1),
+      |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |           FROM d WHERE len(t) >= 3)""".stripMargin
+
+  private val ngramPairsSql =
+    s"""$shingleCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      >= $NgramTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val langSql: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, t -> list_contains($arr, t))) AS DOUBLE) / n AS s_$lang"
+    }.mkString(",\n         ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val cases = langs.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n           ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |            CAST(len(string_split(text, ' ')) AS DOUBLE) AS n FROM documents),
+       |     sc AS (SELECT doc_id,
+       |         $scores
+       |         FROM d)
+       |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+       |       CASE $cases
+       |            ELSE '${langs.last}' END AS pred_lang
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "d02_dedup_ngram_jaccard" -> ngramPairsSql,
+    // d03 is MinHash-LSH + exact verification at tau=0.8; on this
+    // corpus (near-dup pairs at j~0.99, 8x8 bands) recall is 1.0, so
+    // the exact pair set is its oracle. The ScalaTest spec asserts
+    // d03 == d02 independently.
+    "d03_dedup_minhash_lsh" -> ngramPairsSql,
+    "d05_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE (list_inner_product(a.v, b.v) /
+         |       sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)))
+         |      >= $CosTau
+         |ORDER BY id_a, id_b""".stripMargin,
+    "t01_quality_score" -> {
+      val stop = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |     f AS (SELECT doc_id,
+         |             CAST(len(toks) AS BIGINT) AS n_tokens,
+         |             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |             CAST(len(list_filter(toks,
+         |               t -> list_contains($stop, t))) AS BIGINT) AS n_stop
+         |           FROM d)
+         |SELECT doc_id, n_tokens, n_distinct, n_stop,
+         |       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+         |       CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         |       0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |       + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |       + 0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+    "t02_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
+        |       (length(text) + 3) // 4 AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t03_lang_id" -> langSql,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(text, ''),
+        |             c -> CAST(unicode(c) AS BIGINT))),
+        |         (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t05_tfidf_bow" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |     tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |     dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks FROM tf GROUP BY 1),
+        |     dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |     nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |     scored AS (
+        |       SELECT tf.doc_id, tf.term,
+        |              CAST(tf.tf AS DOUBLE) / CAST(dl.n_toks AS DOUBLE) *
+        |              ((CAST(nd.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5) /
+        |               (CAST(dft.df AS DOUBLE) + 0.5)) AS score
+        |       FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN nd)
+        |SELECT doc_id, rank, term FROM (
+        |  SELECT doc_id, term,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "m01_multimodal_pipeline" ->
+      """SELECT doc_id, source AS origin,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(list_sum(list_transform(string_split(text, ''),
+        |         c -> unicode(c))) AS BIGINT) AS checksum,
+        |       (CAST(octet_length(encode(text)) AS BIGINT) + 255) // 256 AS n_patches,
+        |       CAST(8 AS BIGINT) AS feat_dim
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+class DedupTextSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("minhash-LSH candidates recover every exact near-dup pair") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH missed ${exact.diff(lsh)}")
+  }
+
+  test("simhash recovers most planted near-dups (it hashes token bags, not order)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    val planted = Dedup.ngramJaccardPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // word-level edits flip several bits, so recall < 1; the operator
+    // contract is deterministic majority recall with few extras
+    assert(pairs.intersect(planted).size * 2 >= planted.size,
+      s"recall ${pairs.intersect(planted).size}/${planted.size}")
+    val again = Dedup.simhashPairs(docs, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pairs)
+  }
+
+  test("text_fingerprint matches a hand-rolled reference") {
+    import spark.implicits._
+    val s = "abc"
+    val expected = s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    val got = Seq(s).toDF("text")
+      .select(text_fingerprint(col("text"))).head().getLong(0)
+    assert(got == expected)
+  }
+
+  test("byte_sum counts unsigned bytes") {
+    import spark.implicits._
+    val got = Seq("abc").toDF("t")
+      .select(byte_sum(encode(col("t"), "UTF-8"))).head().getLong(0)
+    assert(got == 'a'.toInt + 'b'.toInt + 'c'.toInt)
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    val docs = Tables.documents(spark, sf)
+    val n = Dedup.exact(docs).count()
+    assert(n == docs.select("text").distinct().count())
+  }
+
+  test("tfidf ranks are dense 1..3 per doc") {
+    val out = TextAnalysis.tfidfTopTerms(Tables.documents(spark, sf))
+    val byDoc = out.groupBy("doc_id").agg(collect_list("rank").as("rs"))
+      .select("rs").collect()
+    byDoc.foreach(r =>
+      assert(r.getSeq[Long](0).sorted == Seq(1L, 2L, 3L)))
+  }
+}
