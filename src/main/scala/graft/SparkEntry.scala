@@ -14,11 +14,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.VectorQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.IndexQueries.queries
 
   /** DuckDB-equivalent SQL for every exactly-checkable query. */
   def oracleSql: Map[String, String] =
     graft.queries.VectorQueries.oracleSql ++
       graft.queries.AnalyticsQueries.oracleSql ++
-      graft.queries.TextQueries.oracleSql
+      graft.queries.TextQueries.oracleSql ++
+      graft.queries.IndexQueries.oracleSql
 }

@@ -103,6 +103,39 @@ case class VecL2(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Squared L2 — the ADC/quantized-scan kernel (no sqrt per subspace,
+  * sums of per-subspace squared distances stay order-equivalent to L2).
+  */
+case class VecL2Sq(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+    var acc = 0.0
+    var i = 0
+    val n = math.min(x.numElements(), y.numElements())
+    while (i < n) {
+      val d = get(x, i, lf) - get(y, i, rf); acc += d * d; i += 1
+    }
+    acc
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+      s"""
+       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double acc = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  double d = ${cGet(a, "i", lf)} - ${cGet(b, "i", rf)};
+       |  acc += d * d;
+       |}
+       |${ev.value} = acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Cosine similarity: dot/(|a||b|); angular distance = 1 - this. */
 case class VecCosineSim(left: Expression, right: Expression)
     extends VectorBinaryExpression {

@@ -11,6 +11,9 @@ package object functions {
   def vec_l2(a: Column, b: Column): Column =
     Shim.column(VecL2(Shim.expression(a), Shim.expression(b)))
 
+  def vec_l2sq(a: Column, b: Column): Column =
+    Shim.column(VecL2Sq(Shim.expression(a), Shim.expression(b)))
+
   def vec_cosine_sim(a: Column, b: Column): Column =
     Shim.column(VecCosineSim(Shim.expression(a), Shim.expression(b)))
 

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Random-hyperplane LSH for angular distance (the classic SimHash-
+  * for-vectors scheme) — ntables independent nbits-bit signatures;
+  * near vectors collide in some table whp. Search joins query and
+  * base on (table, signature-bucket), then exact-re-ranks the
+  * candidates. The shuffle key is a (int, long) pair — at 100 TB the
+  * bucket join moves signatures, not vectors, and skewed buckets are
+  * AQE-salvageable.
+  */
+object LshRhp {
+
+  case class Model(planes: Array[Array[Array[Double]]]) // table x bit x dim
+
+  def train(dim: Int, nTables: Int, nBits: Int, seed: Long = 42L): Model = {
+    val rng = new scala.util.Random(seed)
+    Model(Array.fill(nTables, nBits, dim)(rng.nextGaussian()))
+  }
+
+  /** Column: signature (long) of `vec` for table t. */
+  def signature(vec: Column, model: Model, t: Int): Column = {
+    val planes = typedlit(model.planes(t).map(_.toSeq).toSeq)
+    aggregate(
+      transform(planes, (p, i) =>
+        when(vec_dot(vec, p) > 0,
+          expr("1").cast("long") * pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
+  }
+
+  /** (id-col, table, bucket) rows for every table. */
+  def buckets(df: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame =
+    model.planes.indices.map { t =>
+      df.select(col(idCol), lit(t).as("table"),
+        signature(col(vecCol), model, t).as("bucket"))
+    }.reduceLeft(_ unionAll _)
+
+  /** LSH search: bucket-join candidates, exact cosine re-rank. */
+  def search(
+      base: DataFrame, // (id, vec)
+      queries: DataFrame, // (query_id, qvec)
+      model: Model,
+      k: Int): DataFrame = {
+    val bb = buckets(base, "id", "vec", model)
+    val qb = buckets(queries, "query_id", "qvec", model)
+    val cands = bb.join(broadcast(qb), Seq("table", "bucket"))
+      .select("query_id", "id").distinct()
+    val scored = cands
+      .join(base, "id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"),
+        vec_cosine_sim(col("qvec"), col("vec")).as("score"), col("id"))
+    KnnSearch.topKOf(scored, k, asc = false)
+  }
+}
+
+/** MinHash-LSH as a jaccard *search* index (the reference's jaccard
+  * metric datasets served as top-k): bucket-join on minhash bands,
+  * exact jaccard re-rank of candidates.
+  */
+object MinHashLshIndex {
+
+  def search(
+      docs: DataFrame, // (doc_id, text)
+      queryIds: Column,
+      k: Int,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val sh = Dedup.shingles(docs, n = 1)
+      .select(col("doc_id"), col("sh").as("toks"))
+    val sig = Dedup.minhashSignatures(
+      sh.select(col("doc_id"), col("toks").as("sh")),
+      bands * rowsPerBand, seed)
+    val banded = (0 until bands).map { bnd =>
+      val cols = (0 until rowsPerBand).map(r => s"sig${bnd * rowsPerBand + r}")
+      sig.select(col("doc_id"), lit(bnd).as("band"),
+        xxhash64(cols.map(col): _*).as("bucket"))
+    }.reduceLeft(_ unionAll _)
+    val qb = banded.filter(queryIds)
+      .toDF("query_id", "band", "bucket")
+    val cands = banded.join(broadcast(qb), Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select("query_id", "doc_id").distinct()
+    val scored = cands
+      .join(sh.select(col("doc_id"), col("toks")), "doc_id")
+      .join(broadcast(sh.select(col("doc_id").as("query_id"),
+        col("toks").as("qtoks"))), "query_id")
+      .select(
+        col("query_id"),
+        (size(array_intersect(col("qtoks"), col("toks"))).cast("double") /
+          (size(col("qtoks")) + size(col("toks")) -
+            size(array_intersect(col("qtoks"), col("toks")))).cast("double"))
+          .as("score"),
+        col("doc_id").as("id"))
+    KnnSearch.topKOf(scored, k, asc = false)
+  }
+}
