@@ -24,6 +24,11 @@ package object functions {
   def vec_sign_hamming(a: Column, b: Column): Column =
     Shim.column(VecSignHamming(Shim.expression(a), Shim.expression(b)))
 
+  /** numHashes minhash values over an array<long> of element hashes,
+    * computed in one fused pass. */
+  def minhash_sigs(c: Column, numHashes: Int, seed: Long): Column =
+    Shim.column(MinHashSigs(Shim.expression(c), numHashes, seed))
+
   def text_fingerprint(c: Column): Column =
     Shim.column(TextFingerprint(Shim.expression(c)))
 

@@ -51,23 +51,12 @@ object Dedup {
       .select("doc_a", "doc_b")
   }
 
-  private val Prime = 2147483647L // 2^31 - 1
-
-  /** MinHash signature columns sig0..sig{h-1}: universal-hash rows
-    * min_s ((a_i * xxhash64(s) + b_i) mod p), constants from a fixed
-    * seed so runs are reproducible.
+  /** MinHash signature array column `sigs` via the fused one-pass
+    * MinHashSigs expression (seeded, reproducible).
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int, seed: Long): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val coefs = Seq.fill(numHashes)(
-      (math.abs(rng.nextLong()) % Prime + 1, math.abs(rng.nextLong()) % Prime))
-    val hashed = sh.withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
-    coefs.zipWithIndex.foldLeft(hashed) { case (df, ((a, b), i)) =>
-      // reduce h mod p first so a*h stays inside int64 (ANSI mode)
-      df.withColumn(s"sig$i",
-        expr(s"array_min(transform(hs, h -> pmod($a * pmod(h, ${Prime}L) + $b, ${Prime}L)))"))
-    }.drop("hs")
-  }
+  def minhashSignatures(sh: DataFrame, numHashes: Int, seed: Long): DataFrame =
+    sh.withColumn("sigs",
+      minhash_sigs(expr("transform(sh, s -> xxhash64(s))"), numHashes, seed))
 
   /** d03: MinHash + banded LSH candidates, verified against the exact
     * shingle jaccard. bands x rowsPerBand signatures; candidate pairs
@@ -85,10 +74,10 @@ object Dedup {
     val sh = shingles(docs).cache()
     val sig = minhashSignatures(sh, h, seed)
     val banded = (0 until bands).map { bnd =>
-      val cols = (0 until rowsPerBand).map(r => s"sig${bnd * rowsPerBand + r}")
       sig.select(col("doc_id"),
         lit(bnd).as("band"),
-        xxhash64(cols.map(col): _*).as("bucket"))
+        xxhash64(slice(col("sigs"), bnd * rowsPerBand + 1, rowsPerBand))
+          .as("bucket"))
     }.reduceLeft(_ unionAll _)
     val candA = banded.toDF("doc_a", "band", "bucket")
     val candB = banded.toDF("doc_b", "band", "bucket")

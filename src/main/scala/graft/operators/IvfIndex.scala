@@ -27,10 +27,12 @@ object IvfIndex {
     val sample = if (sampleFraction < 1.0)
       base.sample(withReplacement = false, sampleFraction, seed) else base
     val feats = sample.select(array_to_vector(col(vecCol).cast("array<double>"))
-      .as("__feat"))
+      .as("__feat")).cache()
     val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__feat")
-      .setPredictionCol("__pred")
-    km.fit(feats).clusterCenters.map(_.toArray)
+      .setPredictionCol("__pred").setMaxIter(8)
+    val cents = km.fit(feats).clusterCenters.map(_.toArray)
+    feats.unpersist()
+    cents
   }
 
   /** Column: distances from `vec` to every centroid (array<double>). */

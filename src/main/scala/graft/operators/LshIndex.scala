@@ -78,9 +78,9 @@ object MinHashLshIndex {
       sh.select(col("doc_id"), col("toks").as("sh")),
       bands * rowsPerBand, seed)
     val banded = (0 until bands).map { bnd =>
-      val cols = (0 until rowsPerBand).map(r => s"sig${bnd * rowsPerBand + r}")
       sig.select(col("doc_id"), lit(bnd).as("band"),
-        xxhash64(cols.map(col): _*).as("bucket"))
+        xxhash64(slice(col("sigs"), bnd * rowsPerBand + 1, rowsPerBand))
+          .as("bucket"))
     }.reduceLeft(_ unionAll _)
     val qb = banded.filter(queryIds)
       .toDF("query_id", "band", "bucket")

@@ -24,14 +24,17 @@ object PqIndex {
     val dim = base.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
+    // one cached pass materialises every subspace column; each small
+    // fit then reads from memory instead of rescanning parquet
+    val subs = base.select((0 until m).map(s =>
+      array_to_vector(slice(col(vecCol), s * subDim + 1, subDim)
+        .cast("array<double>")).as(s"__f$s")): _*).cache()
     val codebook = (0 until m).map { s =>
-      val sub = base.select(
-        array_to_vector(slice(col(vecCol), s * subDim + 1, subDim)
-          .cast("array<double>")).as("__feat"))
-      new KMeans().setK(kStar).setSeed(seed + s).setFeaturesCol("__feat")
-        .setPredictionCol("__pred")
-        .fit(sub).clusterCenters.map(_.toArray)
+      new KMeans().setK(kStar).setSeed(seed + s).setFeaturesCol(s"__f$s")
+        .setPredictionCol("__pred").setMaxIter(5)
+        .fit(subs).clusterCenters.map(_.toArray)
     }.toArray
+    subs.unpersist()
     Model(m, subDim, codebook)
   }
 
