@@ -29,6 +29,14 @@ package object functions {
   def minhash_sigs(c: Column, numHashes: Int, seed: Long): Column =
     Shim.column(MinHashSigs(Shim.expression(c), numHashes, seed))
 
+  /** 64-bit simhash from an array<long> of element hashes, one pass. */
+  def simhash64(c: Column): Column =
+    Shim.column(SimHash64(Shim.expression(c)))
+
+  /** One signature per LSH table from a vector column, one pass. */
+  def lsh_sigs(c: Column, planes: Array[Array[Array[Double]]]): Column =
+    Shim.column(LshSigs(Shim.expression(c), planes))
+
   def text_fingerprint(c: Column): Column =
     Shim.column(TextFingerprint(Shim.expression(c)))
 

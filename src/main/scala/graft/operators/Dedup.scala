@@ -97,19 +97,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash over token hashes: bit j of the signature is the
-    * sign of sum_t (+1/-1 by bit j of xxhash64(t)).
+    * sign of sum_t (+1/-1 by bit j of xxhash64(t)) — fused one-pass
+    * kernel (SimHash64).
     */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      expr("transform(split(text, ' '), t -> xxhash64(t))").as("hs"))
-      .select(col("doc_id"), expr(
-        """aggregate(
-          |  sequence(0, 63),
-          |  cast(0 as bigint),
-          |  (acc, j) -> acc + shiftleft(
-          |    cast(if(aggregate(hs, 0,
-          |      (s, h) -> s + if(((h >> j) & 1) = 1, 1, -1)) > 0, 1, 0) as bigint),
-          |    j))""".stripMargin).as("simhash"))
+      simhash64(expr("transform(split(text, ' '), t -> xxhash64(t))"))
+        .as("simhash"))
 
   /** d04: near-dup pairs with simhash hamming distance <= maxDist,
     * candidates via 4x16-bit band buckets (a pair within distance 3

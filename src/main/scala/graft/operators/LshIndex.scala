@@ -22,23 +22,13 @@ object LshRhp {
     Model(Array.fill(nTables, nBits, dim)(rng.nextGaussian()))
   }
 
-  /** Column: signature (long) of `vec` for table t. */
-  def signature(vec: Column, model: Model, t: Int): Column = {
-    val planes = typedlit(model.planes(t).map(_.toSeq).toSeq)
-    aggregate(
-      transform(planes, (p, i) =>
-        when(vec_dot(vec, p) > 0,
-          expr("1").cast("long") * pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc + b)
-  }
-
-  /** (id-col, table, bucket) rows for every table. */
+  /** (id-col, table, bucket) rows for every table — signatures come
+    * from one fused pass (LshSigs), then posexplode.
+    */
   def buckets(df: DataFrame, idCol: String, vecCol: String,
       model: Model): DataFrame =
-    model.planes.indices.map { t =>
-      df.select(col(idCol), lit(t).as("table"),
-        signature(col(vecCol), model, t).as("bucket"))
-    }.reduceLeft(_ unionAll _)
+    df.select(col(idCol),
+      posexplode(lsh_sigs(col(vecCol), model.planes)).as(Seq("table", "bucket")))
 
   /** LSH search: bucket-join candidates, exact cosine re-rank. */
   def search(

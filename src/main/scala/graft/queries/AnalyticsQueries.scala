@@ -86,9 +86,14 @@ object AnalyticsQueries {
       .orderBy("user_id", "session_no")
   }
 
+  /** q32: stateful streaming sessionization (session_window). */
+  def streamSessions(s: SparkSession, dir: String): DataFrame =
+    EventStream.sessionWindows(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_upsert_batch" -> (upsertBatch _),
     "q31_stream_ingest" -> (streamIngest _),
+    "q32_stream_sessions" -> (streamSessions _),
     "a01_pricing_agg" -> (pricingAgg _),
     "a02_latency_percentiles" -> (latencyPercentiles _),
     "a03_sessionize" -> (sessionize _)
@@ -115,6 +120,33 @@ object AnalyticsQueries {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // streaming session_window semantics: an event joins iff it lands
+    // strictly inside [start, last+gap), i.e. new session when
+    // diff >= gap; append mode emits only sessions closed before the
+    // final watermark (= max event time at 0s delay)
+    "q32_stream_sessions" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |     mx AS (SELECT max(us) AS max_us FROM ev),
+        |     flagged AS (
+        |       SELECT user_id, event_id, us,
+        |              CASE WHEN lag(us) OVER w IS NULL
+        |                     OR us - lag(us) OVER w >= 1800 * 1000000
+        |                   THEN 1 ELSE 0 END AS new_session
+        |       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |     numbered AS (
+        |       SELECT user_id, us,
+        |              sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+        |       FROM flagged),
+        |     sess AS (
+        |       SELECT user_id, min(us) AS start_us,
+        |              max(us) + 1800 * 1000000 AS end_us,
+        |              count(*) AS n_events
+        |       FROM numbered GROUP BY user_id, sno)
+        |SELECT start_us, end_us, user_id, n_events
+        |FROM sess, mx WHERE end_us <= max_us
+        |ORDER BY user_id, start_us""".stripMargin,
     "a01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       count(*) AS n_rows,

@@ -46,4 +46,36 @@ object EventStream {
     q.awaitTermination()
     spark.table(sink).orderBy("hour_start", "event_type")
   }
+
+  /** q32: true stateful streaming sessionization via session_window
+    * (30 min gap) + watermark. Append mode emits exactly the CLOSED
+    * sessions — those whose (last event + gap) precedes the final
+    * watermark (= max event time at 0s delay; the no-data final
+    * micro-batch flushes them). That closed set is deterministic and
+    * batch-reproducible, so it oracle-checks.
+    */
+  def sessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("event_time", "0 seconds")
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("user_id"), col("n_events"))
+    val sink = s"graft_sessions_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("user_id", "start_us")
+  }
 }
