@@ -15,12 +15,14 @@ object SparkEntry {
     graft.queries.VectorQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.IndexQueries.queries
+      graft.queries.IndexQueries.queries ++
+      graft.queries.EmbeddingQueries.queries
 
   /** DuckDB-equivalent SQL for every exactly-checkable query. */
   def oracleSql: Map[String, String] =
     graft.queries.VectorQueries.oracleSql ++
       graft.queries.AnalyticsQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
-      graft.queries.IndexQueries.oracleSql
+      graft.queries.IndexQueries.oracleSql ++
+      graft.queries.EmbeddingQueries.oracleSql
 }
