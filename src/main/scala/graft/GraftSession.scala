@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftshim.Shim
+
+import graft.functions._
+
+/** Session factory + SQL surface registration. `create()` gives the
+  * tuned local session; `registerFunctions` exposes the custom
+  * Catalyst expressions to pure-SQL users
+  * (SELECT vec_cosine_sim(a.embedding, b.embedding) ...).
+  */
+object GraftSession {
+
+  def create(
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+      shufflePartitions: Option[Int] = None,
+      appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions",
+        shufflePartitions.getOrElse(cpus).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    registerFunctions(spark)
+    spark
+  }
+
+  /** Register the vector/text kernels as SQL functions. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    Shim.registerFunction(spark, "vec_dot",
+      es => VecDot(es(0), es(1)))
+    Shim.registerFunction(spark, "vec_l2",
+      es => VecL2(es(0), es(1)))
+    Shim.registerFunction(spark, "vec_l2sq",
+      es => VecL2Sq(es(0), es(1)))
+    Shim.registerFunction(spark, "vec_cosine_sim",
+      es => VecCosineSim(es(0), es(1)))
+    Shim.registerFunction(spark, "vec_sign_hamming",
+      es => VecSignHamming(es(0), es(1)))
+    Shim.registerFunction(spark, "text_fingerprint",
+      es => TextFingerprint(es(0)))
+    Shim.registerFunction(spark, "byte_sum",
+      es => ByteSum(es(0)))
+    Shim.registerFunction(spark, "simhash64",
+      es => SimHash64(es(0)))
+  }
+}

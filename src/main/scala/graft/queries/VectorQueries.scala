@@ -143,6 +143,21 @@ object VectorQueries {
     ranked(KnnSearch.bruteForce(base, queries, 100, VecMetric.Euclidean))
   }
 
+  /** q13: "big query" — the reference's large-dimension workload
+    * (1536/3072-dim OpenAI embeddings, datasets.py:761-808),
+    * synthesised here by tiling the 64-dim vectors to 1536 dims.
+    * Same plan shape, 24x the flops per pair.
+    */
+  def bigQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        flatten(array_repeat(col("embedding"), 24)).as("big"))
+    val base = emb.select(col("vec_id").as("id"), col("big").as("vec"))
+    val queries = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("big").as("qvec"))
+    ranked(KnnSearch.bruteForce(base, queries, K, VecMetric.Euclidean))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_knn_euclidean" -> knn(VecMetric.Euclidean) _,
     "q02_knn_cosine" -> knn(VecMetric.Cosine) _,
@@ -154,7 +169,8 @@ object VectorQueries {
     "q08_knn_hamming" -> knn(VecMetric.SignHamming) _,
     "q09_knn_jaccard" -> (knnJaccard _),
     "q10_batch_query" -> (batchQuery _),
-    "q11_gt_top100" -> (gtTop100 _)
+    "q11_gt_top100" -> (gtTop100 _),
+    "q13_big_query" -> (bigQuery _)
   )
 
   /** cosine pinned to our exact formula (dot / sqrt(na*nb)) so fused
@@ -249,6 +265,21 @@ object VectorQueries {
     "q09_knn_jaccard" -> jaccardSql,
     "q10_batch_query" -> knnSqlCustom("list_distance(q.qv, b.v)",
       nq = Long.MaxValue),
-    "q11_gt_top100" -> knnSqlCustom("list_distance(q.qv, b.v)", k = 100)
+    "q11_gt_top100" -> knnSqlCustom("list_distance(q.qv, b.v)", k = 100),
+    "q13_big_query" ->
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |            flatten(list_transform(range(1, 25),
+         |              i -> embedding::DOUBLE[])) AS qv
+         |           FROM embeddings WHERE vec_id < $NQ),
+         |     b AS (SELECT vec_id AS id,
+         |            flatten(list_transform(range(1, 25),
+         |              i -> embedding::DOUBLE[])) AS v
+         |           FROM embeddings)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT q.query_id, b.id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |                            ORDER BY list_distance(q.qv, b.v), b.id) AS rank
+         |  FROM q CROSS JOIN b)
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   )
 }

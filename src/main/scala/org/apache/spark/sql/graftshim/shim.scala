@@ -22,6 +22,6 @@ object Shim {
       builder: Seq[Expression] => Expression): Unit = {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "builtin")
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
   }
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqlSurfaceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("registered SQL functions evaluate") {
+    GraftSession.registerFunctions(spark)
+    val row = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       vec_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       text_fingerprint('abc') AS fp,
+        |       simhash64(array(CAST(-1 AS BIGINT))) AS sh
+        |""".stripMargin).head()
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getDouble(1) == 1.0)
+    assert(row.getLong(2) ==
+      "abc".foldLeft(0L)((h, ch) => (h * 31 + ch.toInt) % 1000000007L))
+    assert(row.getLong(3) == -1L) // all 64 bits set
+  }
+
+  test("SQL users can run a full knn query over parquet with vec functions") {
+    GraftSession.registerFunctions(spark)
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .createOrReplaceTempView("emb_sql")
+    val out = spark.sql(
+      """SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |       vec_l2(q.embedding, b.embedding) AS d
+        |FROM emb_sql q JOIN emb_sql b
+        |WHERE q.vec_id = 0
+        |ORDER BY d, b.vec_id LIMIT 5""".stripMargin).collect()
+    assert(out.length == 5)
+    assert(out.head.getAs[Long]("neighbor_id") == 0L)
+  }
+}
