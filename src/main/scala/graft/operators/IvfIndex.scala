@@ -26,13 +26,15 @@ object IvfIndex {
       sampleFraction: Double = 1.0): Array[Array[Double]] = {
     val sample = if (sampleFraction < 1.0)
       base.sample(withReplacement = false, sampleFraction, seed) else base
+    // NOTE: no .cache() here — MLlib KMeans caches its internal RDD;
+    // caching this Dataset poisons later plan binding via partial-plan
+    // cache substitution (attributes from the cached plan leak into
+    // canonically-similar subtrees of subsequent queries)
     val feats = sample.select(array_to_vector(col(vecCol).cast("array<double>"))
-      .as("__feat")).cache()
+      .as("__feat"))
     val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__feat")
       .setPredictionCol("__pred").setMaxIter(8)
-    val cents = km.fit(feats).clusterCenters.map(_.toArray)
-    feats.unpersist()
-    cents
+    km.fit(feats).clusterCenters.map(_.toArray)
   }
 
   /** Column: distances from `vec` to every centroid (array<double>). */
@@ -52,14 +54,44 @@ object IvfIndex {
       cents: Array[Array[Double]]): DataFrame =
     df.withColumn("cluster", nearestCluster(col(vecCol), cents))
 
-  /** Column: the nprobe nearest cluster ids for a query vector. */
-  def probeClusters(vec: Column, cents: Array[Array[Double]],
-      nprobe: Int): Column = {
-    val cb = typedlit(cents.map(_.toSeq).toSeq)
-    val withIdx = transform(cb, (c, i) =>
-      struct(vec_l2sq(vec, c).as("d"), i.cast("int").as("i")))
-    transform(slice(array_sort(withIdx), 1, nprobe), s => s.getField("i"))
+  /** (query_id, cluster) pairs: each query's nprobe nearest cells,
+    * computed as a tiny top-k over queries x centroids (Q x nlist
+    * rows — driver-free, no giant centroid literals in the probe
+    * expression tree).
+    */
+  def probes(
+      queries: DataFrame,
+      cents: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+    val scored = queries.crossJoin(broadcast(centsDf))
+      .select(col("query_id"),
+        vec_l2sq(col("qvec"), col("centroid")).as("score"),
+        col("cluster").cast("long").as("id"))
+    KnnSearch.topKOf(scored, nprobe, asc = true)
+      .select(col("query_id"), col("neighbor_id").cast("int").as("cluster"))
   }
+
+  /** (query_id, cluster, qvec) — the probe worklist with the query
+    * vector attached, eagerly materialised (Q x nprobe rows, tiny by
+    * contract). Materialising matters beyond the shuffle savings: it
+    * makes the broadcast side of the big probe-join a plain
+    * LogicalRDD, so constraint inference can't push a predicate
+    * built from the *assignment* expression (which references the
+    * base scan) into a re-resolved copy of the same scan — a
+    * self-join constraint-propagation hazard on Spark 4.1.
+    */
+  def probedQueries(
+      queries: DataFrame,
+      cents: Array[Array[Double]],
+      nprobe: Int): DataFrame =
+    probes(queries, cents, nprobe)
+      .join(queries, "query_id")
+      .localCheckpoint(true)
 
   /** IVF search: probe-join + exact distance inside probed cells.
     * assigned: (id, vec, cluster); queries: (query_id, qvec).
@@ -72,11 +104,9 @@ object IvfIndex {
       k: Int,
       nprobe: Int,
       metric: VecMetric): DataFrame = {
-    val probes = queries
-      .withColumn("cluster",
-        explode(probeClusters(col("qvec"), cents, nprobe)))
+    val probed = probedQueries(queries, cents, nprobe)
     val scored = assigned
-      .join(broadcast(probes), "cluster")
+      .join(broadcast(probed), "cluster")
       .select(
         col("query_id"),
         metric.score(col("qvec"), col("vec")).as("score"),

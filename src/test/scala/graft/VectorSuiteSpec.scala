@@ -78,6 +78,20 @@ class VectorSuiteSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("window"))
   }
 
+  test("filtered knn pushes the label predicate into the parquet scan") {
+    val plan = SparkEntry.queries("q04_knn_filtered")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(label"),
+      s"label filter not pushed:\n$plan")
+  }
+
+  test("query-side scans prune to the selected columns only") {
+    val plan = SparkEntry.queries("q01_knn_euclidean")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // both scans should read exactly (vec_id, embedding)
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
+  }
+
   test("every oracleSql key has a queries entry") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
