@@ -26,6 +26,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4.1: InferFiltersFromConstraints substitutes alias-
+      // defined join keys (e.g. an IVF cluster assignment computed
+      // from the base scan) into inferred predicates and pushes them
+      // into the other join side, where the referenced scan attributes
+      // don't exist -> INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime.
+      // The lost inferred IsNotNull filters are irrelevant to these
+      // workloads (explicit filters + non-null join keys throughout).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     registerFunctions(spark)

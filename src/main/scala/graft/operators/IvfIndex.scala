@@ -93,6 +93,42 @@ object IvfIndex {
       .join(queries, "query_id")
       .localCheckpoint(true)
 
+  /** Persist the assigned table partitioned by cell — at 100 TB this
+    * is the index layout: each cell is a partition directory, and a
+    * probe-filtered scan reads only nprobe/nlist of the data via
+    * partition pruning (PartitionFilters in the scan, no I/O for
+    * unprobed cells).
+    */
+  def persistIndex(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Search a persisted index: the probe set prunes partitions at the
+    * scan, then the per-query probe join restricts candidate pairs.
+    */
+  def searchPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      cents: Array[Array[Double]],
+      k: Int,
+      nprobe: Int,
+      metric: VecMetric): DataFrame = {
+    val probed = probedQueries(queries, cents, nprobe)
+    // the distinct probed cells are at most Q x nprobe ints — safe to
+    // collect; isin() on the partition column prunes directories
+    val cells = probed.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scan = spark.read.parquet(indexPath)
+      .filter(col("cluster").isin(cells: _*))
+    val scored = scan
+      .join(broadcast(probed), "cluster")
+      .select(
+        col("query_id"),
+        metric.score(col("qvec"), col("vec")).as("score"),
+        col("id"))
+    KnnSearch.topKOf(scored, k, metric.asc)
+  }
+
   /** IVF search: probe-join + exact distance inside probed cells.
     * assigned: (id, vec, cluster); queries: (query_id, qvec).
     * Returns (query_id, rank, neighbor_id, score).

@@ -95,6 +95,23 @@ object IndexQueries {
     ranked(KnnSearch.topKOf(scored, K, asc = true))
   }
 
+  /** q26: search against the *persisted* IVF layout — the scan reads
+    * only probed cell partitions (PartitionFilters pruning), which is
+    * the on-disk shape the index takes at 100 TB.
+    */
+  def ivfPersisted(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    val cents = cached(dir, "ivf") { IvfIndex.train(base, "vec", NList) }
+    val path = cached(dir, "ivf-path") {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx").toString
+      IvfIndex.persistIndex(IvfIndex.assign(base, "vec", cents), p)
+      p
+    }
+    ranked(IvfIndex.searchPersisted(s, path, queries, cents, K, NProbe,
+      VecMetric.Euclidean))
+  }
+
   def lshRhp(s: SparkSession, dir: String): DataFrame = {
     val (base, queries) = baseAndQueries(s, dir)
     val dim = base.select(size(col("vec"))).head().getInt(0)
@@ -147,6 +164,7 @@ object IndexQueries {
     "q21_ivf_pq" -> (ivfPq _),
     "q22_ivf_sq8" -> (ivfSq8 _),
     "q23_lsh_rhp" -> (lshRhp _),
+    "q26_ivf_persisted" -> (ivfPersisted _),
     "q24_lsh_minhash" -> (lshMinhash _),
     "q25_graph_knn" -> (knnGraph _)
   )

@@ -62,6 +62,15 @@ class IndexSpec extends AnyFunSuite {
     assert(g.filter(col("id") === col("neighbor_id")).count() == 0)
   }
 
+  test("persisted IVF index: scan prunes to probed cell partitions, results match in-memory IVF") {
+    val persisted = SparkEntry.queries("q26_ivf_persisted")(spark, sf001)
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"no partition pruning in plan:\n${plan.take(2000)}")
+    val inMem = SparkEntry.queries("q20_ivf_flat")(spark, sf001)
+    assert(persisted.collect().toSeq == inMem.collect().toSeq)
+  }
+
   test("minhash jaccard index returns plausible top-k for each query doc") {
     val out = SparkEntry.queries("q24_lsh_minhash")(spark, sf001)
     assert(out.select("query_id").distinct().count() == 5)
