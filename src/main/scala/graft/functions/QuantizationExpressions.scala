@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Fused quantization kernels. The composed-SQL forms (transform /
+  * slice / array_min / element_at chains) allocate subarrays and
+  * re-walk lists per centroid; these are the single-pass versions the
+  * quantized 100 TB scan actually needs.
+  */
+
+/** PQ encode: vec -> m codes, argmin centroid per subspace (first-min
+  * tie-break, matching array_position semantics).
+  */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression with Serializable {
+
+  private val m = codebook.length
+  private val kStar = codebook(0).length
+  private val subDim = codebook(0)(0).length
+  @transient private lazy val flat: Array[Double] = codebook.flatMap(_.flatten)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < kStar) {
+        val off = (s * kStar + c) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = (if (fl) arr.getFloat(s * subDim + i).toDouble
+                   else arr.getDouble(s * subDim + i)) - flat(off + i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", flat, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+       |int[] out = new int[$m];
+       |for (int s = 0; s < $m; s++) {
+       |  int best = 0; double bestD = Double.MAX_VALUE;
+       |  for (int cc = 0; cc < $kStar; cc++) {
+       |    int off = (s * $kStar + cc) * $subDim;
+       |    double d = 0.0;
+       |    for (int i = 0; i < $subDim; i++) {
+       |      double x = ((double) $c.$get(s * $subDim + i)) - $cbRef[off + i];
+       |      d += x * x;
+       |    }
+       |    if (d < bestD) { bestD = d; best = cc; }
+       |  }
+       |  out[s] = best;
+       |}
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+/** ADC distance: m table lookups summed. left = codes (array<int>),
+  * right = per-query table (array<array<double>>, m x k*).
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(codes: Any, table: Any): Any = {
+    val cs = codes.asInstanceOf[ArrayData]
+    val tbl = table.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var s = 0
+    val m = cs.numElements()
+    while (s < m) {
+      acc += tbl.getArray(s).getDouble(cs.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      s"""
+       |double acc = 0.0;
+       |int m = $c.numElements();
+       |for (int s = 0; s < m; s++) {
+       |  acc += $t.getArray(s).getDouble($c.getInt(s));
+       |}
+       |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "pq_adc"
+}
+
+/** SQ8 L2 distance directly on codes: sqrt(sum_i (q_i - (min_i +
+  * code_i * scale_i))^2) — decode fused into the distance loop, no
+  * intermediate array.
+  */
+case class Sq8L2(left: Expression, right: Expression,
+    mins: Array[Double], scales: Array[Double])
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def qIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(q: Any, codes: Any): Any = {
+    val qa = q.asInstanceOf[ArrayData]
+    val ca = codes.asInstanceOf[ArrayData]
+    val fl = qIsFloat
+    var acc = 0.0
+    var i = 0
+    val n = math.min(qa.numElements(), ca.numElements())
+    while (i < n) {
+      val qv = if (fl) qa.getFloat(i).toDouble else qa.getDouble(i)
+      val d = qv - (mins(i) + ca.getInt(i) * scales(i))
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("sqMins", mins, "double[]")
+    val scalesRef = ctx.addReferenceObj("sqScales", scales, "double[]")
+    val get = if (qIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      s"""
+       |int n = java.lang.Math.min($q.numElements(), $c.numElements());
+       |double acc = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  double d = ((double) $q.$get(i))
+       |    - ($minsRef[i] + $c.getInt(i) * $scalesRef[i]);
+       |  acc += d * d;
+       |}
+       |${ev.value} = java.lang.Math.sqrt(acc);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "sq8_l2"
+}

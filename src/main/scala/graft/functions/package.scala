@@ -29,6 +29,17 @@ package object functions {
   def minhash_sigs(c: Column, numHashes: Int, seed: Long): Column =
     Shim.column(MinHashSigs(Shim.expression(c), numHashes, seed))
 
+  def pq_encode(vec: Column, codebook: Array[Array[Array[Double]]]): Column =
+    Shim.column(PqEncode(Shim.expression(vec), codebook))
+
+  def pq_adc(codes: Column, table: Column): Column =
+    Shim.column(PqAdc(Shim.expression(codes), Shim.expression(table)))
+
+  def sq8_l2(qvec: Column, codes: Column,
+      mins: Array[Double], scales: Array[Double]): Column =
+    Shim.column(Sq8L2(Shim.expression(qvec), Shim.expression(codes),
+      mins, scales))
+
   /** 64-bit simhash from an array<long> of element hashes, one pass. */
   def simhash64(c: Column): Column =
     Shim.column(SimHash64(Shim.expression(c)))

@@ -24,29 +24,25 @@ object PqIndex {
     val dim = base.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
-    // one cached pass materialises every subspace column; each small
-    // fit then reads from memory instead of rescanning parquet
-    val subs = base.select((0 until m).map(s =>
+    // codebooks are approximations whose error the exact re-rank
+    // absorbs — train cheaply: bounded sample, random init (skips the
+    // k-means|| init jobs), few iterations. One cached pass
+    // materialises every subspace column for the m fits.
+    val subs = base.limit(4096).select((0 until m).map(s =>
       array_to_vector(slice(col(vecCol), s * subDim + 1, subDim)
         .cast("array<double>")).as(s"__f$s")): _*).cache()
     val codebook = (0 until m).map { s =>
       new KMeans().setK(kStar).setSeed(seed + s).setFeaturesCol(s"__f$s")
-        .setPredictionCol("__pred").setMaxIter(5)
+        .setPredictionCol("__pred").setMaxIter(3).setInitMode("random")
         .fit(subs).clusterCenters.map(_.toArray)
     }.toArray
     subs.unpersist()
     Model(m, subDim, codebook)
   }
 
-  /** Column: array<int> of m codes (argmin centroid per subspace). */
-  def encode(vec: Column, model: Model): Column = {
-    val cb = typedlit(model.codebook.map(_.map(_.toSeq).toSeq).toSeq)
-    transform(sequence(lit(0), lit(model.m - 1)), s => {
-      val sub = slice(vec, s * model.subDim + 1, lit(model.subDim))
-      val dists = transform(element_at(cb, s + 1), c => vec_l2sq(sub, c))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
-  }
+  /** Column: array<int> of m codes — fused single-pass kernel. */
+  def encode(vec: Column, model: Model): Column =
+    pq_encode(vec, model.codebook)
 
   /** Column: the query's ADC table — per subspace, squared L2 to every
     * codebook centroid (array<array<double>>).
@@ -59,13 +55,9 @@ object PqIndex {
     })
   }
 
-  /** ADC approximate distance: sum of m table lookups. */
+  /** ADC approximate distance: m table lookups, fused. */
   def adcDistance(codes: Column, table: Column, m: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(m - 1)),
-      lit(0.0),
-      (acc, s) => acc +
-        element_at(element_at(table, s + 1), element_at(codes, s + 1) + 1))
+    pq_adc(codes, table)
 
   /** PQ search with optional exact re-rank of the top rerank*k ADC
     * candidates (the standard recall recovery).

@@ -89,8 +89,8 @@ object IndexQueries {
     val scored = assigned
       .join(broadcast(probed), "cluster")
       .select(col("query_id"),
-        graft.functions.vec_l2(col("qvec"),
-          Sq8Index.decode(col("codes"), sq)).as("score"),
+        graft.functions.sq8_l2(col("qvec"), col("codes"),
+          sq.mins, sq.scales).as("score"),
         col("id"))
     ranked(KnnSearch.topKOf(scored, K, asc = true))
   }
