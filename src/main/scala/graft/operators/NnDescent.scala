@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** NN-descent: iterative approximate k-NN-graph construction — the
+  * distributed batch analog of an HNSW build's graph layer. The exact
+  * graph (q25) is an N^2 cross join; at 100 TB that's impossible, and
+  * NN-descent converges in a few rounds of "my neighbors' neighbors
+  * are probably my neighbors", each round a self-join on the current
+  * edge list (shuffle on node ids, candidate count ~ deg^2 per node).
+  * Lineage is cut per round (localCheckpoint) — mandatory for
+  * iterative Spark jobs or plans grow without bound.
+  */
+object NnDescent {
+
+  /** base: (id, vec). Returns (id, rank, neighbor_id) approximate
+    * top-k graph. Deterministic: hash-seeded init, (dist, id)
+    * tie-breaks everywhere.
+    */
+  def build(
+      base: DataFrame,
+      k: Int,
+      iters: Int = 4,
+      workingDegreeFactor: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    // iterate with a larger working degree than the requested k —
+    // on high-intrinsic-dimension data the neighbor-of-neighbor
+    // signal is weak, and the extra width is what carries convergence
+    val wk = k * workingDegreeFactor
+    val n = base.count()
+    // deterministic pseudo-random init: k candidates per node from a
+    // multiplicative hash, self-loops dropped
+    var edges = base.select(col("id"),
+      explode(expr(
+        s"transform(sequence(1, $wk), i -> " +
+          s"pmod(id * 2654435761L + i * 40503L + $seed, ${n}L))")).as("nb"))
+      .filter(col("id") =!= col("nb"))
+      .distinct()
+      .localCheckpoint(true)
+
+    val vecs = base.select(col("id"), col("vec"))
+
+    for (_ <- 1 to iters) {
+      val und = edges.unionAll(
+        edges.select(col("nb").as("id"), col("id").as("nb")))
+      // candidate pairs: nodes sharing a neighbor (join through mid)
+      val a = und.select(col("nb").as("mid"), col("id").as("src"))
+      val b = und.select(col("nb").as("mid"), col("id").as("dst"))
+      val cands = a.join(b, "mid")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+        .unionAll(edges.select(col("id").as("src"), col("nb").as("dst")))
+        .distinct()
+      val scored = cands
+        .join(vecs.select(col("id").as("src"), col("vec").as("sv")), "src")
+        .join(vecs.select(col("id").as("dst"), col("vec").as("dv")), "dst")
+        .select(col("src").as("query_id"),
+          vec_l2(col("sv"), col("dv")).as("score"),
+          col("dst").as("id"))
+      edges = KnnSearch.topKOf(scored, wk, asc = true)
+        .select(col("query_id").as("id"), col("neighbor_id").as("nb"))
+        .localCheckpoint(true)
+    }
+
+    // final ranked output recomputes distances once for rank order
+    val scored = edges
+      .join(vecs.select(col("id"), col("vec").as("sv")), "id")
+      .join(vecs.select(col("id").as("nb"), col("vec").as("dv")), "nb")
+      .select(col("id").as("query_id"),
+        vec_l2(col("sv"), col("dv")).as("score"),
+        col("nb").as("id"))
+    KnnSearch.topKOf(scored, k, asc = true)
+      .select(col("query_id").as("id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+}

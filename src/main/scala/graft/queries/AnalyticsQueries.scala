@@ -94,6 +94,8 @@ object AnalyticsQueries {
     "q30_upsert_batch" -> (upsertBatch _),
     "q31_stream_ingest" -> (streamIngest _),
     "q32_stream_sessions" -> (streamSessions _),
+    "q33_stream_dedup" -> ((s: SparkSession, dir: String) =>
+      EventStream.streamDedup(s, dir)),
     "a01_pricing_agg" -> (pricingAgg _),
     "a02_latency_percentiles" -> (latencyPercentiles _),
     "a03_sessionize" -> (sessionize _)
@@ -120,6 +122,12 @@ object AnalyticsQueries {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q33_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        |       epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000
+        |         AS hour_start
+        |FROM events
+        |ORDER BY user_id, event_type, hour_start""".stripMargin,
     // streaming session_window semantics: an event joins iff it lands
     // strictly inside [start, last+gap), i.e. new session when
     // diff >= gap; append mode emits only sessions closed before the

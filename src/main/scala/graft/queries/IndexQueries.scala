@@ -145,6 +145,15 @@ object IndexQueries {
       .orderBy("id", "rank")
   }
 
+  /** q27: NN-descent approximate graph (the scale path for q25 —
+    * no N^2 cross join; see NnDescent).
+    */
+  def nnDescentGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    NnDescent.build(base, k = 5).orderBy("id", "rank")
+  }
+
   /** q12: recall@k of the IVF index against the exact kNN. */
   def recallAtK(s: SparkSession, dir: String): DataFrame = {
     val approx = ivfFlat(s, dir).select(col("query_id"), col("neighbor_id"))
@@ -166,7 +175,8 @@ object IndexQueries {
     "q23_lsh_rhp" -> (lshRhp _),
     "q26_ivf_persisted" -> (ivfPersisted _),
     "q24_lsh_minhash" -> (lshMinhash _),
-    "q25_graph_knn" -> (knnGraph _)
+    "q25_graph_knn" -> (knnGraph _),
+    "q27_nn_descent" -> (nnDescentGraph _)
   )
 
   /** q25 is exact ⇒ oracle-checkable; the rest are approximate. */

@@ -47,6 +47,34 @@ object EventStream {
     spark.table(sink).orderBy("hour_start", "event_type")
   }
 
+  /** q33: streaming dedup — dropDuplicates on a semantic key with a
+    * watermark bounding state (the exactly-once ingest guard). Output
+    * is the distinct key set, which is order-independent and so
+    * batch-reproducible.
+    */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("hour_start",
+        unix_timestamp(date_trunc("hour", col("event_time"))))
+    val deduped = stream
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicates("user_id", "event_type", "hour_start")
+      .select("user_id", "event_type", "hour_start")
+    val sink = s"graft_dedup_${nameCounter.incrementAndGet()}"
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("user_id", "event_type", "hour_start")
+  }
+
   /** q32: true stateful streaming sessionization via session_window
     * (30 min gap) + watermark. Append mode emits exactly the CLOSED
     * sessions — those whose (last event + gap) precedes the final
