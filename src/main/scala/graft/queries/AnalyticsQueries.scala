@@ -90,7 +90,40 @@ object AnalyticsQueries {
   def streamSessions(s: SparkSession, dir: String): DataFrame =
     EventStream.sessionWindows(s, dir)
 
+  /** a04: star-schema join rollup — revenue per region through the
+    * lineitem→orders→customer→nation→region chain; every dimension is
+    * broadcast (the canonical fact-table join plan at any scale).
+    */
+  def joinAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("rev_cents"))
+      .join(broadcast(Tables.orders(s, dir).select("o_orderkey", "o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rev_cents")).as("revenue_cents"))
+      .orderBy("r_name")
+
+  /** a05: semi-structured extraction — JSON props parsed per event. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a04_join_agg" -> (joinAgg _),
+    "a05_json_extract" -> (jsonExtract _),
     "q30_upsert_batch" -> (upsertBatch _),
     "q31_stream_ingest" -> (streamIngest _),
     "q32_stream_sessions" -> (streamSessions _),
@@ -102,6 +135,20 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a04_join_agg" ->
+      """SELECT r_name, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "a05_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_upsert_batch" ->
       """WITH base AS (SELECT vec_id, label FROM embeddings),
         |     ups AS (SELECT vec_id, label + 100 AS label FROM base WHERE vec_id % 7 = 0
