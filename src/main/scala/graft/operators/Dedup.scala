@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.functions._
 
 /** Corpus deduplication suite (SURVEY.md §2 d01-d05) — the LLM-
-  * training-data operators run over `documents`. Every variant is a
-  * shuffle-on-short-keys plan: hashes/signatures travel, never full
-  * texts, which is what makes these viable at 100 TB.
+  * training-data operators run over `documents`; the set-similarity
+  * math mirrors the reference's jaccard metric
+  * (/root/reference/bigvectorbench/distance.py:12-16). Every variant
+  * is a shuffle-on-short-keys plan: hashes/signatures travel, never
+  * full texts, which is what makes these viable at 100 TB.
   */
 object Dedup {
 

@@ -6,7 +6,10 @@ import org.apache.spark.sql.types._
 
 import graft.functions._
 
-/** Multimodal column plumbing (SURVEY.md §2 m01): opaque binary
+/** Multimodal column plumbing (SURVEY.md §2 m01; the reference's
+  * multi-modal/cross-modal query use-cases, README "Use-cases for
+  * Compound Queries" and bigvectorbench/datasets.py BVB img/text
+  * datasets): opaque binary
   * payloads + typed metadata, batch feature extraction. The real
   * decode (image/audio libs) is STUBBED with a deterministic fake —
   * everything Spark-side (schema, binary columns, partition-balanced

@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.functions._
 
 /** NN-descent: iterative approximate k-NN-graph construction — the
-  * distributed batch analog of an HNSW build's graph layer. The exact
+  * distributed batch analog of the graph layer under the reference's
+  * HNSW/graph index family (milvus-hnsw, sptag-bkt — README
+  * "Supported Databases and Algorithms"). The exact
   * graph (q25) is an N^2 cross join; at 100 TB that's impossible, and
   * NN-descent converges in a few rounds of "my neighbors' neighbors
   * are probably my neighbors", each round a self-join on the current
