@@ -75,12 +75,12 @@ object Dedup {
     val h = bands * rowsPerBand
     val sh = shingles(docs).cache()
     val sig = minhashSignatures(sh, h, seed)
-    val banded = (0 until bands).map { bnd =>
-      sig.select(col("doc_id"),
-        lit(bnd).as("band"),
-        xxhash64(slice(col("sigs"), bnd * rowsPerBand + 1, rowsPerBand))
-          .as("bucket"))
-    }.reduceLeft(_ unionAll _)
+    // one signature pass, bands exploded from it — unioning per-band
+    // selects would recompute the signatures once per band
+    val banded = sig.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> xxhash64(slice(sigs, b * $rowsPerBand + 1, $rowsPerBand)))"))
+      .as(Seq("band", "bucket")))
     val candA = banded.toDF("doc_a", "band", "bucket")
     val candB = banded.toDF("doc_b", "band", "bucket")
     val cands = candA.join(candB, Seq("band", "bucket"))

@@ -67,11 +67,10 @@ object MinHashLshIndex {
     val sig = Dedup.minhashSignatures(
       sh.select(col("doc_id"), col("toks").as("sh")),
       bands * rowsPerBand, seed)
-    val banded = (0 until bands).map { bnd =>
-      sig.select(col("doc_id"), lit(bnd).as("band"),
-        xxhash64(slice(col("sigs"), bnd * rowsPerBand + 1, rowsPerBand))
-          .as("bucket"))
-    }.reduceLeft(_ unionAll _)
+    val banded = sig.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> xxhash64(slice(sigs, b * $rowsPerBand + 1, $rowsPerBand)))"))
+      .as(Seq("band", "bucket")))
     val qb = banded.filter(queryIds)
       .toDF("query_id", "band", "bucket")
     val cands = banded.join(broadcast(qb), Seq("band", "bucket"))
