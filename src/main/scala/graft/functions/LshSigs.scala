@@ -56,22 +56,32 @@ case class LshSigs(child: Expression, planes: Array[Array[Array[Double]]])
     val flatRef = ctx.addReferenceObj("lshPlanes", flat, "double[]")
     val get = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName on statement-level locals: unbraced inlining under a
+      // non-nullable child collides fixed names across instances
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val sig = ctx.freshName("sig")
+      val b = ctx.freshName("b")
+      val off = ctx.freshName("off")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
       s"""
-       |int n = java.lang.Math.min($c.numElements(), $dim);
-       |long[] out = new long[$nTables];
-       |for (int t = 0; t < $nTables; t++) {
-       |  long sig = 0L;
-       |  for (int b = 0; b < $nBits; b++) {
-       |    int off = (t * $nBits + b) * $dim;
-       |    double d = 0.0;
-       |    for (int i = 0; i < n; i++) {
-       |      d += ((double) $c.$get(i)) * $flatRef[off + i];
+       |int $n = java.lang.Math.min($c.numElements(), $dim);
+       |long[] $out = new long[$nTables];
+       |for (int $t = 0; $t < $nTables; $t++) {
+       |  long $sig = 0L;
+       |  for (int $b = 0; $b < $nBits; $b++) {
+       |    int $off = ($t * $nBits + $b) * $dim;
+       |    double $d = 0.0;
+       |    for (int $i = 0; $i < $n; $i++) {
+       |      $d += ((double) $c.$get($i)) * $flatRef[$off + $i];
        |    }
-       |    if (d > 0) sig |= (1L << b);
+       |    if ($d > 0) $sig |= (1L << $b);
        |  }
-       |  out[t] = sig;
+       |  $out[$t] = $sig;
        |}
-       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }

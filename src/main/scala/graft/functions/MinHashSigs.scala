@@ -50,18 +50,26 @@ case class MinHashSigs(child: Expression, numHashes: Int, seed: Long)
     val asRef = ctx.addReferenceObj("mhAs", coefs._1, "long[]")
     val bsRef = ctx.addReferenceObj("mhBs", coefs._2, "long[]")
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName on statement-level locals: unbraced inlining under a
+      // non-nullable child collides fixed names across instances
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
       s"""
-       |int n = $c.numElements();
-       |long[] out = new long[$numHashes];
-       |java.util.Arrays.fill(out, Long.MAX_VALUE);
-       |for (int j = 0; j < n; j++) {
-       |  long x = (($c.getLong(j) % ${Prime}L) + ${Prime}L) % ${Prime}L;
-       |  for (int i = 0; i < $numHashes; i++) {
-       |    long h = ($asRef[i] * x + $bsRef[i]) % ${Prime}L;
-       |    if (h < out[i]) out[i] = h;
+       |int $n = $c.numElements();
+       |long[] $out = new long[$numHashes];
+       |java.util.Arrays.fill($out, Long.MAX_VALUE);
+       |for (int $j = 0; $j < $n; $j++) {
+       |  long $x = (($c.getLong($j) % ${Prime}L) + ${Prime}L) % ${Prime}L;
+       |  for (int $i = 0; $i < $numHashes; $i++) {
+       |    long $h = ($asRef[$i] * $x + $bsRef[$i]) % ${Prime}L;
+       |    if ($h < $out[$i]) $out[$i] = $h;
        |  }
        |}
-       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }

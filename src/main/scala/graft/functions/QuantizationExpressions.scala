@@ -59,22 +59,33 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
     val cbRef = ctx.addReferenceObj("pqCb", flat, "double[]")
     val get = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName on statement-level locals: unbraced inlining under a
+      // non-nullable child collides fixed names across instances
+      val out = ctx.freshName("out")
+      val s0 = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cc = ctx.freshName("cc")
+      val off = ctx.freshName("off")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
       s"""
-       |int[] out = new int[$m];
-       |for (int s = 0; s < $m; s++) {
-       |  int best = 0; double bestD = Double.MAX_VALUE;
-       |  for (int cc = 0; cc < $kStar; cc++) {
-       |    int off = (s * $kStar + cc) * $subDim;
-       |    double d = 0.0;
-       |    for (int i = 0; i < $subDim; i++) {
-       |      double x = ((double) $c.$get(s * $subDim + i)) - $cbRef[off + i];
-       |      d += x * x;
+       |int[] $out = new int[$m];
+       |for (int $s0 = 0; $s0 < $m; $s0++) {
+       |  int $best = 0; double $bestD = Double.MAX_VALUE;
+       |  for (int $cc = 0; $cc < $kStar; $cc++) {
+       |    int $off = ($s0 * $kStar + $cc) * $subDim;
+       |    double $d = 0.0;
+       |    for (int $i = 0; $i < $subDim; $i++) {
+       |      double $x = ((double) $c.$get($s0 * $subDim + $i)) - $cbRef[$off + $i];
+       |      $d += $x * $x;
        |    }
-       |    if (d < bestD) { bestD = d; best = cc; }
+       |    if ($d < $bestD) { $bestD = $d; $best = $cc; }
        |  }
-       |  out[s] = best;
+       |  $out[$s0] = $best;
        |}
-       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }
@@ -108,13 +119,16 @@ case class PqAdc(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, t) => {
+      val acc = ctx.freshName("acc")
+      val m = ctx.freshName("m")
+      val s0 = ctx.freshName("s")
       s"""
-       |double acc = 0.0;
-       |int m = $c.numElements();
-       |for (int s = 0; s < m; s++) {
-       |  acc += $t.getArray(s).getDouble($c.getInt(s));
+       |double $acc = 0.0;
+       |int $m = $c.numElements();
+       |for (int $s0 = 0; $s0 < $m; $s0++) {
+       |  $acc += $t.getArray($s0).getDouble($c.getInt($s0));
        |}
-       |${ev.value} = acc;
+       |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -158,15 +172,19 @@ case class Sq8L2(left: Expression, right: Expression,
     val scalesRef = ctx.addReferenceObj("sqScales", scales, "double[]")
     val get = if (qIsFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (q, c) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
       s"""
-       |int n = java.lang.Math.min($q.numElements(), $c.numElements());
-       |double acc = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double d = ((double) $q.$get(i))
-       |    - ($minsRef[i] + $c.getInt(i) * $scalesRef[i]);
-       |  acc += d * d;
+       |int $n = java.lang.Math.min($q.numElements(), $c.numElements());
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = ((double) $q.$get($i))
+       |    - ($minsRef[$i] + $c.getInt($i) * $scalesRef[$i]);
+       |  $acc += $d * $d;
        |}
-       |${ev.value} = java.lang.Math.sqrt(acc);
+       |${ev.value} = java.lang.Math.sqrt($acc);
        """.stripMargin
     })
   }

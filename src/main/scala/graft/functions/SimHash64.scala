@@ -38,18 +38,27 @@ case class SimHash64(child: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName on statement-level locals: unbraced inlining under a
+      // non-nullable child collides fixed names across instances
+      val n = ctx.freshName("n")
+      val counters = ctx.freshName("counters")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val b2 = ctx.freshName("b2")
+      val sig = ctx.freshName("sig")
       s"""
-       |int n = $c.numElements();
-       |int[] counters = new int[64];
-       |for (int j = 0; j < n; j++) {
-       |  long h = $c.getLong(j);
-       |  for (int b = 0; b < 64; b++) {
-       |    if (((h >>> b) & 1L) == 1L) counters[b]++; else counters[b]--;
+       |int $n = $c.numElements();
+       |int[] $counters = new int[64];
+       |for (int $j = 0; $j < $n; $j++) {
+       |  long $h = $c.getLong($j);
+       |  for (int $b = 0; $b < 64; $b++) {
+       |    if ((($h >>> $b) & 1L) == 1L) $counters[$b]++; else $counters[$b]--;
        |  }
        |}
-       |long sig = 0L;
-       |for (int b = 0; b < 64; b++) { if (counters[b] > 0) sig |= (1L << b); }
-       |${ev.value} = sig;
+       |long $sig = 0L;
+       |for (int $b2 = 0; $b2 < 64; $b2++) { if ($counters[$b2] > 0) $sig |= (1L << $b2); }
+       |${ev.value} = $sig;
        """.stripMargin
     })
 

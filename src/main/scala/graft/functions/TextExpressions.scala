@@ -31,16 +31,23 @@ case class TextFingerprint(child: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName on every statement-level local: with a non-nullable
+      // child the body is inlined unbraced, so fixed names collide
+      // when one projection holds two instances of this expression
+      val s0 = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       s"""
-       |String s = $c.toString();
-       |long h = 0L;
-       |int i = 0;
-       |while (i < s.length()) {
-       |  int cp = s.codePointAt(i);
-       |  h = (h * 31L + cp) % 1000000007L;
-       |  i += Character.charCount(cp);
+       |String $s0 = $c.toString();
+       |long $h = 0L;
+       |int $i = 0;
+       |while ($i < $s0.length()) {
+       |  int $cp = $s0.codePointAt($i);
+       |  $h = ($h * 31L + $cp) % 1000000007L;
+       |  $i += Character.charCount($cp);
        |}
-       |${ev.value} = h;
+       |${ev.value} = $h;
        """.stripMargin
     })
   override protected def withNewChildInternal(c: Expression): Expression =
@@ -67,11 +74,14 @@ case class ByteSum(child: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val acc = ctx.freshName("acc")
+      val arr = ctx.freshName("arr")
+      val i = ctx.freshName("i")
       s"""
-       |long acc = 0L;
-       |byte[] arr = $c;
-       |for (int i = 0; i < arr.length; i++) { acc += arr[i] & 0xff; }
-       |${ev.value} = acc;
+       |long $acc = 0L;
+       |byte[] $arr = $c;
+       |for (int $i = 0; $i < $arr.length; $i++) { $acc += $arr[$i] & 0xff; }
+       |${ev.value} = $acc;
        """.stripMargin
     })
   override protected def withNewChildInternal(c: Expression): Expression =

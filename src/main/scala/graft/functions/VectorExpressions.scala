@@ -59,13 +59,19 @@ case class VecDot(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+      // freshName on every statement-level local: with a non-nullable
+      // child nullSafeCodeGen inlines this body unbraced, so fixed
+      // names collide when one projection holds two instances
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double acc = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  acc += ${cGet(a, "i", lf)} * ${cGet(b, "i", rf)};
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += ${cGet(a, i, lf)} * ${cGet(b, i, rf)};
        |}
-       |${ev.value} = acc;
+       |${ev.value} = $acc;
        """.stripMargin
     })
   override protected def withNewChildrenInternal(
@@ -89,14 +95,18 @@ case class VecL2(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
       s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double acc = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double d = ${cGet(a, "i", lf)} - ${cGet(b, "i", rf)};
-       |  acc += d * d;
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = ${cGet(a, i, lf)} - ${cGet(b, i, rf)};
+       |  $acc += $d * $d;
        |}
-       |${ev.value} = java.lang.Math.sqrt(acc);
+       |${ev.value} = java.lang.Math.sqrt($acc);
        """.stripMargin
     })
   override protected def withNewChildrenInternal(
@@ -122,14 +132,18 @@ case class VecL2Sq(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
       s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double acc = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double d = ${cGet(a, "i", lf)} - ${cGet(b, "i", rf)};
-       |  acc += d * d;
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = ${cGet(a, i, lf)} - ${cGet(b, i, rf)};
+       |  $acc += $d * $d;
        |}
-       |${ev.value} = acc;
+       |${ev.value} = $acc;
        """.stripMargin
     })
   override protected def withNewChildrenInternal(
@@ -154,15 +168,22 @@ case class VecCosineSim(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val u = ctx.freshName("u")
+      val v = ctx.freshName("v")
       s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double u = ${cGet(a, "i", lf)};
-       |  double v = ${cGet(b, "i", rf)};
-       |  dot += u * v; na += u * u; nb += v * v;
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $u = ${cGet(a, i, lf)};
+       |  double $v = ${cGet(b, i, rf)};
+       |  $dot += $u * $v; $na += $u * $u; $nb += $v * $v;
        |}
-       |${ev.value} = dot / java.lang.Math.sqrt(na * nb);
+       |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
     })
   override protected def withNewChildrenInternal(
@@ -191,13 +212,16 @@ case class VecSignHamming(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |long acc = 0L;
-       |for (int i = 0; i < n; i++) {
-       |  if ((${cGet(a, "i", lf)} > 0) != (${cGet(b, "i", rf)} > 0)) acc++;
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |long $acc = 0L;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  if ((${cGet(a, i, lf)} > 0) != (${cGet(b, i, rf)} > 0)) $acc++;
        |}
-       |${ev.value} = acc;
+       |${ev.value} = $acc;
        """.stripMargin
     })
   override protected def withNewChildrenInternal(
