@@ -15,14 +15,10 @@ import org.apache.spark.sql.types._
 case class MinHashSigs(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression with Serializable {
 
-  private val Prime = 2147483647L
+  private val Prime = MinHashSigs.Prime
 
-  @transient private lazy val coefs: (Array[Long], Array[Long]) = {
-    val rng = new scala.util.Random(seed)
-    val as = Array.fill(numHashes)(math.abs(rng.nextLong()) % Prime + 1)
-    val bs = Array.fill(numHashes)(math.abs(rng.nextLong()) % Prime)
-    (as, bs)
-  }
+  @transient private lazy val coefs: (Array[Long], Array[Long]) =
+    MinHashSigs.coefs(numHashes, seed)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -77,4 +73,19 @@ case class MinHashSigs(child: Expression, numHashes: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "minhash_sigs"
+}
+
+object MinHashSigs {
+  val Prime = 2147483647L
+
+  /** The (a_i, b_i) coefficient streams for a given (numHashes, seed).
+    * Public so the DuckDB oracle SQL can embed the exact same values
+    * as literals — the signatures then replicate bit-for-bit.
+    */
+  def coefs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rng = new scala.util.Random(seed)
+    val as = Array.fill(numHashes)(math.abs(rng.nextLong()) % Prime + 1)
+    val bs = Array.fill(numHashes)(math.abs(rng.nextLong()) % Prime)
+    (as, bs)
+  }
 }

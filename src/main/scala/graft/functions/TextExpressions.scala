@@ -55,6 +55,54 @@ case class TextFingerprint(child: Expression)
   override def prettyName: String = "text_fingerprint"
 }
 
+/** Parameterised polynomial rolling hash over a string's codepoints:
+  * h = fold(h * mult + cp) mod `mod`. The generalisation of
+  * TextFingerprint used to derive *oracle-replicable* token hashes:
+  * two instances with different (mult, mod) combine into a ~60-bit
+  * hash (h1 + h2 * 2^30) whose every intermediate fits in int64 on
+  * both engines — ANSI-safe in Spark, overflow-safe in DuckDB BIGINT.
+  * Keep mod ≲ 2^30 and mult small so mult * mod < 2^63.
+  */
+case class PolyHash(child: Expression, mult: Long, mod: Long)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * mult + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s0 = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+       |String $s0 = $c.toString();
+       |long $h = 0L;
+       |int $i = 0;
+       |while ($i < $s0.length()) {
+       |  int $cp = $s0.codePointAt($i);
+       |  $h = ($h * ${mult}L + $cp) % ${mod}L;
+       |  $i += Character.charCount($cp);
+       |}
+       |${ev.value} = $h;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "poly_hash"
+}
+
 /** Sum of byte values of a binary payload — the checksum leg of the
   * multimodal decode stub (SURVEY.md §2 m01); codegen over BinaryType
   * shows the pattern any real byte-level feature extractor would use.

@@ -51,6 +51,10 @@ package object functions {
   def text_fingerprint(c: Column): Column =
     Shim.column(TextFingerprint(Shim.expression(c)))
 
+  /** Parameterised polynomial rolling hash (oracle-replicable). */
+  def poly_hash(c: Column, mult: Long, mod: Long): Column =
+    Shim.column(PolyHash(Shim.expression(c), mult, mod))
+
   def byte_sum(c: Column): Column =
     Shim.column(ByteSum(Shim.expression(c)))
 

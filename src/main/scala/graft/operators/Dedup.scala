@@ -14,6 +14,27 @@ import graft.functions._
   */
 object Dedup {
 
+  /** Oracle-replicable ~60-bit token hash: two polynomial rolling
+    * hashes with coprime (mult, mod) combined as h1 + h2 * 2^30.
+    * Every intermediate < 2^62 (ANSI-safe in Spark, BIGINT-safe in
+    * DuckDB) and the DuckDB side can compute the identical value with
+    * list_reduce over codepoints — which is what lets minhash/simhash
+    * outputs be hash-match gated instead of rows-only.
+    */
+  def tokenHash60(t: Column): Column =
+    poly_hash(t, 31L, 1000000007L) +
+      poly_hash(t, 131L, 999999937L) * lit(1073741824L)
+
+  /** The DuckDB replica of [[tokenHash60]] for a token expression. */
+  def tokenHash60Sql(tok: String): String = {
+    def fold(mult: Long, mod: Long) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($tok, ''),
+         |    c -> CAST(unicode(c) AS BIGINT))),
+         |  (h, c) -> (h * $mult + c) % $mod)""".stripMargin
+    s"(${fold(31L, 1000000007L)} + ${fold(131L, 999999937L)} * 1073741824)"
+  }
+
   /** d01: exact dedup on md5(text); keeps the smallest doc_id per
     * hash group (one shuffle on a 32-byte key).
     */
@@ -54,11 +75,13 @@ object Dedup {
   }
 
   /** MinHash signature array column `sigs` via the fused one-pass
-    * MinHashSigs expression (seeded, reproducible).
+    * MinHashSigs expression (seeded, reproducible). Element hashes use
+    * the oracle-replicable tokenHash60 so downstream signatures (and
+    * anything derived from them) stay DuckDB-checkable.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int, seed: Long): DataFrame =
     sh.withColumn("sigs",
-      minhash_sigs(expr("transform(sh, s -> xxhash64(s))"), numHashes, seed))
+      minhash_sigs(transform(col("sh"), s => tokenHash60(s)), numHashes, seed))
 
   /** d03: MinHash + banded LSH candidates, verified against the exact
     * shingle jaccard. bands x rowsPerBand signatures; candidate pairs
@@ -98,24 +121,25 @@ object Dedup {
       .select("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash over token hashes: bit j of the signature is the
-    * sign of sum_t (+1/-1 by bit j of xxhash64(t)) — fused one-pass
-    * kernel (SimHash64).
+  /** 60-bit SimHash over token hashes: bit j of the signature is the
+    * sign of sum_t (+1/-1 by bit j of tokenHash60(t)) — fused one-pass
+    * kernel (SimHash64; bits 60-63 of the 64-bit loop are always 0
+    * because the token hash is < 2^60).
     */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      simhash64(expr("transform(split(text, ' '), t -> xxhash64(t))"))
+      simhash64(transform(split(col("text"), " "), t => tokenHash60(t)))
         .as("simhash"))
 
   /** d04: near-dup pairs with simhash hamming distance <= maxDist,
-    * candidates via 4x16-bit band buckets (a pair within distance 3
+    * candidates via 4x15-bit band buckets (a pair within distance 3
     * must agree on >=1 band).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sig = simhash(docs).cache()
     val banded = (0 until 4).map { bnd =>
       sig.select(col("doc_id"), lit(bnd).as("band"),
-        expr(s"(simhash >> ${bnd * 16}) & 65535").as("bucket"))
+        expr(s"(simhash >> ${bnd * 15}) & 32767").as("bucket"))
     }.reduceLeft(_ unionAll _)
     val cands = banded.toDF("doc_a", "band", "bucket")
       .join(banded.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))

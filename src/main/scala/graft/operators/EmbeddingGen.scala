@@ -26,6 +26,23 @@ object EmbeddingGen {
       .select(col("doc_id"), vector_to_array(col("__emb")).as("embedding"))
   }
 
+  /** Long-format (doc_id, term, tf) term frequencies — the sparse
+    * bag-of-words representation that scales past dense vectors (the
+    * shuffle key is a term, not a doc).
+    */
+  def termCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Deterministic vocabulary: top `size` terms by (df DESC, term
+    * ASC) — a total order, so the vocab (and everything derived from
+    * it) is engine-independent, unlike murmur3-hashed feature
+    * indices.
+    */
+  def vocab(tc: DataFrame, size: Int): DataFrame =
+    tc.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(size)
+
   /** Exact unit-length (L2) normalization — the reference's transform
     * for angular metrics (datasets.py write_output normalizes before
     * ground-truth). Formula pinned: x / sqrt(dot(v, v)).

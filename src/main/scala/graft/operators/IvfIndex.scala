@@ -40,10 +40,28 @@ object IvfIndex {
     km.fit(feats).clusterCenters.map(_.toArray)
   }
 
-  /** Column: distances from `vec` to every centroid (array<double>). */
+  /** Deterministic centroids: the k vectors with smallest id — faiss-
+    * style sample init (ids are uncorrelated with position in space,
+    * so this is random sampling with a reproducible, engine-portable
+    * order). The DuckDB oracle replicates it as ORDER BY id LIMIT k,
+    * which is what lets IVF queries be hash-match gated; the KMeans
+    * [[train]] path stays as the recall-tuned alternative.
+    */
+  def sampleCentroids(base: DataFrame, vecCol: String, k: Int,
+      idCol: String = "id"): Array[Array[Double]] =
+    base.orderBy(idCol).limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Column: distances from `vec` to every centroid (array<double>).
+    * vec_l2 (not l2sq): the sqrt'd value is what DuckDB list_distance
+    * computes, and oracle parity needs the compared doubles to be
+    * bit-identical, not merely order-equivalent (two distinct squared
+    * distances can round to the same sqrt).
+    */
   private def centroidDists(vec: Column, cents: Array[Array[Double]]): Column = {
     val cb = typedlit(cents.map(_.toSeq).toSeq)
-    transform(cb, c => vec_l2sq(vec, c))
+    transform(cb, c => vec_l2(vec, c))
   }
 
   /** Column: index of the nearest centroid (first-min tie-break). */
@@ -73,7 +91,7 @@ object IvfIndex {
       .toDF("cluster", "centroid")
     val scored = queries.crossJoin(broadcast(centsDf))
       .select(col("query_id"),
-        vec_l2sq(col("qvec"), col("centroid")).as("score"),
+        vec_l2(col("qvec"), col("centroid")).as("score"),
         col("cluster").cast("long").as("id"))
     KnnSearch.topKOf(scored, nprobe, asc = true)
       .select(col("query_id"), col("neighbor_id").cast("int").as("cluster"))

@@ -22,6 +22,27 @@ object LshRhp {
     Model(Array.fill(nTables, nBits, dim)(rng.nextGaussian()))
   }
 
+  /** Deterministic, engine-portable hyperplanes: plane j is the
+    * difference of the sample vectors ranked 2j and 2j+1 by id —
+    * random directions drawn from the data itself (pairwise
+    * differences of uniform samples), reproducible in the DuckDB
+    * oracle as ORDER BY id LIMIT 2*j. Gaussian [[train]] stays as the
+    * alternative when id-order sampling is unavailable.
+    */
+  def trainFromData(base: DataFrame, vecCol: String, nTables: Int,
+      nBits: Int, idCol: String = "id"): Model = {
+    val need = nTables * nBits * 2
+    val vs = base.orderBy(idCol).limit(need)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(vs.length >= need, s"need $need sample vectors, got ${vs.length}")
+    val planes = Array.tabulate(nTables, nBits) { (t, b) =>
+      val j = t * nBits + b
+      vs(2 * j).zip(vs(2 * j + 1)).map { case (x, y) => x - y }
+    }
+    Model(planes)
+  }
+
   /** (id-col, table, bucket) rows for every table — signatures come
     * from one fused pass (LshSigs), then posexplode.
     */
@@ -67,9 +88,12 @@ object MinHashLshIndex {
     val sig = Dedup.minhashSignatures(
       sh.select(col("doc_id"), col("toks").as("sh")),
       bands * rowsPerBand, seed)
+    // bucket key = the band's raw signature slice (4 longs). At scale
+    // you'd xxhash64-compress the slice to one long; the raw slice is
+    // equality-identical and keeps the key DuckDB-replicable.
     val banded = sig.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> xxhash64(slice(sigs, b * $rowsPerBand + 1, $rowsPerBand)))"))
+        s"b -> slice(sigs, b * $rowsPerBand + 1, $rowsPerBand))"))
       .as(Seq("band", "bucket")))
     val qb = banded.filter(queryIds)
       .toDF("query_id", "band", "bucket")

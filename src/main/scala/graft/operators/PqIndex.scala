@@ -40,6 +40,24 @@ object PqIndex {
     Model(m, subDim, codebook)
   }
 
+  /** Deterministic codebooks: subvectors of the kStar vectors with
+    * smallest id (sample init, engine-portable — the DuckDB oracle
+    * rebuilds the identical codebook as ORDER BY id LIMIT kStar).
+    * The KMeans [[train]] stays as the recall-tuned alternative.
+    */
+  def sampleModel(base: DataFrame, vecCol: String, m: Int, kStar: Int,
+      idCol: String = "id"): Model = {
+    val vs = base.orderBy(idCol).limit(kStar)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(vs.nonEmpty && vs(0).length % m == 0,
+      s"dim ${vs.headOption.map(_.length)} not divisible by m=$m")
+    val subDim = vs(0).length / m
+    val codebook = Array.tabulate(m, vs.length, subDim)(
+      (s, c, i) => vs(c)(s * subDim + i))
+    Model(m, subDim, codebook)
+  }
+
   /** Column: array<int> of m codes — fused single-pass kernel. */
   def encode(vec: Column, model: Model): Column =
     pq_encode(vec, model.codebook)

@@ -4,37 +4,85 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.EmbeddingGen
+import graft.functions._
+import graft.operators.{EmbeddingGen, KnnSearch}
 
 /** Embedding-generation suite (SURVEY.md §2 e01-e03): the batch
-  * embed-then-index leg of the reference workflow.
+  * embed-then-index leg of the reference workflow. All outputs are
+  * scalar columns (the driver's comparator can't hash array cells)
+  * and every query carries a DuckDB oracle: the TF-IDF variant uses a
+  * deterministic (df DESC, term) vocabulary and a log-free pinned
+  * idf, so weights are reproducible division/multiplication over
+  * exact integers on both engines. The MLlib HashingTF path stays in
+  * EmbeddingGen as the fixed-dim alternative (murmur3 feature hashing
+  * isn't engine-portable, so it's exercised in EmbeddingSpec, not
+  * here).
   */
 object EmbeddingQueries {
+  val VocabSize = 256
+  val NQ = 5
+  val K = 10
 
-  /** e01: hashed TF-IDF document embeddings. Murmur3-hashed feature
-    * index isn't SQL-replicable -> rows-only + EmbeddingSpec.
+  /** e01: vocabulary TF-IDF, long format (doc_id, term, tf, df,
+    * tfidf). Pinned formula: (tf / n_toks) * ((N + 1) / (df + 1)) —
+    * two IEEE divisions and one multiply, bit-reproducible.
     */
-  def embedTfidf(s: SparkSession, dir: String): DataFrame =
-    EmbeddingGen.tfidf(Tables.documents(s, dir))
-      .select(col("doc_id"), size(col("embedding")).cast("long").as("dim"),
-        col("embedding"))
-      .orderBy("doc_id")
+  def embedTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val tc = EmbeddingGen.termCounts(docs)
+    val dl = tc.groupBy("doc_id").agg(sum("tf").as("n_toks"))
+    val voc = EmbeddingGen.vocab(tc, VocabSize)
+    tc.join(broadcast(voc), "term").join(dl, "doc_id")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf").cast("double") / col("n_toks").cast("double")) *
+          (lit((n + 1).toDouble) / (col("df") + 1).cast("double")))
+          .as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
 
-  /** e02: exact unit normalization of the embeddings table — formula
-    * pinned to x / sqrt(dot(v,v)) on both engines.
+  /** e02: exact unit normalization, exploded to (vec_id, dim, comp) —
+    * comp = x / sqrt(dot(v, v)) pinned on both engines.
     */
   def normalizeVecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"),
-        EmbeddingGen.normalize(col("embedding")).as("unit_vec"))
-      .orderBy("vec_id")
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        (col("x").cast("double") / col("nrm")).as("comp"))
+      .orderBy("vec_id", "dim")
 
-  /** e03: end-to-end embed -> flat index -> cosine top-k. */
-  def embedSearch(s: SparkSession, dir: String): DataFrame =
-    EmbeddingGen.embedAndSearch(Tables.documents(s, dir), nq = 5, k = 10)
+  /** e03: end-to-end embed -> flat index -> cosine top-k over the
+    * sparse integer BOW: dot products and norms are exact integer
+    * sums (order-independent), the final cosine is one pinned double
+    * expression.
+    */
+  def embedSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tc = EmbeddingGen.termCounts(docs)
+    val voc = EmbeddingGen.vocab(tc, VocabSize).select("term")
+    val tv = tc.join(broadcast(voc), "term")
+    val norms = tv.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nrm"))
+    val q = tv.filter(col("doc_id") < NQ)
+      .select(col("term"), col("doc_id").as("query_id"), col("tf").as("qtf"))
+    val dots = tv.join(q, "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("tf") * col("qtf")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("doc_id").as("query_id"), col("nrm").as("na")),
+        "query_id")
+      .join(norms.select(col("doc_id"), col("nrm").as("nb")), "doc_id")
+      .select(col("query_id"),
+        (col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")))
+          .as("score"),
+        col("doc_id").as("id"))
+    KnnSearch.topKOf(scored, K, asc = false)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"))
       .orderBy("query_id", "rank")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_embed_tfidf" -> (embedTfidf _),
@@ -42,12 +90,52 @@ object EmbeddingQueries {
     "e03_embed_search" -> (embedSearch _)
   )
 
+  /** Shared vocab CTEs (tokenize, tf, df, top-VocabSize vocab). */
+  private val vocabCte =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |voc AS (SELECT term, df FROM (
+       |          SELECT term, df,
+       |                 row_number() OVER (ORDER BY df DESC, term) AS r
+       |          FROM dft) WHERE r <= $VocabSize)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "e01_embed_tfidf" ->
+      s"""WITH $vocabCte,
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks
+         |       FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS n FROM documents)
+         |SELECT tf.doc_id, tf.term, tf.tf AS tf, voc.df AS df,
+         |       (CAST(tf.tf AS DOUBLE) / CAST(dl.n_toks AS DOUBLE)) *
+         |       (CAST(nd.n + 1 AS DOUBLE) / CAST(voc.df + 1 AS DOUBLE)) AS tfidf
+         |FROM tf JOIN voc USING (term) JOIN dl USING (doc_id) CROSS JOIN nd
+         |ORDER BY doc_id, term""".stripMargin,
     "e02_normalize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT vec_id,
-        |       list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
-        |         AS unit_vec
-        |FROM e ORDER BY vec_id""".stripMargin
+        |SELECT vec_id, CAST(i AS BIGINT) AS dim,
+        |       v[i] / sqrt(list_inner_product(v, v)) AS comp
+        |FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+        |ORDER BY vec_id, dim""".stripMargin,
+    "e03_embed_search" ->
+      s"""WITH $vocabCte,
+         |tv AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN voc USING (term)),
+         |nr AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nrm
+         |       FROM tv GROUP BY 1),
+         |qv AS (SELECT term, doc_id AS query_id, tf AS qtf
+         |       FROM tv WHERE doc_id < $NQ),
+         |dt AS (SELECT query_id, tv.doc_id,
+         |              CAST(sum(tv.tf * qv.qtf) AS BIGINT) AS dot
+         |       FROM tv JOIN qv USING (term) GROUP BY 1, 2)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT dt.query_id, dt.doc_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY dt.query_id ORDER BY
+         |           CAST(dt.dot AS DOUBLE) /
+         |           sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) DESC,
+         |           dt.doc_id) AS rank
+         |  FROM dt JOIN nr na ON na.doc_id = dt.query_id
+         |          JOIN nr nb ON nb.doc_id = dt.doc_id)
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   )
 }

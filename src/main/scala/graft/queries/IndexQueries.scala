@@ -6,21 +6,38 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators._
 
-/** Index-structure suite (SURVEY.md §2 q12, q20-q25): Spark-native
+/** Index-structure suite (SURVEY.md §2 q12, q20-q27): Spark-native
   * analogs of the reference's FLAT/IVF/PQ/SQ8/LSH/graph index
-  * families. Approximate + seed-dependent ⇒ rows-only driver check;
-  * recall-vs-exact contracts live in IndexSpec.
+  * families. Every build here is *deterministic and engine-portable*
+  * (sample-init centroids/codebooks/planes, polynomial token hashes),
+  * so each query carries a DuckDB oracle that rebuilds the identical
+  * index in SQL and hash-matches the result. The learned (KMeans /
+  * Gaussian) builds stay available on the operators and are exercised
+  * with recall contracts in IndexSpec.
   */
 object IndexQueries {
   val K = 10
   val NQ = 10
   val NList = 16
   val NProbe = 6
+  // PQ: 64-dim = 8 subspaces x 8 dims, 16 sample centroids, 10x rerank
+  val M = 8
+  val SubDim = 8
+  val KStar = 16
+  val Rerank = 10
+  // RHP-LSH: 8 tables x 6 bits from 96 data-derived hyperplanes
+  val NTables = 8
+  val NBits = 6
+  // MinHash-LSH: 16 bands x 4 rows, query docs < 5
+  val Bands = 16
+  val RowsPerBand = 4
+  val NQDocs = 5
+  val MinHashSeed = 42L
 
   /** Index models are built once and queried many times (the
     * reference's create_index/query split — runner.py builds, then
-    * serves). Memoise per (dataset, kind) so q12/q20/q21/q22 share
-    * one IVF build instead of retraining identical centroids.
+    * serves). Memoise per (dataset, kind) so q12/q20/q21/q22/q26
+    * share one sampled-centroid set instead of re-collecting it.
     */
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), AnyRef]
@@ -39,22 +56,30 @@ object IndexQueries {
     df.select(col("query_id"), col("rank").cast("long").as("rank"),
       col("neighbor_id")).orderBy("query_id", "rank")
 
+  private def sampleCents(s: SparkSession, dir: String): Array[Array[Double]] =
+    cached(dir, "ivf-sample") {
+      val (base, _) = baseAndQueries(s, dir)
+      IvfIndex.sampleCentroids(base, "vec", NList)
+    }
+
   def ivfFlat(s: SparkSession, dir: String): DataFrame = {
     val (base, queries) = baseAndQueries(s, dir)
-    val cents = cached(dir, "ivf") { IvfIndex.train(base, "vec", NList) }
+    val cents = sampleCents(s, dir)
     val assigned = IvfIndex.assign(base, "vec", cents)
     ranked(IvfIndex.search(assigned, queries, cents, K, NProbe,
       VecMetric.Euclidean))
   }
 
   /** IVF cell pruning + PQ ADC scan + exact re-rank (the milvus-ivfpq
-    * shape; codebooks on raw vectors rather than residuals — noted
-    * deviation, recall recovered by the re-rank).
+    * shape; sample-init codebooks on raw vectors — recall recovered
+    * by the re-rank, build replicable by the oracle).
     */
   def ivfPq(s: SparkSession, dir: String): DataFrame = {
     val (base, queries) = baseAndQueries(s, dir)
-    val cents = cached(dir, "ivf") { IvfIndex.train(base, "vec", NList) }
-    val pq = cached(dir, "pq") { PqIndex.train(base, "vec", m = 8, kStar = 16) }
+    val cents = sampleCents(s, dir)
+    val pq = cached(dir, "pq-sample") {
+      PqIndex.sampleModel(base, "vec", M, KStar)
+    }
     val assigned = IvfIndex.assign(base, "vec", cents)
       .withColumn("codes", PqIndex.encode(col("vec"), pq))
     // probe worklist materialised with qvec; ADC table derived from it
@@ -67,7 +92,7 @@ object IndexQueries {
       .select(col("query_id"), col("id"), col("vec"),
         PqIndex.adcDistance(col("codes"), col("tbl"), pq.m).as("adc"))
     val cands = adc.groupBy("query_id")
-      .agg(graft.functions.collect_topk(col("adc"), col("id"), K * 10,
+      .agg(graft.functions.collect_topk(col("adc"), col("id"), K * Rerank,
         asc = true).as("topk"))
       .select(col("query_id"), explode(col("topk.id")).as("id"))
     val exact = cands
@@ -81,7 +106,7 @@ object IndexQueries {
   /** IVF pruning + SQ8 quantized scan. */
   def ivfSq8(s: SparkSession, dir: String): DataFrame = {
     val (base, queries) = baseAndQueries(s, dir)
-    val cents = cached(dir, "ivf") { IvfIndex.train(base, "vec", NList) }
+    val cents = sampleCents(s, dir)
     val sq = cached(dir, "sq8") { Sq8Index.train(base, "vec") }
     val assigned = IvfIndex.assign(base, "vec", cents)
       .withColumn("codes", Sq8Index.encode(col("vec"), sq))
@@ -101,7 +126,7 @@ object IndexQueries {
     */
   def ivfPersisted(s: SparkSession, dir: String): DataFrame = {
     val (base, queries) = baseAndQueries(s, dir)
-    val cents = cached(dir, "ivf") { IvfIndex.train(base, "vec", NList) }
+    val cents = sampleCents(s, dir)
     val path = cached(dir, "ivf-path") {
       val p = java.nio.file.Files
         .createTempDirectory("graft_ivf_idx").toString
@@ -114,18 +139,18 @@ object IndexQueries {
 
   def lshRhp(s: SparkSession, dir: String): DataFrame = {
     val (base, queries) = baseAndQueries(s, dir)
-    val dim = base.select(size(col("vec"))).head().getInt(0)
-    // on unstructured data the top-10 cosine neighbors sit near 60-70
-    // degrees, so collision prob per bit is ~0.6: 6-bit bands x 16
-    // tables gives ~0.6 recall at ~25% scan fraction. Structured
-    // (real-embedding) corpora support far more selective params.
-    val model = LshRhp.train(dim, nTables = 16, nBits = 6)
+    // data-derived hyperplanes (differences of sample-vector pairs):
+    // deterministic + oracle-replicable. On this unstructured corpus
+    // 6-bit bands x 8 tables scan ~25% of the data per query.
+    val model = cached(dir, "rhp") {
+      LshRhp.trainFromData(base, "vec", NTables, NBits)
+    }
     ranked(LshRhp.search(base, queries, model, K))
   }
 
   def lshMinhash(s: SparkSession, dir: String): DataFrame =
     ranked(MinHashLshIndex.search(Tables.documents(s, dir),
-      col("doc_id") < 5, K))
+      col("doc_id") < NQDocs, K, Bands, RowsPerBand, MinHashSeed))
 
   /** q25: exact k-NN graph build (k=5, self excluded) — the batch
     * graph layer an HNSW-style index starts from.
@@ -146,7 +171,8 @@ object IndexQueries {
   }
 
   /** q27: NN-descent approximate graph (the scale path for q25 —
-    * no N^2 cross join; see NnDescent).
+    * no N^2 cross join; see NnDescent). Deterministic init + (dist,
+    * id) tie-breaks make even the iterations oracle-replicable.
     */
   def nnDescentGraph(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -179,15 +205,258 @@ object IndexQueries {
     "q27_nn_descent" -> (nnDescentGraph _)
   )
 
-  /** q25 is exact ⇒ oracle-checkable; the rest are approximate. */
+  // ------------------------------------------------------------------
+  // DuckDB oracles. Shared IVF CTEs: base, queries, sampled centroids
+  // (row_number-1 over ORDER BY id LIMIT NList == the Spark collect
+  // order), argmin assignment and nprobe probes with (distance,
+  // cluster) tie-breaks — mirroring IvfIndex bit for bit.
+  // ------------------------------------------------------------------
+
+  private val ivfCte: String =
+    s"""b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < $NQ),
+       |c AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, v AS cv
+       |      FROM (SELECT id, v FROM b ORDER BY id LIMIT $NList)),
+       |asg AS (SELECT id, v, cluster FROM (
+       |   SELECT b.id, b.v, c.cluster,
+       |          row_number() OVER (PARTITION BY b.id
+       |            ORDER BY list_distance(b.v, c.cv), c.cluster) AS rn
+       |   FROM b CROSS JOIN c) WHERE rn = 1),
+       |pr AS (SELECT query_id, cluster FROM (
+       |   SELECT q.query_id, c.cluster,
+       |          row_number() OVER (PARTITION BY q.query_id
+       |            ORDER BY list_distance(q.qv, c.cv), c.cluster) AS rn
+       |   FROM q CROSS JOIN c) WHERE rn <= $NProbe)""".stripMargin
+
+  private val ivfFlatSelect: String =
+    s"""SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT q.query_id, a.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, a.v), a.id) AS rank
+       |  FROM q JOIN pr ON pr.query_id = q.query_id
+       |         JOIN asg a ON a.cluster = pr.cluster)
+       |WHERE rank <= $K""".stripMargin
+
+  private val ivfFlatSql: String =
+    s"WITH $ivfCte\n$ivfFlatSelect ORDER BY query_id, rank"
+
+  private val recallSql: String =
+    s"""WITH $ivfCte,
+       |appr AS ($ivfFlatSelect),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, b.v), b.id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= $K)
+       |SELECT query_id, CAST(hits AS DOUBLE) / CAST($K AS DOUBLE) AS recall
+       |FROM (SELECT query_id, count(*) AS hits
+       |      FROM appr JOIN ex USING (query_id, neighbor_id) GROUP BY 1)
+       |ORDER BY query_id""".stripMargin
+
+  /** Squared L2 between subspace `s` of vector expr `v` and the
+    * codebook slice cb.cv, left-folded from 0.0 in index order —
+    * exactly PqEncode/VecL2Sq's loop.
+    */
+  private def pqSqTerm(v: String, s: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, ${SubDim + 1}),
+       |    i -> ($v[$s * $SubDim + i] - cb.cv[i]) *
+       |         ($v[$s * $SubDim + i] - cb.cv[i]))),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  private val ivfPqSql: String =
+    s"""WITH $ivfCte,
+       |sv AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cent, v
+       |       FROM (SELECT id, v FROM b ORDER BY id LIMIT $KStar)),
+       |cb AS (SELECT sv.cent, ss.s,
+       |              list_slice(sv.v, ss.s * $SubDim + 1, (ss.s + 1) * $SubDim) AS cv
+       |       FROM sv CROSS JOIN (SELECT unnest(range(0, $M)) AS s) ss),
+       |enc AS (SELECT id, s, cent FROM (
+       |   SELECT a.id, cb.s, cb.cent,
+       |          row_number() OVER (PARTITION BY a.id, cb.s
+       |            ORDER BY ${pqSqTerm("a.v", "cb.s")}, cb.cent) AS rn
+       |   FROM asg a CROSS JOIN cb) WHERE rn = 1),
+       |cand AS (SELECT q.query_id, q.qv, a.id
+       |         FROM q JOIN pr ON pr.query_id = q.query_id
+       |                JOIN asg a ON a.cluster = pr.cluster),
+       |term AS (SELECT cand.query_id, cand.id, enc.s,
+       |                ${pqSqTerm("cand.qv", "enc.s")} AS t
+       |         FROM cand JOIN enc ON enc.id = cand.id
+       |              JOIN cb ON cb.s = enc.s AND cb.cent = enc.cent),
+       |adc AS (SELECT query_id, id,
+       |               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                 list(t ORDER BY s)), (acc, x) -> acc + x) AS adc
+       |        FROM term GROUP BY query_id, id),
+       |top AS (SELECT query_id, id FROM (
+       |   SELECT query_id, id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY adc, id) AS rn
+       |   FROM adc) WHERE rn <= ${K * Rerank})
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT t.query_id, t.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY t.query_id
+       |           ORDER BY list_distance(q.qv, b.v), t.id) AS rank
+       |  FROM top t JOIN q ON q.query_id = t.query_id JOIN b ON b.id = t.id)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  private val ivfSq8Sql: String =
+    s"""WITH $ivfCte,
+       |st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |       FROM b, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+       |       GROUP BY i),
+       |prm AS (SELECT list(mn ORDER BY i) AS mns,
+       |               list(CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+       |                         ELSE (mx - mn) / 255.0 END ORDER BY i) AS scs
+       |        FROM st),
+       |cod AS (SELECT a.id, a.cluster,
+       |               list_transform(range(1, len(a.v) + 1),
+       |                 i -> least(255, greatest(0,
+       |                   CAST(round((a.v[i] - prm.mns[i]) / prm.scs[i]) AS INT))))
+       |                 AS codes
+       |        FROM asg a CROSS JOIN prm)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT q.query_id, cod.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |             list_transform(range(1, len(q.qv) + 1),
+       |               i -> (q.qv[i] - (prm.mns[i] + cod.codes[i] * prm.scs[i])) *
+       |                    (q.qv[i] - (prm.mns[i] + cod.codes[i] * prm.scs[i])))),
+       |             (acc, x) -> acc + x)),
+       |           cod.id) AS rank
+       |  FROM q JOIN pr ON pr.query_id = q.query_id
+       |         JOIN cod ON cod.cluster = pr.cluster
+       |         CROSS JOIN prm)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"(list_inner_product($a, $b) / sqrt(list_inner_product($a, $a) * list_inner_product($b, $b)))"
+
+  private val lshRhpSql: String =
+    s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < $NQ),
+       |sv AS (SELECT row_number() OVER (ORDER BY id) - 1 AS rn, v
+       |       FROM (SELECT id, v FROM b ORDER BY id LIMIT ${2 * NTables * NBits})),
+       |pl AS (SELECT a.rn // 2 AS j,
+       |              list_transform(range(1, len(a.v) + 1),
+       |                i -> a.v[i] - c.v[i]) AS h
+       |       FROM sv a JOIN sv c ON c.rn = a.rn + 1 WHERE a.rn % 2 = 0),
+       |bk AS (SELECT x.id, pl.j // $NBits AS tbl,
+       |              CAST(sum(CASE WHEN list_inner_product(x.v, pl.h) > 0
+       |                   THEN (CAST(1 AS BIGINT) << CAST(pl.j % $NBits AS INT))
+       |                   ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM b x CROSS JOIN pl GROUP BY x.id, pl.j // $NBits),
+       |qbk AS (SELECT y.query_id, pl.j // $NBits AS tbl,
+       |              CAST(sum(CASE WHEN list_inner_product(y.qv, pl.h) > 0
+       |                   THEN (CAST(1 AS BIGINT) << CAST(pl.j % $NBits AS INT))
+       |                   ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM q y CROSS JOIN pl GROUP BY y.query_id, pl.j // $NBits),
+       |cand AS (SELECT DISTINCT qb.query_id, bb.id
+       |         FROM bk bb JOIN qbk qb
+       |              ON qb.tbl = bb.tbl AND qb.bucket = bb.bucket)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT cand.query_id, cand.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY cand.query_id
+       |           ORDER BY ${cosSql("q.qv", "b.v")} DESC, cand.id) AS rank
+       |  FROM cand JOIN q ON q.query_id = cand.query_id
+       |            JOIN b ON b.id = cand.id)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  private val lshMinhashSql: String = {
+    val h = Bands * RowsPerBand
+    val (as, bs) = graft.functions.MinHashSigs.coefs(h, MinHashSeed)
+    val aList = as.mkString("[", ", ", "]::BIGINT[]")
+    val bList = bs.mkString("[", ", ", "]::BIGINT[]")
+    val p = graft.functions.MinHashSigs.Prime
+    s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |           FROM documents),
+       |tk AS (SELECT doc_id, unnest(toks) AS t FROM d),
+       |th AS (SELECT doc_id, ${Dedup.tokenHash60Sql("t")} % $p AS x FROM tk),
+       |cf AS (SELECT ii.i, ll.al[CAST(ii.i AS INT) + 1] AS a,
+       |              ll.bl[CAST(ii.i AS INT) + 1] AS bb
+       |       FROM (SELECT unnest(range(0, $h)) AS i) ii
+       |       CROSS JOIN (SELECT $aList AS al, $bList AS bl) ll),
+       |sg AS (SELECT th.doc_id, cf.i, min((cf.a * th.x + cf.bb) % $p) AS s
+       |       FROM th CROSS JOIN cf GROUP BY th.doc_id, cf.i),
+       |sl AS (SELECT doc_id, list(s ORDER BY i) AS sigs FROM sg GROUP BY doc_id),
+       |bd AS (SELECT doc_id, bn.band,
+       |              list_slice(sigs, bn.band * $RowsPerBand + 1,
+       |                (bn.band + 1) * $RowsPerBand) AS bucket
+       |       FROM sl CROSS JOIN (SELECT unnest(range(0, $Bands)) AS band) bn),
+       |qb AS (SELECT doc_id AS query_id, band, bucket
+       |       FROM bd WHERE doc_id < $NQDocs),
+       |cand AS (SELECT DISTINCT qb.query_id, bd.doc_id AS id
+       |         FROM bd JOIN qb ON qb.band = bd.band AND qb.bucket = bd.bucket
+       |         WHERE bd.doc_id != qb.query_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT cand.query_id, cand.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY cand.query_id ORDER BY
+       |           (CAST(len(list_intersect(qd.toks, dd.toks)) AS DOUBLE) /
+       |            CAST(len(qd.toks) + len(dd.toks)
+       |                 - len(list_intersect(qd.toks, dd.toks)) AS DOUBLE)) DESC,
+       |           cand.id) AS rank
+       |  FROM cand JOIN d qd ON qd.doc_id = cand.query_id
+       |            JOIN d dd ON dd.doc_id = cand.id)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val q25Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT id, rank, neighbor_id FROM (
+       |  SELECT a.id, b.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY a.id
+       |            ORDER BY list_distance(a.v, b.v), b.id) AS rank
+       |  FROM e a CROSS JOIN e b WHERE a.id != b.id)
+       |WHERE rank <= 5 ORDER BY id, rank""".stripMargin
+
+  /** NN-descent unrolled: 4 iterations of candidate generation
+    * (neighbors-of-neighbors over the undirected edge set) + (dist,
+    * id) top-wk pruning, exactly NnDescent.build's loop.
+    */
+  private val nnDescentSql: String = {
+    val wk = 15
+    val iters = (1 to 4).map { r =>
+      val prev = s"e${r - 1}"
+      s"""u$r AS (SELECT id, nb FROM $prev
+         |        UNION ALL SELECT nb AS id, id AS nb FROM $prev),
+         |c$r AS (SELECT DISTINCT src, dst FROM (
+         |   SELECT a.src, z.dst FROM
+         |     (SELECT nb AS mid, id AS src FROM u$r) a
+         |     JOIN (SELECT nb AS mid, id AS dst FROM u$r) z ON a.mid = z.mid
+         |   WHERE a.src != z.dst
+         |   UNION ALL SELECT id AS src, nb AS dst FROM $prev)),
+         |e$r AS (SELECT src AS id, dst AS nb FROM (
+         |   SELECT c.src, c.dst,
+         |          row_number() OVER (PARTITION BY c.src
+         |            ORDER BY list_distance(vs.v, vd.v), c.dst) AS rn
+         |   FROM c$r c JOIN b vs ON vs.id = c.src JOIN b vd ON vd.id = c.dst)
+         | WHERE rn <= $wk)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cnt AS (SELECT count(*) AS n FROM b),
+       |e0 AS (SELECT DISTINCT id, nb FROM (
+       |   SELECT b.id, (b.id * 2654435761 + ii.i * 40503 + 42) % cnt.n AS nb
+       |   FROM b CROSS JOIN (SELECT unnest(range(1, ${wk + 1})) AS i) ii
+       |          CROSS JOIN cnt) WHERE nb != id),
+       |$iters
+       |SELECT id, rank, neighbor_id FROM (
+       |  SELECT e.id, e.nb AS neighbor_id,
+       |         row_number() OVER (PARTITION BY e.id
+       |           ORDER BY list_distance(vs.v, vd.v), e.nb) AS rank
+       |  FROM e4 e JOIN b vs ON vs.id = e.id JOIN b vd ON vd.id = e.nb)
+       |WHERE rank <= 5 ORDER BY id, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
-    "q25_graph_knn" ->
-      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
-         |SELECT id, rank, neighbor_id FROM (
-         |  SELECT a.id, b.id AS neighbor_id,
-         |         row_number() OVER (PARTITION BY a.id
-         |            ORDER BY list_distance(a.v, b.v), b.id) AS rank
-         |  FROM e a CROSS JOIN e b WHERE a.id != b.id)
-         |WHERE rank <= 5 ORDER BY id, rank""".stripMargin
+    "q12_recall_at_k" -> recallSql,
+    "q20_ivf_flat" -> ivfFlatSql,
+    "q21_ivf_pq" -> ivfPqSql,
+    "q22_ivf_sq8" -> ivfSq8Sql,
+    "q23_lsh_rhp" -> lshRhpSql,
+    "q24_lsh_minhash" -> lshMinhashSql,
+    "q25_graph_knn" -> q25Sql,
+    "q26_ivf_persisted" -> ivfFlatSql,
+    "q27_nn_descent" -> nnDescentSql
   )
 }

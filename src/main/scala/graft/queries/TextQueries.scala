@@ -6,6 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Multimodal, TextAnalysis}
 
+/* d04's oracle rebuilds the 60-bit simhash in SQL: per-token
+ * polynomial hashes (Dedup.tokenHash60Sql), per-bit +1/-1 counters,
+ * sign bits summed as distinct powers of two, 4x15-bit band-bucket
+ * candidates, bit_count(xor) verification — every step integer-exact
+ * on both engines. */
+
 /** Dedup + text-analysis + multimodal suites (SURVEY.md §2 d01-d05,
   * t01-t05, m01) over `documents`.
   */
@@ -113,6 +119,32 @@ object TextQueries {
     // the exact pair set is its oracle. The ScalaTest spec asserts
     // d03 == d02 independently.
     "d03_dedup_minhash_lsh" -> ngramPairsSql,
+    "d04_dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |             FROM documents),
+         |th AS (SELECT doc_id, ${Dedup.tokenHash60Sql("t")} AS h FROM tok),
+         |bits AS (SELECT doc_id, bb.b,
+         |                sum(CASE WHEN (h >> CAST(bb.b AS INT)) & 1 = 1
+         |                         THEN 1 ELSE -1 END) AS cnt
+         |         FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb
+         |         GROUP BY doc_id, bb.b),
+         |sg AS (SELECT doc_id,
+         |              CAST(sum(CASE WHEN cnt > 0
+         |                   THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |                   ELSE 0 END) AS BIGINT) AS sh
+         |       FROM bits GROUP BY doc_id),
+         |bd AS (SELECT doc_id, bn.band,
+         |              (sh >> CAST(bn.band * 15 AS INT)) & 32767 AS bucket
+         |       FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bn),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, z.doc_id AS doc_b
+         |         FROM bd a JOIN bd z
+         |              ON a.band = z.band AND a.bucket = z.bucket
+         |                 AND a.doc_id < z.doc_id)
+         |SELECT doc_a, doc_b
+         |FROM cand JOIN sg sa ON sa.doc_id = doc_a
+         |          JOIN sg sb ON sb.doc_id = doc_b
+         |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d05_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -71,6 +71,33 @@ class IndexSpec extends AnyFunSuite {
     assert(persisted.collect().toSeq == inMem.collect().toSeq)
   }
 
+  // the learned builds (not used by the oracle-gated declared queries,
+  // which run the deterministic sample-init variants) keep their own
+  // recall contracts: they are the quality-tuned path a real
+  // deployment trains.
+  test("KMeans-trained IVF recall@10 >= 0.75 with nprobe=6/16") {
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cents = IvfIndex.train(base, "vec", 16)
+    val approx = IvfIndex.search(IvfIndex.assign(base, "vec", cents),
+      queries, cents, 10, 6, VecMetric.Euclidean)
+      .select("query_id", "neighbor_id")
+    val exact = exactTop10(sf001, VecMetric.Euclidean)
+    assert(approx.intersect(exact).count().toDouble / exact.count() >= 0.75)
+  }
+
+  test("Gaussian-plane LSH returns sane candidates (trained path)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val model = LshRhp.train(dim = 64, nTables = 16, nBits = 6)
+    val out = LshRhp.search(base, queries, model, 10)
+    assert(out.filter(col("rank") === 1).count() == 10)
+  }
+
   test("minhash jaccard index returns plausible top-k for each query doc") {
     val out = SparkEntry.queries("q24_lsh_minhash")(spark, sf001)
     assert(out.select("query_id").distinct().count() == 5)
