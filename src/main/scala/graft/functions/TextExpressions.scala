@@ -103,6 +103,73 @@ case class PolyHash(child: Expression, mult: Long, mod: Long)
   override def prettyName: String = "poly_hash"
 }
 
+/** All token hashes of an array<string> in ONE pass: for each element
+  * both polynomial folds (31 mod 1e9+7, 131 mod 999999937) run in a
+  * single codepoint loop and combine as h1 + h2 * 2^30 (< 2^61). The
+  * fused form of `transform(arr, t -> poly_hash(t,31,...) +
+  * poly_hash(t,131,...) * 2^30)` — one String materialisation and one
+  * char walk per token instead of two. Values are identical to
+  * Dedup.tokenHash60Sql's DuckDB replica.
+  */
+case class TokenHashes(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j).toString
+      var h1 = 0L; var h2 = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h1 = (h1 * 31L + cp) % 1000000007L
+        h2 = (h2 * 131L + cp) % 999999937L
+        i += Character.charCount(cp)
+      }
+      out(j) = h1 + h2 * 1073741824L
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val s0 = ctx.freshName("s")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+       |int $n = $c.numElements();
+       |long[] $out = new long[$n];
+       |for (int $j = 0; $j < $n; $j++) {
+       |  String $s0 = $c.getUTF8String($j).toString();
+       |  long $h1 = 0L; long $h2 = 0L;
+       |  int $i = 0;
+       |  while ($i < $s0.length()) {
+       |    int $cp = $s0.codePointAt($i);
+       |    $h1 = ($h1 * 31L + $cp) % 1000000007L;
+       |    $h2 = ($h2 * 131L + $cp) % 999999937L;
+       |    $i += Character.charCount($cp);
+       |  }
+       |  $out[$j] = $h1 + $h2 * 1073741824L;
+       |}
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "token_hashes"
+}
+
 /** Sum of byte values of a binary payload — the checksum leg of the
   * multimodal decode stub (SURVEY.md §2 m01); codegen over BinaryType
   * shows the pattern any real byte-level feature extractor would use.

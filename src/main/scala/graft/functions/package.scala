@@ -55,6 +55,10 @@ package object functions {
   def poly_hash(c: Column, mult: Long, mod: Long): Column =
     Shim.column(PolyHash(Shim.expression(c), mult, mod))
 
+  /** Fused oracle-replicable 60-bit hashes of an array<string>. */
+  def token_hashes(c: Column): Column =
+    Shim.column(TokenHashes(Shim.expression(c)))
+
   def byte_sum(c: Column): Column =
     Shim.column(ByteSum(Shim.expression(c)))
 

@@ -81,7 +81,7 @@ object Dedup {
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int, seed: Long): DataFrame =
     sh.withColumn("sigs",
-      minhash_sigs(transform(col("sh"), s => tokenHash60(s)), numHashes, seed))
+      minhash_sigs(token_hashes(col("sh")), numHashes, seed))
 
   /** d03: MinHash + banded LSH candidates, verified against the exact
     * shingle jaccard. bands x rowsPerBand signatures; candidate pairs
@@ -128,8 +128,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      simhash64(transform(split(col("text"), " "), t => tokenHash60(t)))
-        .as("simhash"))
+      simhash64(token_hashes(split(col("text"), " "))).as("simhash"))
 
   /** d04: near-dup pairs with simhash hamming distance <= maxDist,
     * candidates via 4x15-bit band buckets (a pair within distance 3
