@@ -137,19 +137,22 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sig = simhash(docs).cache()
     val banded = (0 until 4).map { bnd =>
-      sig.select(col("doc_id"), lit(bnd).as("band"),
+      sig.select(col("doc_id"), col("simhash"), lit(bnd).as("band"),
         expr(s"(simhash >> ${bnd * 15}) & 32767").as("bucket"))
     }.reduceLeft(_ unionAll _)
-    val cands = banded.toDF("doc_a", "band", "bucket")
-      .join(banded.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    // verify INSIDE the bucket join, before distinct: signatures ride
+    // along (8 bytes), so hot buckets (corpora with shared vocabulary
+    // bias the sign bits) stream their candidate pairs through the
+    // hamming filter instead of shuffling them all into a distinct —
+    // the distinct then only sees true pairs x bands, not the
+    // quadratic bucket blowup.
+    banded.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+        col("band"), col("bucket"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b") &&
+        bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxDist)
       .select("doc_a", "doc_b").distinct()
-    cands
-      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
-      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("dist") <= maxDist)
-      .select("doc_a", "doc_b")
   }
 
   /** d05: embedding-cosine near-dup pairs (exact all-pairs; the scale
