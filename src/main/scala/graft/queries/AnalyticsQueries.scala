@@ -129,6 +129,8 @@ object AnalyticsQueries {
     "q32_stream_sessions" -> (streamSessions _),
     "q33_stream_dedup" -> ((s: SparkSession, dir: String) =>
       EventStream.streamDedup(s, dir)),
+    "q34_stream_upsert" -> ((s: SparkSession, dir: String) =>
+      EventStream.streamUpsert(s, dir)),
     "a01_pricing_agg" -> (pricingAgg _),
     "a02_latency_percentiles" -> (latencyPercentiles _),
     "a03_sessionize" -> (sessionize _)
@@ -169,6 +171,20 @@ object AnalyticsQueries {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q34: the final upserted collection = per user the event with max
+    // (ts, event_id), minus tombstoned ('error'-last) keys
+    "q34_stream_upsert" ->
+      """WITH w AS (SELECT user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_id, event_type,
+        |                  CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+        |                             event_id DESC) AS rn
+        |           FROM events)
+        |SELECT user_id, ts_us, event_id, event_type, value_cents
+        |FROM w WHERE rn = 1 AND event_type != 'error'
+        |ORDER BY user_id""".stripMargin,
     "q33_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,
         |       epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000

@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming ingest path — the continuous-insert side of
   * the reference's mutation workload run as micro-batches with event-
@@ -73,6 +73,68 @@ object EventStream {
       .start()
     q.awaitTermination()
     spark.table(sink).orderBy("user_id", "event_type", "hour_start")
+  }
+
+  /** q34: streaming CRUD upsert-merge with *custom* state —
+    * flatMapGroupsWithState keeps the latest-(ts, event_id) event per
+    * user (the reference's insert/update/delete mutation surface,
+    * base/module.py:140-180, as a continuous stream); 'error' events
+    * act as delete tombstones. Each micro-batch emits the winner-so-
+    * far, so the post-stream latest-wins reduction gives the same
+    * final collection under ANY batching — which is what makes a
+    * stateful streaming query batch-reproducible and oracle-checkable.
+    * State is one small tuple per live key (bounded by the key space,
+    * the 100 TB contract for keyed state).
+    */
+  def streamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .as[(Long, Long, Long, String, Long)]
+    val merged = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String, Long),
+        (Long, Long, Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String, Long)],
+         state: GroupState[(Long, Long, String, Long)]) =>
+          var best = state.getOption
+          rows.foreach { r =>
+            val cand = (r._2, r._3, r._4, r._5)
+            if (best.isEmpty || cand._1 > best.get._1 ||
+                (cand._1 == best.get._1 && cand._2 > best.get._2))
+              best = Some(cand)
+          }
+          state.update(best.get)
+          Iterator.single((uid, best.get._1, best.get._2, best.get._3,
+            best.get._4))
+      }
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value_cents")
+    val sink = s"graft_upsert_${nameCounter.incrementAndGet()}"
+    val q = merged.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // latest-wins across the per-batch emissions (struct max orders by
+    // (ts_us, event_id) — unique, so deterministic); tombstoned keys
+    // leave the collection
+    spark.table(sink)
+      .groupBy("user_id")
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+        col("value_cents"))).as("w"))
+      .select(col("user_id"), col("w.ts_us").as("ts_us"),
+        col("w.event_id").as("event_id"),
+        col("w.event_type").as("event_type"),
+        col("w.value_cents").as("value_cents"))
+      .filter(col("event_type") =!= "error")
+      .orderBy("user_id")
   }
 
   /** q32: true stateful streaming sessionization via session_window

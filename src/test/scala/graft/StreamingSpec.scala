@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q34: the flatMapGroupsWithState upsert-merge must agree with the
+  * batch latest-wins semantics under any micro-batching, and be
+  * deterministic across reruns.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stream upsert-merge equals batch latest-wins minus tombstones") {
+    val out = SparkEntry.queries("q34_stream_upsert")(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+    val batch = ev.groupBy("user_id")
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+        col("value_cents"))).as("w"))
+      .select(col("user_id"), col("w.ts_us").as("ts_us"),
+        col("w.event_id").as("event_id"),
+        col("w.event_type").as("event_type"),
+        col("w.value_cents").as("value_cents"))
+      .filter(col("event_type") =!= "error")
+      .orderBy("user_id")
+    assert(out.collect().toSeq == batch.collect().toSeq)
+    // live keys only: every tombstoned user is absent
+    assert(out.filter(col("event_type") === "error").count() == 0)
+    // deterministic rerun
+    val again = SparkEntry.queries("q34_stream_upsert")(spark, sf)
+    assert(again.collect().toSeq == out.collect().toSeq)
+  }
+}
