@@ -30,7 +30,9 @@ object EmbeddingQueries {
   def embedTfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val n = docs.count()
-    val tc = EmbeddingGen.termCounts(docs)
+    // tc feeds three consumers (doc lengths, vocab, the tfidf join) —
+    // cache it or the tokenize+groupBy chain runs three times
+    val tc = EmbeddingGen.termCounts(docs).cache()
     val dl = tc.groupBy("doc_id").agg(sum("tf").as("n_toks"))
     val voc = EmbeddingGen.vocab(tc, VocabSize)
     tc.join(broadcast(voc), "term").join(dl, "doc_id")
@@ -60,9 +62,11 @@ object EmbeddingQueries {
     */
   def embedSearch(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tc = EmbeddingGen.termCounts(docs)
+    val tc = EmbeddingGen.termCounts(docs).cache()
     val voc = EmbeddingGen.vocab(tc, VocabSize).select("term")
-    val tv = tc.join(broadcast(voc), "term")
+    // tv feeds norms, queries, and the dot join — cache the pruned
+    // vocab projection, not the full term table
+    val tv = tc.join(broadcast(voc), "term").cache()
     val norms = tv.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nrm"))
     val q = tv.filter(col("doc_id") < NQ)
       .select(col("term"), col("doc_id").as("query_id"), col("tf").as("qtf"))
