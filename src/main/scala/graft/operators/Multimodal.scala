@@ -49,4 +49,45 @@ object Multimodal {
       col("n_bytes"), col("checksum"), col("n_patches"),
       size(col("features")).cast("long").as("feat_dim"))
   }
+
+  val BatchSize = 64
+  val FrameStride = 4
+
+  /** m02: frame-sampling batch extraction — the video/audio leg of
+    * the pipeline. Payloads are range-partitioned (balanced by key,
+    * no hot executors), then mapPartitions processes rows in explicit
+    * batches of [[BatchSize]] — the exact batch shape a vectorised
+    * decoder (mapInPandas / mapInArrow in PySpark, a JNI codec here)
+    * consumes — and emits every [[FrameStride]]-th PatchBytes block
+    * ("frame") with its byte length and checksum. The decode is the
+    * deterministic stub; every emitted value is per-row deterministic,
+    * so the result is partitioning- and batching-independent (and
+    * oracle-checkable).
+    */
+  def frameSample(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val payloads = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .repartitionByRange(col("doc_id"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        // a real decoder would hand `batch` to the codec as one
+        // vectorised call; the stub walks the same batch structure
+        batch.iterator.flatMap { case (id, bytes) =>
+          val nPatches = (bytes.length + PatchBytes - 1) / PatchBytes
+          (0 until nPatches by FrameStride).map { p =>
+            val start = p * PatchBytes
+            val end = math.min(start + PatchBytes, bytes.length)
+            var acc = 0L
+            var i = start
+            while (i < end) { acc += bytes(i) & 0xff; i += 1 }
+            (id, p.toLong, (end - start).toLong, acc)
+          }
+        }
+      }
+    }.toDF("doc_id", "frame_no", "frame_bytes", "frame_checksum")
+      .orderBy("doc_id", "frame_no")
+  }
 }

@@ -58,6 +58,9 @@ object TextQueries {
   def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipeline(Tables.documents(s, dir)).orderBy("doc_id")
 
+  def m02(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_ngram_jaccard" -> (d02 _),
@@ -69,7 +72,8 @@ object TextQueries {
     "t03_lang_id" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
     "t05_tfidf_bow" -> (t05 _),
-    "m01_multimodal_pipeline" -> (m01 _)
+    "m01_multimodal_pipeline" -> (m01 _),
+    "m02_multimodal_frames" -> (m02 _)
   )
 
   private val shingleCte =
@@ -204,6 +208,21 @@ object TextQueries {
         |                            ORDER BY score DESC, term) AS rank
         |  FROM scored)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // m02: frames = every 4th 256-byte patch; the corpus is ASCII so
+    // byte offsets == char offsets and byte-sum == codepoint-sum
+    "m02_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, text,
+        |                  CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |           FROM documents),
+        |fr AS (SELECT doc_id, text, n, unnest(range(0, (n + 255) // 256)) AS p
+        |       FROM d)
+        |SELECT doc_id, CAST(p AS BIGINT) AS frame_no,
+        |       least(256, n - p * 256) AS frame_bytes,
+        |       CAST(list_sum(list_transform(
+        |         string_split(substring(text, CAST(p * 256 + 1 AS INT), 256), ''),
+        |         c -> unicode(c))) AS BIGINT) AS frame_checksum
+        |FROM fr WHERE p % 4 = 0
+        |ORDER BY doc_id, frame_no""".stripMargin,
     "m01_multimodal_pipeline" ->
       """SELECT doc_id, source AS origin,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
