@@ -28,9 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vec_cosine_sim")(es => VecCosineSim(es(0), es(1)))
     inject("vec_sign_hamming")(es => VecSignHamming(es(0), es(1)))
     inject("text_fingerprint")(es => TextFingerprint(es(0)))
-    inject("poly_hash")(es => PolyHash(es(0),
-      es(1).eval().asInstanceOf[Number].longValue(),
-      es(2).eval().asInstanceOf[Number].longValue()))
+    inject("poly_hash")(PolyHash.fromArgs)
     inject("byte_sum")(es => ByteSum(es(0)))
     inject("simhash64")(es => SimHash64(es(0)))
   }

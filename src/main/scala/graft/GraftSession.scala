@@ -55,10 +55,7 @@ object GraftSession {
       es => VecSignHamming(es(0), es(1)))
     Shim.registerFunction(spark, "text_fingerprint",
       es => TextFingerprint(es(0)))
-    Shim.registerFunction(spark, "poly_hash",
-      es => PolyHash(es(0),
-        es(1).eval().asInstanceOf[Number].longValue(),
-        es(2).eval().asInstanceOf[Number].longValue()))
+    Shim.registerFunction(spark, "poly_hash", PolyHash.fromArgs)
     Shim.registerFunction(spark, "byte_sum",
       es => ByteSum(es(0)))
     Shim.registerFunction(spark, "simhash64",

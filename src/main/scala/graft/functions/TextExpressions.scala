@@ -63,6 +63,27 @@ case class TextFingerprint(child: Expression)
   * both engines — ANSI-safe in Spark, overflow-safe in DuckDB BIGINT.
   * Keep mod ≲ 2^30 and mult small so mult * mod < 2^63.
   */
+object PolyHash {
+  /** SQL-registration builder: (mult, mod) must be foldable literals —
+    * they parameterise the generated code, so a column argument can
+    * never work. Checked here so SQL users get an analysis-time error
+    * instead of an NPE from eval() on an unbound attribute.
+    */
+  def fromArgs(es: Seq[Expression]): PolyHash = {
+    require(es.length == 3, s"poly_hash expects 3 arguments, got ${es.length}")
+    def lit(e: Expression, name: String): Long = {
+      require(e.foldable,
+        s"poly_hash $name must be a foldable literal, got: ${e.sql}")
+      e.eval() match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"poly_hash $name must be integral, got: $other")
+      }
+    }
+    PolyHash(es.head, lit(es(1), "mult"), lit(es(2), "mod"))
+  }
+}
+
 case class PolyHash(child: Expression, mult: Long, mod: Long)
     extends UnaryExpression with Serializable {
   override def dataType: DataType = LongType

@@ -67,6 +67,50 @@ object KnnSearch {
     topKOf(scored, k, metric.asc)
   }
 
+  /** Batch kNN for UNBOUNDED query sets (the reference's whole-table
+    * batch_query): [[bruteForce]] broadcasts the query side, which is
+    * right for a bounded batch but becomes a multi-GB broadcast (and a
+    * driver/executor OOM) when the query set is the whole table. Here
+    * neither side is broadcast: queries hash into nbQ blocks, base
+    * rows into nbB blocks, and the (qb, bb) grid is a shuffled
+    * equi-join — every query block meets every base block exactly
+    * once, per-task memory is bounded by two blocks, and the
+    * CollectTopK partial aggregation still bounds the final shuffle at
+    * O(nbB * Q * k) regardless of N. Output is identical to
+    * [[bruteForce]] (same scored set, same tie-breaks).
+    */
+  def bruteForceBlocked(
+      base: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: VecMetric,
+      idCol: String = "id",
+      vecCol: String = "vec",
+      qidCol: String = "query_id",
+      qvecCol: String = "qvec",
+      preFilter: Option[Column] = None,
+      blockRows: Int = 8192): DataFrame = {
+    val filtered = preFilter.map(base.filter).getOrElse(base)
+    val p = base.sparkSession.sessionState.conf.numShufflePartitions
+    def nBlocks(n: Long) = math.max(
+      ((n + blockRows - 1) / blockRows).toInt,
+      math.ceil(math.sqrt(p.toDouble)).toInt).max(1)
+    val nbQ = nBlocks(queries.count())
+    val nbB = nBlocks(filtered.count())
+    val qx = queries.select(col(qidCol).as("query_id"),
+      col(qvecCol).as("qvec"),
+      pmod(xxhash64(col(qidCol)), lit(nbQ)).cast("int").as("qb"),
+      explode(expr(s"sequence(0, ${nbB - 1})")).as("bb"))
+    val bx = filtered.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      pmod(xxhash64(col(idCol)), lit(nbB)).cast("int").as("bb"),
+      explode(expr(s"sequence(0, ${nbQ - 1})")).as("qb"))
+    val scored = qx.join(bx, Seq("qb", "bb"))
+      .select(col("query_id"),
+        metric.score(col("qvec"), col("vec")).as("score"),
+        col("id"))
+    topKOf(scored, k, metric.asc)
+  }
+
   /** (query_id, score, id) -> ranked top-k per query. */
   def topKOf(scored: DataFrame, k: Int, asc: Boolean): DataFrame =
     scored.groupBy("query_id")

@@ -23,6 +23,19 @@ object EmbeddingQueries {
   val NQ = 5
   val K = 10
 
+  /** Shared intermediate DataFrames, memoised per (session, dataset)
+    * like IndexQueries.modelCache — a bounded pool (one entry per
+    * dataset a session touches) instead of a fresh never-unpersisted
+    * `.cache()` per invocation, which leaked executor storage in
+    * long-lived sessions.
+    */
+  private val dfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def cachedDf(s: SparkSession, dir: String, kind: String)(
+      f: => DataFrame): DataFrame =
+    dfCache.getOrElseUpdate((s, dir, kind), f.cache())
+
   /** e01: vocabulary TF-IDF, long format (doc_id, term, tf, df,
     * tfidf). Pinned formula: (tf / n_toks) * ((N + 1) / (df + 1)) —
     * two IEEE divisions and one multiply, bit-reproducible.
@@ -32,7 +45,7 @@ object EmbeddingQueries {
     val n = docs.count()
     // tc feeds three consumers (doc lengths, vocab, the tfidf join) —
     // cache it or the tokenize+groupBy chain runs three times
-    val tc = EmbeddingGen.termCounts(docs).cache()
+    val tc = cachedDf(s, dir, "termCounts")(EmbeddingGen.termCounts(docs))
     val dl = tc.groupBy("doc_id").agg(sum("tf").as("n_toks"))
     val voc = EmbeddingGen.vocab(tc, VocabSize)
     tc.join(broadcast(voc), "term").join(dl, "doc_id")
@@ -62,11 +75,11 @@ object EmbeddingQueries {
     */
   def embedSearch(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tc = EmbeddingGen.termCounts(docs).cache()
+    val tc = cachedDf(s, dir, "termCounts")(EmbeddingGen.termCounts(docs))
     val voc = EmbeddingGen.vocab(tc, VocabSize).select("term")
     // tv feeds norms, queries, and the dot join — cache the pruned
     // vocab projection, not the full term table
-    val tv = tc.join(broadcast(voc), "term").cache()
+    val tv = cachedDf(s, dir, "termVocab")(tc.join(broadcast(voc), "term"))
     val norms = tv.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nrm"))
     val q = tv.filter(col("doc_id") < NQ)
       .select(col("term"), col("doc_id").as("query_id"), col("tf").as("qtf"))

@@ -126,13 +126,15 @@ object VectorQueries {
   }
 
   /** q10: whole-table batch query (reference batch_query throughput
-    * mode) — every vector queries the full base.
+    * mode) — every vector queries the full base. The query side is the
+    * WHOLE table, so this takes the blocked grid-join path: no O(N)
+    * broadcast anywhere in the plan (see KnnSearch.bruteForceBlocked).
     */
   def batchQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val queries = emb.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    ranked(KnnSearch.bruteForce(base, queries, K, VecMetric.Euclidean))
+    ranked(KnnSearch.bruteForceBlocked(base, queries, K, VecMetric.Euclidean))
   }
 
   /** q11: exact ground-truth top-100 (reference write_output,

@@ -34,6 +34,34 @@ class DedupTextSpec extends AnyFunSuite {
     assert(again == pairs)
   }
 
+  test("d05 blocked join: exact pairs, no cartesian/BNLJ in the plan") {
+    import graft.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val got = Dedup.embeddingNearDups(emb, 0.45)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+    val expected = {
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b") &&
+          vec_cosine_sim(col("va"), col("vb")) >= 0.45)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSet == expected,
+      s"missing=${expected.diff(gotSet)} extra=${gotSet.diff(expected)}")
+  }
+
+  test("simhashPairs refuses maxDist the banding cannot guarantee") {
+    val docs = Tables.documents(spark, sf)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, maxDist = 4)
+    }
+  }
+
   test("text_fingerprint matches a hand-rolled reference") {
     import spark.implicits._
     val s = "abc"

@@ -87,6 +87,23 @@ class VectorSuiteSpec extends AnyFunSuite {
       s"label filter not pushed:\n$plan")
   }
 
+  test("q10 blocked batch query: no broadcast of the query table, same answers") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("qvec"))
+    val blocked = KnnSearch.bruteForceBlocked(base, queries, 5,
+      VecMetric.Euclidean)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    val asTuples = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val exact = KnnSearch.bruteForce(base, queries, 5, VecMetric.Euclidean)
+    assert(asTuples(blocked) == asTuples(exact))
+  }
+
   test("query-side scans prune to the selected columns only") {
     val plan = SparkEntry.queries("q01_knn_euclidean")(spark, sf)
       .queryExecution.executedPlan.toString
