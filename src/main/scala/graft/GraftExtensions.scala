@@ -31,5 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("poly_hash")(PolyHash.fromArgs)
     inject("byte_sum")(es => ByteSum(es(0)))
     inject("simhash64")(es => SimHash64(es(0)))
+    inject("pack_bits")(PackBits.fromArgs)
+    inject("packed_hamming")(es => PackedHamming(es(0), es(1)))
   }
 }

@@ -60,5 +60,8 @@ object GraftSession {
       es => ByteSum(es(0)))
     Shim.registerFunction(spark, "simhash64",
       es => SimHash64(es(0)))
+    Shim.registerFunction(spark, "pack_bits", PackBits.fromArgs)
+    Shim.registerFunction(spark, "packed_hamming",
+      es => PackedHamming(es(0), es(1)))
   }
 }

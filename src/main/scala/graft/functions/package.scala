@@ -48,6 +48,14 @@ package object functions {
   def lsh_sigs(c: Column, planes: Array[Array[Array[Double]]]): Column =
     Shim.column(LshSigs(Shim.expression(c), planes))
 
+  /** Pack sign bits of a float/double vector into array<long> words. */
+  def pack_bits(c: Column, bitsPerWord: Int = 64): Column =
+    Shim.column(PackBits(Shim.expression(c), bitsPerWord))
+
+  /** Hamming distance between packed bit vectors: popcount(xor). */
+  def packed_hamming(a: Column, b: Column): Column =
+    Shim.column(PackedHamming(Shim.expression(a), Shim.expression(b)))
+
   def text_fingerprint(c: Column): Column =
     Shim.column(TextFingerprint(Shim.expression(c)))
 

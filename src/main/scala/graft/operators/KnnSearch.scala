@@ -46,6 +46,13 @@ object KnnSearch {
 
   /** base: (id, vec, ...), queries: (query_id, qvec).
     * Returns (query_id, rank, neighbor_id, score), rank 1 = best.
+    *
+    * `preFilter` is a base-only predicate (pushed into the scan);
+    * `pairFilter` may reference BOTH sides — the reference's per-query
+    * compound filter workload (runner.py:62-88), where each query
+    * carries its own threshold tuple. Catalyst folds it into the
+    * BroadcastNestedLoopJoin condition, so non-qualifying pairs die
+    * with the scan stream before any distance is computed.
     */
   def bruteForce(
       base: DataFrame,
@@ -56,10 +63,12 @@ object KnnSearch {
       vecCol: String = "vec",
       qidCol: String = "query_id",
       qvecCol: String = "qvec",
-      preFilter: Option[Column] = None): DataFrame = {
+      preFilter: Option[Column] = None,
+      pairFilter: Option[Column] = None): DataFrame = {
     val filtered = preFilter.map(base.filter).getOrElse(base)
-    val scored = filtered
-      .crossJoin(broadcast(queries))
+    val joined = filtered.crossJoin(broadcast(queries))
+    val kept = pairFilter.map(joined.filter).getOrElse(joined)
+    val scored = kept
       .select(
         col(qidCol).as("query_id"),
         metric.score(col(qvecCol), col(vecCol)).as("score"),

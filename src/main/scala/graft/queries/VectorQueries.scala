@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.{pack_bits, packed_hamming}
 import graft.operators.{KnnSearch, MultiVectorSearch, VecMetric}
 
 /** Core ANN query suite (SURVEY.md §2) with DuckDB oracle parity:
@@ -60,6 +61,34 @@ object VectorQueries {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     ranked(KnnSearch.bruteForce(base, queries, K, VecMetric.Euclidean,
       preFilter = Some(expr(FilterPred))))
+  }
+
+  /** q14: per-query compound filtered ANN — the reference's real
+    * filter workload (datasets.py:369-410 random_filter, runner.py:
+    * 62-88): n int label columns on the base, a per-query threshold
+    * tuple, and a conjunctive `label_i <= t_i` evaluated with the
+    * scan. The labels/thresholds here are derived deterministically
+    * from existing columns (so the DuckDB oracle rebuilds them), but
+    * the operator shape is the general one: the predicate lives in
+    * the BNLJ join condition, one scan, no per-query jobs. Queries
+    * whose filter keeps fewer than k rows return fewer rows — the
+    * reference semantics.
+    */
+  def knnFilteredCompound(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      col("label").cast("long").as("l0"),
+      (col("vec_id") % 97).as("l1"),
+      ((col("vec_id") * 31) % 89).as("l2"))
+    val queries = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").cast("long").as("t0"),
+        (lit(20L) + (col("vec_id") * 13) % 60).as("t1"),
+        (lit(15L) + (col("vec_id") * 17) % 60).as("t2"))
+    ranked(KnnSearch.bruteForce(base, queries, K, VecMetric.Euclidean,
+      pairFilter = Some(
+        col("l0") <= col("t0") && col("l1") <= col("t1") &&
+          col("l2") <= col("t2"))))
   }
 
   /** q05: ε-range search. */
@@ -137,6 +166,29 @@ object VectorQueries {
     ranked(KnnSearch.bruteForceBlocked(base, queries, K, VecMetric.Euclidean))
   }
 
+  /** q15: native packed-bit hamming top-k — the q08 workload on REAL
+    * bitstrings (reference random_bitstring / sift_hamming,
+    * datasets.py:343, 622): vectors sign-binarise ONCE into packed
+    * array<long> words (pack_bits), then the scan is XOR + popcount
+    * per word (packed_hamming) — 64x fewer bytes and ~64x fewer ops
+    * than the per-dim float hamming of q08. 60 bits/word so the
+    * DuckDB oracle can rebuild identical words with shifted-bit sums
+    * in BIGINT range.
+    */
+  def knnHammingPacked(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val packed = emb.select(col("vec_id"),
+      pack_bits(col("embedding"), 60).as("bits"))
+    val base = packed.select(col("vec_id").as("id"), col("bits").as("vec"))
+    val queries = packed.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("bits").as("qvec"))
+    val scored = base.crossJoin(broadcast(queries))
+      .select(col("query_id"),
+        packed_hamming(col("qvec"), col("vec")).cast("double").as("score"),
+        col("id"))
+    ranked(KnnSearch.topKOf(scored, K, asc = true))
+  }
+
   /** q11: exact ground-truth top-100 (reference write_output,
     * datasets.py:118-170).
     */
@@ -165,10 +217,12 @@ object VectorQueries {
     "q02_knn_cosine" -> knn(VecMetric.Cosine) _,
     "q03_knn_dot" -> knn(VecMetric.InnerProduct) _,
     "q04_knn_filtered" -> (knnFiltered _),
+    "q14_knn_filtered_compound" -> (knnFilteredCompound _),
     "q05_range_search" -> (rangeSearch _),
     "q06_multi_vector" -> (multiVectorWeighted _),
     "q07_multi_vector_rrf" -> (multiVectorRrf _),
     "q08_knn_hamming" -> knn(VecMetric.SignHamming) _,
+    "q15_knn_hamming_packed" -> (knnHammingPacked _),
     "q09_knn_jaccard" -> (knnJaccard _),
     "q10_batch_query" -> (batchQuery _),
     "q11_gt_top100" -> (gtTop100 _),
@@ -252,6 +306,23 @@ object VectorQueries {
     "q03_knn_dot" -> knnSql("list_inner_product(q.qv, b.v) DESC"),
     "q04_knn_filtered" -> knnSqlCustom("list_distance(q.qv, b.v)",
       where = s"WHERE $FilterPred"),
+    "q14_knn_filtered_compound" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         |             CAST(label AS BIGINT) AS t0,
+         |             20 + (vec_id * 13) % 60 AS t1,
+         |             15 + (vec_id * 17) % 60 AS t2
+         |           FROM embeddings WHERE vec_id < $NQ),
+         |     b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         |             CAST(label AS BIGINT) AS l0,
+         |             vec_id % 97 AS l1,
+         |             (vec_id * 31) % 89 AS l2
+         |           FROM embeddings)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT q.query_id, b.id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |                            ORDER BY list_distance(q.qv, b.v), b.id) AS rank
+         |  FROM q JOIN b ON b.l0 <= q.t0 AND b.l1 <= q.t1 AND b.l2 <= q.t2)
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "q05_range_search" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
          |           FROM embeddings WHERE vec_id < $NQ),
@@ -264,6 +335,25 @@ object VectorQueries {
     "q07_multi_vector_rrf" -> rrfSql,
     "q08_knn_hamming" -> knnSql(
       "len(list_filter(list_zip(q.qv, b.v), p -> (p[1] > 0) != (p[2] > 0)))"),
+    "q15_knn_hamming_packed" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id,
+         |        list_transform(range(0, (len(v) + 59) // 60), w ->
+         |          CAST(list_sum(list_transform(range(0, 60), j ->
+         |            CASE WHEN w * 60 + j < len(v) AND v[CAST(w * 60 + j + 1 AS INT)] > 0
+         |                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+         |                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS bits
+         |      FROM e),
+         |q AS (SELECT vec_id AS query_id, bits AS qb FROM p WHERE vec_id < $NQ),
+         |b AS (SELECT vec_id AS id, bits AS bb FROM p)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT q.query_id, b.id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |           list_sum(list_transform(range(1, len(q.qb) + 1),
+         |             i -> bit_count(xor(q.qb[CAST(i AS INT)], b.bb[CAST(i AS INT)])))),
+         |           b.id) AS rank
+         |  FROM q CROSS JOIN b)
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "q09_knn_jaccard" -> jaccardSql,
     "q10_batch_query" -> knnSqlCustom("list_distance(q.qv, b.v)",
       nq = Long.MaxValue),

@@ -87,6 +87,39 @@ class VectorSuiteSpec extends AnyFunSuite {
       s"label filter not pushed:\n$plan")
   }
 
+  test("pack_bits + packed_hamming agree with per-dim sign hamming") {
+    import spark.implicits._
+    // 130 dims -> 3 words at 60 bits/word, exercising word boundaries
+    val rng = new scala.util.Random(7)
+    val vecs = Seq.fill(6)(Array.fill(130)(rng.nextGaussian().toFloat))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val a = df.select(col("id").as("ia"), col("v").as("va"),
+      pack_bits(col("v"), 60).as("pa"))
+    val b = df.select(col("id").as("ib"), col("v").as("vb"),
+      pack_bits(col("v"), 60).as("pb"))
+    val rows = a.crossJoin(b).select(
+      packed_hamming(col("pa"), col("pb")).as("packed"),
+      vec_sign_hamming(col("va"), col("vb")).as("perdim")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // full-width 64-bit packing round-trips the high bit too
+    val hi = df.select(pack_bits(col("v"), 64).as("p"))
+    val words = hi.head().getSeq[Long](0)
+    assert(words.length == 3) // ceil(130/64)
+  }
+
+  test("q14 compound filter is evaluated in the join condition, not above it") {
+    val df = SparkEntry.queries("q14_knn_filtered_compound")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val bnlj = plan.linesIterator.find(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.isDefined, s"no BNLJ in plan:\n$plan")
+    // the per-query threshold conjunction rides in the join condition,
+    // so pairs die before any distance evaluation
+    assert(bnlj.get.contains("l0") && bnlj.get.contains("t0"),
+      s"compound predicate not in join condition: ${bnlj.get}")
+    assert(df.count() > 0)
+  }
+
   test("q10 blocked batch query: no broadcast of the query table, same answers") {
     val emb = Tables.embeddings(spark, sf)
     val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
