@@ -180,6 +180,59 @@ object IndexQueries {
     NnDescent.build(base, k = 5).orderBy("id", "rank")
   }
 
+  /** a06: per-index build metrics — the reference's build_time /
+    * index_size reporting (runner.py:457-465, 595-599). Each index is
+    * actually built (the count() is the materialising action, timed
+    * and logged as `[a06] <name> build_time_s=…`); the gated output
+    * carries only the DETERMINISTIC metrics — materialised row counts
+    * and schema-derived byte sizes — since wall-times can't be
+    * hash-gated. Byte model: assigned row = 8B id + 4B cluster +
+    * payload (4B/dim float vec, M-byte PQ code, dim-byte SQ8 code);
+    * LSH bucket entry = 8B id + 4B table + 8B bucket; models are
+    * double-precision (8B) per element.
+    */
+  def indexBuildMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (base, _) = baseAndQueries(s, dir)
+    val dim = Tables.embeddings(s, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+    def timed(name: String)(f: => Long): Long = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[a06] $name build_time_s=${(System.nanoTime() - t0) / 1e9}%.3f")
+      r
+    }
+    val cents = sampleCents(s, dir)
+    val pq = cached(dir, "pq-sample") { PqIndex.sampleModel(base, "vec", M, KStar) }
+    val sq = cached(dir, "sq8") { Sq8Index.train(base, "vec") }
+    val lsh = cached(dir, "rhp") { LshRhp.trainFromData(base, "vec", NTables, NBits) }
+    val nFlat = timed("ivf_flat") {
+      IvfIndex.assign(base, "vec", cents).count()
+    }
+    val nPq = timed("ivf_pq") {
+      IvfIndex.assign(base, "vec", cents)
+        .withColumn("codes", PqIndex.encode(col("vec"), pq)).count()
+    }
+    val nSq = timed("ivf_sq8") {
+      IvfIndex.assign(base, "vec", cents)
+        .withColumn("codes", Sq8Index.encode(col("vec"), sq)).count()
+    }
+    val nLsh = timed("lsh_rhp") {
+      LshRhp.buckets(base, "id", "vec", lsh).count()
+    }
+    Seq(
+      ("ivf_flat", nFlat, NList.toLong,
+        nFlat * (12L + 4L * dim), NList * dim * 8L),
+      ("ivf_pq", nPq, (M * KStar).toLong,
+        nPq * (12L + M), KStar * dim * 8L),
+      ("ivf_sq8", nSq, 2L * dim,
+        nSq * (12L + dim), 2L * dim * 8L),
+      ("lsh_rhp", nLsh, (NTables * NBits).toLong,
+        nLsh * 20L, NTables * NBits * dim * 8L)
+    ).toDF("index_name", "n_rows", "model_rows", "bytes_index", "bytes_model")
+      .orderBy("index_name")
+  }
+
   /** q12: recall@k of the IVF index against the exact kNN. */
   def recallAtK(s: SparkSession, dir: String): DataFrame = {
     val approx = ivfFlat(s, dir).select(col("query_id"), col("neighbor_id"))
@@ -194,6 +247,7 @@ object IndexQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a06_index_build_metrics" -> (indexBuildMetrics _),
     "q12_recall_at_k" -> (recallAtK _),
     "q20_ivf_flat" -> (ivfFlat _),
     "q21_ivf_pq" -> (ivfPq _),
@@ -448,7 +502,31 @@ object IndexQueries {
        |WHERE rank <= 5 ORDER BY id, rank""".stripMargin
   }
 
+  /** a06 oracle: every gated metric is derivable from (N, dim) and the
+    * fixed index constants — the oracle recomputes the same size model
+    * over count(*)/len(embedding).
+    */
+  private val a06Sql: String =
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |     dd AS (SELECT CAST(len(embedding) AS BIGINT) AS dim
+       |            FROM embeddings LIMIT 1)
+       |SELECT index_name, n_rows, model_rows, bytes_index, bytes_model FROM (
+       |  SELECT 'ivf_flat' AS index_name, n AS n_rows,
+       |         CAST($NList AS BIGINT) AS model_rows,
+       |         n * (12 + 4 * dim) AS bytes_index,
+       |         $NList * dim * 8 AS bytes_model FROM nn, dd
+       |  UNION ALL
+       |  SELECT 'ivf_pq', n, CAST(${M * KStar} AS BIGINT),
+       |         n * (12 + $M), $KStar * dim * 8 FROM nn, dd
+       |  UNION ALL
+       |  SELECT 'ivf_sq8', n, 2 * dim, n * (12 + dim), 2 * dim * 8 FROM nn, dd
+       |  UNION ALL
+       |  SELECT 'lsh_rhp', n * $NTables, CAST(${NTables * NBits} AS BIGINT),
+       |         n * $NTables * 20, ${NTables * NBits} * dim * 8 FROM nn, dd)
+       |ORDER BY index_name""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "a06_index_build_metrics" -> a06Sql,
     "q12_recall_at_k" -> recallSql,
     "q20_ivf_flat" -> ivfFlatSql,
     "q21_ivf_pq" -> ivfPqSql,
