@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.IndexQueries.queries ++
-      graft.queries.EmbeddingQueries.queries
+      graft.queries.EmbeddingQueries.queries ++
+      graft.queries.DataGenQueries.queries
 
   /** DuckDB-equivalent SQL for every exactly-checkable query. */
   def oracleSql: Map[String, String] =
@@ -24,5 +25,6 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
       graft.queries.IndexQueries.oracleSql ++
-      graft.queries.EmbeddingQueries.oracleSql
+      graft.queries.EmbeddingQueries.oracleSql ++
+      graft.queries.DataGenQueries.oracleSql
 }
