@@ -62,23 +62,47 @@ object Dedup {
           (0 until n).map(j => s"element_at(t, i + ${j + 1})")
             .mkString(" || ' ' || ") + ")")).as("sh"))
 
-  /** d02: exact near-dup pairs with shingle-jaccard >= tau, found via
-    * an inverted-index self-join (only docs sharing >=1 shingle are
-    * compared — no all-pairs blowup; oversized shingle buckets are a
-    * skew risk handled by AQE).
+  /** Candidate pairs from a df-capped inverted shingle index: docs
+    * sharing >= 1 shingle whose document frequency is in [2, maxDf].
+    * The cap is what makes the index skew-safe at 100 TB: a
+    * boilerplate shingle with df=d generates O(d^2) candidate pairs
+    * (AQE can rebalance the shuffle, not the pair blowup), so hot
+    * shingles are dropped from CANDIDATE GENERATION only — total
+    * candidate volume is bounded by maxDf * |index entries|, linear in
+    * the corpus for a fixed cap. df >= 2 also drops singleton
+    * shingles, which can pair with nothing.
     */
-  def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3): DataFrame = {
+  private[graft] def ngramCandidates(sh: DataFrame, maxDf: Long): DataFrame = {
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val keep = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("s")
+    val a = inv.join(keep, "s").select(col("s"), col("doc_id").as("doc_a"))
+    val b = inv.join(keep, "s").select(col("s"), col("doc_id").as("doc_b"))
+    a.join(b, "s").filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** d02: near-dup pairs with shingle-jaccard >= tau: df-capped
+    * inverted-index candidates (see [[ngramCandidates]]), then the
+    * EXACT jaccard verified on the full shingle sets — so the cap
+    * never distorts a reported similarity. Semantics: exact whenever
+    * every qualifying pair shares at least one shingle with
+    * df <= maxDf — at tau-level overlap a pair shares most of its
+    * shingles, so missing ALL sub-cap shingles means the pair is
+    * boilerplate-only, which the default generous cap (1000) makes
+    * vanishingly rare; lower the cap only with that approximation
+    * documented.
+    */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3,
+      maxDf: Long = 1000L): DataFrame = {
     val sh = shingles(docs, n).cache()
-    val inv = sh.select(col("doc_id"), col("sh"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), col("s"))
-    val a = inv.toDF("doc_a", "n_a", "s")
-    val b = inv.toDF("doc_b", "n_b", "s")
-    a.join(b, "s")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("inter"))
+    ngramCandidates(sh, maxDf)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jac", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jac") >= tau)
       .select("doc_a", "doc_b")
   }

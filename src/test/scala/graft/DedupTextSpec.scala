@@ -34,6 +34,27 @@ class DedupTextSpec extends AnyFunSuite {
     assert(again == pairs)
   }
 
+  test("d02 df-cap bounds candidates on a boilerplate-skewed corpus") {
+    import spark.implicits._
+    // 80 docs all sharing one boilerplate 3-gram; docs 0 and 1 are
+    // true near-dups (identical text), the rest are unique
+    val docs = (0 until 80).map { i =>
+      val uniq = if (i <= 1) "dup dup dup dup" else s"u$i v$i w$i x$i"
+      (i.toLong, s"common boiler plate $uniq")
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    // capped: the df=80 boilerplate shingle is dropped, so candidates
+    // are only pairs sharing rare shingles — the one duplicate pair —
+    // not the 80*79/2 pairs the hot shingle would generate
+    val capped = Dedup.ngramCandidates(sh, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L)), s"got $capped")
+    // and the end-to-end result still finds exactly the true pair
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.8, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("d05 blocked join: exact pairs, no cartesian/BNLJ in the plan") {
     import graft.functions._
     val emb = Tables.embeddings(spark, sf)
