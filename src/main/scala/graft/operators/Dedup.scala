@@ -83,26 +83,50 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** d02: near-dup pairs with shingle-jaccard >= tau: df-capped
-    * inverted-index candidates (see [[ngramCandidates]]), then the
-    * EXACT jaccard verified on the full shingle sets — so the cap
-    * never distorts a reported similarity. Semantics: exact whenever
-    * every qualifying pair shares at least one shingle with
-    * df <= maxDf — at tau-level overlap a pair shares most of its
-    * shingles, so missing ALL sub-cap shingles means the pair is
-    * boilerplate-only, which the default generous cap (1000) makes
-    * vanishingly rare; lower the cap only with that approximation
-    * documented.
+  /** d02: near-dup pairs with shingle-jaccard >= tau, via the
+    * df-capped inverted-index self-join: pair intersection counts come
+    * from co-occurrence in the CAPPED index (shingles with df in
+    * [2, maxDf] — df=1 shingles can't be shared, df>maxDf shingles
+    * would each contribute O(df^2) pairs), and the contribution of the
+    * dropped hot shingles is added back EXACTLY from tiny per-doc
+    * hot-shingle sets (|hot(A) ∩ hot(B)|), so every reported jaccard
+    * is the true one. Hot shingles are by definition few distinct
+    * values, so hot(doc) arrays stay small and their join rides along
+    * as two cheap key joins on the pair table. The only approximation
+    * is candidate discovery: a pair sharing ONLY >maxDf boilerplate
+    * shingles is not surfaced — at tau-level overlap that means both
+    * docs are almost entirely boilerplate; raise maxDf if that case
+    * matters.
     */
   def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3,
       maxDf: Long = 1000L): DataFrame = {
     val sh = shingles(docs, n).cache()
-    ngramCandidates(sh, maxDf)
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    val inv = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df")).cache()
+    val keep = dfTab.filter(col("df") >= 2 && col("df") <= maxDf).select("s")
+    val hot = dfTab.filter(col("df") > maxDf).select("s")
+    val hotDoc = inv.join(broadcast(hot), "s")
+      .groupBy("doc_id").agg(sort_array(collect_set("s")).as("hot_sh"))
+    val capped = inv.join(keep, "s")
+    val a = capped.select(col("s"), col("doc_id").as("doc_a"),
+      col("n_sh").as("n_a"))
+    val b = capped.select(col("s"), col("doc_id").as("doc_b"),
+      col("n_sh").as("n_b"))
+    val none = typedLit(Seq.empty[String])
+    a.join(b, "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter_capped"))
+      .join(hotDoc.select(col("doc_id").as("doc_a"),
+        col("hot_sh").as("hot_a")), Seq("doc_a"), "left")
+      .join(hotDoc.select(col("doc_id").as("doc_b"),
+        col("hot_sh").as("hot_b")), Seq("doc_b"), "left")
+      .withColumn("inter", col("inter_capped") +
+        size(array_intersect(coalesce(col("hot_a"), none),
+          coalesce(col("hot_b"), none))))
       .withColumn("jac", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jac") >= tau)
       .select("doc_a", "doc_b")
   }
