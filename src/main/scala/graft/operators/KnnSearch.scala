@@ -98,6 +98,7 @@ object KnnSearch {
       qidCol: String = "query_id",
       qvecCol: String = "qvec",
       preFilter: Option[Column] = None,
+      pairFilter: Option[Column] = None,
       blockRows: Int = 8192): DataFrame = {
     val filtered = preFilter.map(base.filter).getOrElse(base)
     val p = base.sparkSession.sessionState.conf.numShufflePartitions
@@ -113,7 +114,9 @@ object KnnSearch {
     val bx = filtered.select(col(idCol).as("id"), col(vecCol).as("vec"),
       pmod(xxhash64(col(idCol)), lit(nbB)).cast("int").as("bb"),
       explode(expr(s"sequence(0, ${nbQ - 1})")).as("qb"))
-    val scored = qx.join(bx, Seq("qb", "bb"))
+    val joined = qx.join(bx, Seq("qb", "bb"))
+    val kept = pairFilter.map(joined.filter).getOrElse(joined)
+    val scored = kept
       .select(col("query_id"),
         metric.score(col("qvec"), col("vec")).as("score"),
         col("id"))

@@ -153,18 +153,19 @@ object IndexQueries {
       col("doc_id") < NQDocs, K, Bands, RowsPerBand, MinHashSeed))
 
   /** q25: exact k-NN graph build (k=5, self excluded) — the batch
-    * graph layer an HNSW-style index starts from.
+    * graph layer an HNSW-style index starts from. The query side is
+    * the whole table, so like q10 this takes the blocked grid join
+    * (no O(N) broadcast); the O(N^2) distance evaluations are what
+    * "exact graph" means — q27 (NN-descent) is the approximate path
+    * that avoids them.
     */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val queries = emb.select(col("vec_id").as("query_id"),
       col("embedding").as("qvec"))
-    val scored = base.crossJoin(broadcast(queries))
-      .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"),
-        graft.functions.vec_l2(col("qvec"), col("vec")).as("score"), col("id"))
-    KnnSearch.topKOf(scored, 5, asc = true)
+    KnnSearch.bruteForceBlocked(base, queries, 5, VecMetric.Euclidean,
+      pairFilter = Some(col("id") =!= col("query_id")))
       .select(col("query_id").as("id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"))
       .orderBy("id", "rank")
