@@ -99,11 +99,21 @@ object Dedup {
     * matters.
     */
   def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3,
+      maxDf: Long = 1000L): DataFrame =
+    ngramJaccardPairsOf(shingles(docs, n).cache(), tau, maxDf)
+
+  /** [[ngramJaccardPairs]] over a pre-shingled (ideally cached /
+    * memoised) `sh` table — lets callers share one shingle pass across
+    * d02/d03 instead of each re-tokenizing (see TextQueries.dfCache).
+    */
+  def ngramJaccardPairsOf(sh: DataFrame, tau: Double,
       maxDf: Long = 1000L): DataFrame = {
-    val sh = shingles(docs, n).cache()
     val inv = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
-    val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df")).cache()
+    // no .cache(): both consumers (keep, hot) sit in ONE final plan,
+    // so the agg's exchange is shared by ReuseExchange without pinning
+    // executor storage across invocations
+    val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df"))
     val keep = dfTab.filter(col("df") >= 2 && col("df") <= maxDf).select("s")
     val hot = dfTab.filter(col("df") > maxDf).select("s")
     val hotDoc = inv.join(broadcast(hot), "s")
@@ -151,9 +161,17 @@ object Dedup {
       tau: Double,
       bands: Int = 8,
       rowsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame =
+    minhashLshOf(shingles(docs).cache(), tau, bands, rowsPerBand, seed)
+
+  /** [[minhashLsh]] over a pre-shingled `sh` table (shared with d02). */
+  def minhashLshOf(
+      sh: DataFrame,
+      tau: Double,
+      bands: Int = 8,
+      rowsPerBand: Int = 8,
       seed: Long = 42L): DataFrame = {
     val h = bands * rowsPerBand
-    val sh = shingles(docs).cache()
     val sig = minhashSignatures(sh, h, seed)
     // one signature pass, bands exploded from it — unioning per-band
     // selects would recompute the signatures once per band
@@ -191,12 +209,15 @@ object Dedup {
     * candidates via 4x15-bit band buckets (a pair within distance 3
     * must agree on >=1 band).
     */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashPairsOf(simhash(docs).cache(), maxDist)
+
+  /** [[simhashPairs]] over a precomputed (doc_id, simhash) table. */
+  def simhashPairsOf(sig: DataFrame, maxDist: Int = 3): DataFrame = {
     // 4 bands only guarantee a clean band for distance <= 3 (pigeonhole);
     // a larger maxDist would silently under-recall, so refuse it.
     require(maxDist >= 0 && maxDist < 4,
       s"simhashPairs with 4 bands is exact only for maxDist <= 3, got $maxDist")
-    val sig = simhash(docs).cache()
     val banded = (0 until 4).map { bnd =>
       sig.select(col("doc_id"), col("simhash"), lit(bnd).as("band"),
         expr(s"(simhash >> ${bnd * 15}) & 32767").as("bucket"))

@@ -19,19 +19,37 @@ object TextQueries {
   val NgramTau = 0.8
   val CosTau = 0.45
 
+  /** Shared intermediates, memoised per (session, dataset) — one
+    * shingle pass serves d02 AND d03, one simhash pass serves d04,
+    * and repeated invocations in a long-lived session reuse the same
+    * bounded cache instead of leaking a fresh one per call (same
+    * pattern as EmbeddingQueries/IndexQueries).
+    */
+  private val dfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def cachedDf(s: SparkSession, dir: String, kind: String)(
+      f: => DataFrame): DataFrame =
+    dfCache.getOrElseUpdate((s, dir, kind), f.cache())
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "shingles")(Dedup.shingles(Tables.documents(s, dir)))
+
   def d01(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir)).orderBy("doc_id")
 
   def d02(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), NgramTau)
+    Dedup.ngramJaccardPairsOf(shingled(s, dir), NgramTau)
       .orderBy("doc_a", "doc_b")
 
   def d03(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(Tables.documents(s, dir), NgramTau)
+    Dedup.minhashLshOf(shingled(s, dir), NgramTau)
       .orderBy("doc_a", "doc_b")
 
   def d04(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)
+    Dedup.simhashPairsOf(
+      cachedDf(s, dir, "simhash")(
+        Dedup.simhash(Tables.documents(s, dir))), maxDist = 3)
       .orderBy("doc_a", "doc_b")
 
   def d05(s: SparkSession, dir: String): DataFrame =

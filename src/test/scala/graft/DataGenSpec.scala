@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.datagen.DataGen
 import graft.functions._
+import graft.operators.{KnnSearch, VecMetric}
 
 class DataGenSpec extends AnyFunSuite {
   import TestSpark._
@@ -75,6 +76,49 @@ class DataGenSpec extends AnyFunSuite {
       .join(bs.select(col("vec_id"), col("bits")), "vec_id")
       .filter(col("p") =!= col("bits")).count()
     assert(joined == 0)
+  }
+
+  test("e2e: filter corpus drives per-query compound filtered search") {
+    val corpus = DataGen.randomFilter(spark, 600, 16, 4, nFilters = 2,
+      seed = 11)
+    val base = corpus.filter(col("is_train"))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label_0").as("l0"), col("label_1").as("l1"))
+    val queries = corpus.filter(!col("is_train")).limit(5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        (col("label_0") + 20).as("t0"), (col("label_1") + 20).as("t1"))
+    val got = KnnSearch.bruteForce(base, queries, 5, VecMetric.Euclidean,
+      pairFilter = Some(col("l0") <= col("t0") && col("l1") <= col("t1")))
+    // every neighbor satisfies its query's threshold tuple
+    val viol = got
+      .join(base.select(col("id").as("neighbor_id"), col("l0"), col("l1")),
+        "neighbor_id")
+      .join(queries.select(col("query_id"), col("t0"), col("t1")), "query_id")
+      .filter(col("l0") > col("t0") || col("l1") > col("t1")).count()
+    assert(viol == 0)
+    assert(got.count() > 0)
+  }
+
+  test("e2e: bitstring corpus drives packed-hamming search, blobs survive packing") {
+    val corpus = DataGen.randomBitstring(spark, 500, 128, 4, seed = 13)
+    val base = corpus.filter(col("is_train"))
+      .select(col("vec_id").as("id"), col("label").as("bl"),
+        col("bits").as("vec"))
+    val queries = corpus.filter(!col("is_train")).limit(20)
+      .select(col("vec_id").as("query_id"), col("label").as("ql"),
+        col("bits").as("qvec"))
+    val scored = base.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("ql"), col("bl"),
+        packed_hamming(col("qvec"), col("vec")).cast("double").as("score"),
+        col("id"))
+    val top1 = KnnSearch.topKOf(scored.select("query_id", "score", "id"), 1,
+      asc = true)
+      .join(queries.select(col("query_id"), col("ql")), "query_id")
+      .join(base.select(col("id").as("neighbor_id"), col("bl")), "neighbor_id")
+    // sign-packed blobs keep cluster structure: rank-1 neighbor shares
+    // the cluster label for the vast majority of queries
+    val agree = top1.filter(col("ql") === col("bl")).count()
+    assert(agree >= 18, s"only $agree/20 rank-1 neighbors in-cluster")
   }
 
   test("g01 summary matches the literal oracle shape") {
