@@ -261,6 +261,33 @@ object Dedup {
     *    reference implies (distance.py:32-47) this blocked join is the
     *    scale path.
     */
+  /** Approximate embedding near-dup pairs via RHP sign-band bucketing
+    * — the sub-quadratic path for the HIGH-tau regime (true near-dups,
+    * tau >= ~0.9), where [[embeddingNearDups]]' exact O(N^2) scan is
+    * overkill: vectors that agree on all nBits sign bits of some table
+    * collide, candidates are verified with the exact cosine INSIDE the
+    * bucket join (d04's shape — only true pairs reach the distinct),
+    * so precision is 1.0 and recall is 1 - (1 - p^b)^t with
+    * p = 1 - theta/pi. At tau=0.95 (p≈0.90), 8 tables x 8 bits give
+    * ~97% recall per pair; do NOT use this near tau=0.5, where the
+    * math degenerates (measured on this corpus: qualifying pairs at
+    * cos 0.4501 — p^b vanishes and candidate volume exceeds N^2).
+    */
+  def embeddingNearDupsLsh(emb: DataFrame, tau: Double, model: LshRhp.Model,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bk = LshRhp.buckets(e, "id", "v", model)
+      .join(e, "id")
+    val a = bk.select(col("table"), col("bucket"),
+      col("id").as("id_a"), col("v").as("va"))
+    val b = bk.select(col("table"), col("bucket"),
+      col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        vec_cosine_sim(col("va"), col("vb")) >= tau)
+      .select("id_a", "id_b").distinct()
+  }
+
   def embeddingNearDups(emb: DataFrame, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       blockRows: Int = 8192): DataFrame = {

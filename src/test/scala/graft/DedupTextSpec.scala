@@ -76,6 +76,28 @@ class DedupTextSpec extends AnyFunSuite {
       s"missing=${expected.diff(gotSet)} extra=${gotSet.diff(expected)}")
   }
 
+  test("LSH near-dup variant: full recall at high tau, no cartesian") {
+    import spark.implicits._
+    import graft.operators.LshRhp
+    // 200 base vectors + 20 planted near-dups at cos ~0.999
+    val rng = new scala.util.Random(21)
+    def vec() = Array.fill(32)(rng.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    val dups = base.take(20).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val model = LshRhp.train(dim = 32, nTables = 8, nBits = 8, seed = 5)
+    val got = Dedup.embeddingNearDupsLsh(emb, 0.95, model)
+    assert(!got.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingNearDups(emb, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20) // the planted pairs qualify
+    assert(gotSet == exact, // precision 1.0 by construction; recall 1.0
+      s"missed=${exact.diff(gotSet)} extra=${gotSet.diff(exact)}")
+  }
+
   test("simhashPairs refuses maxDist the banding cannot guarantee") {
     val docs = Tables.documents(spark, sf)
     intercept[IllegalArgumentException] {
