@@ -181,6 +181,30 @@ object IndexQueries {
     NnDescent.build(base, k = 5).orderBy("id", "rank")
   }
 
+  /** q28: incremental IVF maintenance — the reference serves CRUD
+    * against a BUILT index (base/module.py insert/update/delete)
+    * without rebuilding it: only the mutation batch is assigned to the
+    * EXISTING centroids (one tiny assign pass), merged latest-wins
+    * into the assigned table (Mutations.applyBatch), deletes
+    * anti-joined out, and search probes the same fixed cells. At
+    * 100 TB this is the only viable shape: re-clustering on every
+    * batch is off the table, and the per-batch cost is O(batch), not
+    * O(N).
+    */
+  def ivfUpsert(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    val cents = sampleCents(s, dir)
+    val assigned = IvfIndex.assign(base, "vec", cents)
+    val upserts = base.filter(col("id") % 7 === 0)
+      .select(col("id"), reverse(col("vec")).as("vec"))
+      .unionByName(base.select((col("id") + 10000).as("id"), col("vec")))
+    val deletes = base.filter(col("id") % 10 === 0).select("id")
+    val merged = Mutations.applyBatch(assigned,
+      IvfIndex.assign(upserts, "vec", cents), deletes, "id")
+    ranked(IvfIndex.search(merged, queries, cents, K, NProbe,
+      VecMetric.Euclidean))
+  }
+
   /** a06: per-index build metrics — the reference's build_time /
     * index_size reporting (runner.py:457-465, 595-599). Each index is
     * actually built (the count() is the materialising action, timed
@@ -255,6 +279,7 @@ object IndexQueries {
     "q22_ivf_sq8" -> (ivfSq8 _),
     "q23_lsh_rhp" -> (lshRhp _),
     "q26_ivf_persisted" -> (ivfPersisted _),
+    "q28_ivf_upsert" -> (ivfUpsert _),
     "q24_lsh_minhash" -> (lshMinhash _),
     "q25_graph_knn" -> (knnGraph _),
     "q27_nn_descent" -> (nnDescentGraph _)
@@ -526,8 +551,44 @@ object IndexQueries {
        |         n * $NTables * 20, ${NTables * NBits} * dim * 8 FROM nn, dd)
        |ORDER BY index_name""".stripMargin
 
+  /** q28 oracle: rebuild the mutation semantics in SQL — centroids
+    * come from the ORIGINAL base (no rebuild), upserts are
+    * latest-wins, deletes win last, assignment argmin runs over the
+    * merged rows with the same (distance, cluster) tie-break.
+    */
+  private val q28Sql: String =
+    s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < $NQ),
+       |c AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, v AS cv
+       |      FROM (SELECT id, v FROM b ORDER BY id LIMIT $NList)),
+       |ups AS (SELECT id, list_reverse(v) AS v FROM b WHERE id % 7 = 0
+       |        UNION ALL SELECT id + 10000, v FROM b),
+       |merged AS (SELECT * FROM (
+       |    SELECT id, v FROM b WHERE id NOT IN (SELECT id FROM ups)
+       |    UNION ALL SELECT id, v FROM ups)
+       |  WHERE id NOT IN (SELECT id FROM b WHERE id % 10 = 0)),
+       |asg AS (SELECT id, v, cluster FROM (
+       |   SELECT m.id, m.v, c.cluster,
+       |          row_number() OVER (PARTITION BY m.id
+       |            ORDER BY list_distance(m.v, c.cv), c.cluster) AS rn
+       |   FROM merged m CROSS JOIN c) WHERE rn = 1),
+       |pr AS (SELECT query_id, cluster FROM (
+       |   SELECT q.query_id, c.cluster,
+       |          row_number() OVER (PARTITION BY q.query_id
+       |            ORDER BY list_distance(q.qv, c.cv), c.cluster) AS rn
+       |   FROM q CROSS JOIN c) WHERE rn <= $NProbe)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT q.query_id, a.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, a.v), a.id) AS rank
+       |  FROM q JOIN pr ON pr.query_id = q.query_id
+       |         JOIN asg a ON a.cluster = pr.cluster)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "a06_index_build_metrics" -> a06Sql,
+    "q28_ivf_upsert" -> q28Sql,
     "q12_recall_at_k" -> recallSql,
     "q20_ivf_flat" -> ivfFlatSql,
     "q21_ivf_pq" -> ivfPqSql,

@@ -36,6 +36,20 @@ class IndexSpec extends AnyFunSuite {
     assert(recallOf("q20_ivf_flat") >= 0.75)
   }
 
+  test("q28 upsert semantics: deletes gone, duplicate inserts found at distance 0") {
+    val got = SparkEntry.queries("q28_ivf_upsert")(spark, sf001).collect()
+    val byQuery = got.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    byQuery.foreach { case (q, nbrs) =>
+      // every surviving original id %10==0 was deleted; new ids (+10000) exempt
+      assert(!nbrs.exists(n => n < 10000 && n % 10 == 0),
+        s"query $q returned deleted id in $nbrs")
+      // the inserted exact copy of the query vector is a distance-0 neighbor
+      assert(nbrs.contains(q + 10000),
+        s"query $q missing its inserted duplicate in $nbrs")
+    }
+  }
+
   test("IVF-PQ (rerank) recall@10 >= 0.7") {
     assert(recallOf("q21_ivf_pq") >= 0.7)
   }
