@@ -205,6 +205,59 @@ object IndexQueries {
       VecMetric.Euclidean))
   }
 
+  /** q29: q28 against the PERSISTED index layout — the on-disk shape
+    * of incremental maintenance at 100 TB: the mutation batch touches
+    * a handful of cells (new assignments + old cells of
+    * updated/deleted keys), so only THOSE partition directories are
+    * rewritten (dynamic partition overwrite); unprobed, untouched
+    * cells cost zero I/O on both the write and the subsequent
+    * partition-pruned search. Per-batch cost is O(batch + touched
+    * cells), never O(N).
+    */
+  def ivfUpsertPersisted(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    val cents = sampleCents(s, dir)
+    val path = cached(dir, "ivf-upsert-path") {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_ups").toString
+      IvfIndex.persistIndex(IvfIndex.assign(base, "vec", cents), p)
+      val upserts = base.filter(col("id") % 7 === 0)
+        .select(col("id"), reverse(col("vec")).as("vec"))
+        .unionByName(base.select((col("id") + 10000).as("id"), col("vec")))
+      val upsAssigned = IvfIndex.assign(upserts, "vec", cents)
+        .localCheckpoint(true)
+      val deletes = base.filter(col("id") % 10 === 0).select("id")
+      val idx = s.read.parquet(p)
+      // touched cells: where upserts land + where mutated keys lived
+      val touchedKeys = upserts.select("id").unionAll(deletes).distinct()
+      val touched = idx.join(touchedKeys, "id").select("cluster")
+        .unionAll(upsAssigned.select("cluster"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      // materialise BEFORE overwriting the path the plan reads from
+      val merged = Mutations.applyBatch(
+        idx.filter(col("cluster").isin(touched: _*)),
+        upsAssigned, deletes, "id").localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster").parquet(p)
+      // dynamic overwrite leaves a partition dir alone if the merged
+      // batch has no rows for it — a cell emptied by deletes must be
+      // dropped explicitly or its stale rows survive
+      val nonEmpty = merged.select("cluster").distinct()
+        .collect().map(_.getInt(0)).toSet
+      touched.filterNot(nonEmpty).foreach { c =>
+        val d = java.nio.file.Paths.get(p, s"cluster=$c")
+        if (java.nio.file.Files.exists(d)) {
+          java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      }
+      p
+    }
+    ranked(IvfIndex.searchPersisted(s, path, queries, cents, K, NProbe,
+      VecMetric.Euclidean))
+  }
+
   /** a06: per-index build metrics — the reference's build_time /
     * index_size reporting (runner.py:457-465, 595-599). Each index is
     * actually built (the count() is the materialising action, timed
@@ -280,6 +333,7 @@ object IndexQueries {
     "q23_lsh_rhp" -> (lshRhp _),
     "q26_ivf_persisted" -> (ivfPersisted _),
     "q28_ivf_upsert" -> (ivfUpsert _),
+    "q29_ivf_upsert_persisted" -> (ivfUpsertPersisted _),
     "q24_lsh_minhash" -> (lshMinhash _),
     "q25_graph_knn" -> (knnGraph _),
     "q27_nn_descent" -> (nnDescentGraph _)
@@ -589,6 +643,8 @@ object IndexQueries {
   val oracleSql: Map[String, String] = Map(
     "a06_index_build_metrics" -> a06Sql,
     "q28_ivf_upsert" -> q28Sql,
+    // identical semantics to q28 — only the storage differs
+    "q29_ivf_upsert_persisted" -> q28Sql,
     "q12_recall_at_k" -> recallSql,
     "q20_ivf_flat" -> ivfFlatSql,
     "q21_ivf_pq" -> ivfPqSql,

@@ -50,6 +50,13 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("q29 persisted upsert returns exactly q28's merged-index results") {
+    val asTuples = (name: String) => SparkEntry.queries(name)(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(asTuples("q29_ivf_upsert_persisted") == asTuples("q28_ivf_upsert"))
+  }
+
   test("IVF-PQ (rerank) recall@10 >= 0.7") {
     assert(recallOf("q21_ivf_pq") >= 0.7)
   }
