@@ -56,6 +56,52 @@ object TextQueries {
     Dedup.embeddingNearDups(Tables.embeddings(s, dir), CosTau)
       .orderBy("id_a", "id_b")
 
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25NQ = 5
+  val Bm25K = 10
+
+  /** t06: BM25 top-k document retrieval, query docs = doc_id < 5 (the
+    * sparse text-relevance leg next to e03's cosine BOW). Oracle
+    * parity for a SUM of doubles needs a pinned fold order: per-term
+    * contributions are folded in term order on BOTH engines
+    * (array_sort + aggregate here, list(x ORDER BY term) +
+    * list_reduce in DuckDB). The idf is the log-free rational variant
+    * ((N - df + 0.5)/(df + 0.5), same family as t05) so every factor
+    * is plain IEEE arithmetic on both sides; avgdl is one exact
+    * int/int division.
+    */
+  def t06(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tc = cachedDf(s, dir, "termCounts")(
+      graft.operators.EmbeddingGen.termCounts(docs))
+    val n = docs.count()
+    val dl = tc.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val totTok = dl.agg(sum("dl")).head().getLong(0)
+    val avgdl = totTok.toDouble / n.toDouble
+    val dft = tc.groupBy("term").agg(count(lit(1)).as("df"))
+    val q = tc.filter(col("doc_id") < Bm25NQ)
+      .select(col("term"), col("doc_id").as("query_id"))
+    val contrib = tc.join(q, "term")
+      .join(dl, "doc_id")
+      .join(broadcast(dft), "term")
+      .select(col("query_id"), col("doc_id"), col("term"),
+        (((lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(Bm25K1 + 1.0)) /
+            (col("tf").cast("double") + lit(Bm25K1) *
+              (lit(1.0 - Bm25B) + lit(Bm25B) *
+                (col("dl").cast("double") / lit(avgdl)))))).as("x"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(expr("aggregate(transform(array_sort(collect_list(struct(term, x))), " +
+        "s -> s.x), 0D, (acc, v) -> acc + v)").as("score"))
+      .select(col("query_id"), col("score"), col("doc_id").as("id"))
+    graft.operators.KnnSearch.topKOf(scored, Bm25K, asc = false)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   def t01(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
 
@@ -90,6 +136,7 @@ object TextQueries {
     "t03_lang_id" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
     "t05_tfidf_bow" -> (t05 _),
+    "t06_bm25" -> (t06 _),
     "m01_multimodal_pipeline" -> (m01 _),
     "m02_multimodal_frames" -> (m02 _)
   )
@@ -199,6 +246,36 @@ object TextQueries {
         |       (length(text) + 3) // 4 AS est_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t03_lang_id" -> langSql,
+    "t06_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |             FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ad AS (SELECT CAST((SELECT sum(dl) FROM dl) AS DOUBLE) /
+         |              CAST(n AS DOUBLE) AS avgdl FROM nd),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |q AS (SELECT term, doc_id AS query_id FROM tf WHERE doc_id < $Bm25NQ),
+         |contrib AS (
+         |  SELECT q.query_id, tf.doc_id, tf.term,
+         |         ((CAST(nd.n AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5) /
+         |          (CAST(dft.df AS DOUBLE) + 0.5)) *
+         |         ((CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1.0}) /
+         |          (CAST(tf.tf AS DOUBLE) + $Bm25K1 *
+         |           (${1.0 - Bm25B} + $Bm25B *
+         |            (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS x
+         |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+         |       JOIN dft USING (term) CROSS JOIN nd CROSS JOIN ad),
+         |sc AS (SELECT query_id, doc_id,
+         |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list(x ORDER BY term)), (acc, v) -> acc + v) AS score
+         |       FROM contrib GROUP BY query_id, doc_id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT query_id, doc_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
     "t04_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(
