@@ -311,6 +311,20 @@ object IndexQueries {
       .orderBy("index_name")
   }
 
+  /** q35: streaming vector ingest into the IVF index (see
+    * graft.streaming.VectorIngest), then partition-pruned search.
+    * Content-identical to q20's batch-built index, which is the gate.
+    */
+  def ivfStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    val (_, queries) = baseAndQueries(s, dir)
+    val cents = sampleCents(s, dir)
+    val path = cached(dir, "ivf-stream-path") {
+      graft.streaming.VectorIngest.streamIndexIngest(s, dir, cents)
+    }
+    ranked(IvfIndex.searchPersisted(s, path, queries, cents, K, NProbe,
+      VecMetric.Euclidean))
+  }
+
   /** q12: recall@k of the IVF index against the exact kNN. */
   def recallAtK(s: SparkSession, dir: String): DataFrame = {
     val approx = ivfFlat(s, dir).select(col("query_id"), col("neighbor_id"))
@@ -334,6 +348,7 @@ object IndexQueries {
     "q26_ivf_persisted" -> (ivfPersisted _),
     "q28_ivf_upsert" -> (ivfUpsert _),
     "q29_ivf_upsert_persisted" -> (ivfUpsertPersisted _),
+    "q35_stream_index_ingest" -> (ivfStreamIngest _),
     "q24_lsh_minhash" -> (lshMinhash _),
     "q25_graph_knn" -> (knnGraph _),
     "q27_nn_descent" -> (nnDescentGraph _)
@@ -653,6 +668,8 @@ object IndexQueries {
     "q24_lsh_minhash" -> lshMinhashSql,
     "q25_graph_knn" -> q25Sql,
     "q26_ivf_persisted" -> ivfFlatSql,
+    // streaming ingest lands the same index content as the batch build
+    "q35_stream_index_ingest" -> ivfFlatSql,
     "q27_nn_descent" -> nnDescentSql
   )
 }

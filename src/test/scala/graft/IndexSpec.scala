@@ -57,6 +57,13 @@ class IndexSpec extends AnyFunSuite {
     assert(asTuples("q29_ivf_upsert_persisted") == asTuples("q28_ivf_upsert"))
   }
 
+  test("q35 streamed index lands exactly the batch-built q20 results") {
+    val asTuples = (name: String) => SparkEntry.queries(name)(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(asTuples("q35_stream_index_ingest") == asTuples("q20_ivf_flat"))
+  }
+
   test("IVF-PQ (rerank) recall@10 >= 0.7") {
     assert(recallOf("q21_ivf_pq") >= 0.7)
   }
