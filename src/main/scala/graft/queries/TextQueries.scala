@@ -82,9 +82,12 @@ object TextQueries {
     val dft = tc.groupBy("term").agg(count(lit(1)).as("df"))
     val q = tc.filter(col("doc_id") < Bm25NQ)
       .select(col("term"), col("doc_id").as("query_id"))
+    // dft is the FULL vocabulary — never broadcast it (unbounded at
+    // scale); it joins on the same term key the q-join already
+    // shuffled on
     val contrib = tc.join(q, "term")
       .join(dl, "doc_id")
-      .join(broadcast(dft), "term")
+      .join(dft, "term")
       .select(col("query_id"), col("doc_id"), col("term"),
         (((lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5))) *
