@@ -51,14 +51,33 @@ object LshRhp {
     df.select(col(idCol),
       posexplode(lsh_sigs(col(vecCol), model.planes)).as(Seq("table", "bucket")))
 
-  /** LSH search: bucket-join candidates, exact cosine re-rank. */
+  /** LSH search: bucket-join candidates, exact cosine re-rank.
+    *
+    * `multiProbe` > 0 additionally probes the buckets at hamming
+    * distance 1 in the first `multiProbe` signature bits (the classic
+    * multi-probe trick): near-misses that flipped one hyperplane side
+    * are recovered WITHOUT adding tables — candidate volume grows
+    * ~(multiProbe+1)x per query while index size stays fixed, which
+    * is the right trade at 100 TB where tables cost storage and
+    * probes cost only query-side fan-out. multiProbe = nBits probes
+    * the full 1-flip neighborhood.
+    */
   def search(
       base: DataFrame, // (id, vec)
       queries: DataFrame, // (query_id, qvec)
       model: Model,
-      k: Int): DataFrame = {
+      k: Int,
+      multiProbe: Int = 0): DataFrame = {
+    val nBits = model.planes(0).length
+    require(multiProbe >= 0 && multiProbe <= nBits,
+      s"multiProbe must be in [0, $nBits], got $multiProbe")
     val bb = buckets(base, "id", "vec", model)
-    val qb = buckets(queries, "query_id", "qvec", model)
+    val qb0 = buckets(queries, "query_id", "qvec", model)
+    val qb = if (multiProbe == 0) qb0
+    else qb0.select(col("query_id"), col("table"),
+      explode(concat(array(col("bucket")),
+        expr(s"transform(sequence(0, ${multiProbe - 1}), " +
+          "j -> bucket ^ shiftleft(1L, j))"))).as("bucket"))
     val cands = bb.join(broadcast(qb), Seq("table", "bucket"))
       .select("query_id", "id").distinct()
     val scored = cands

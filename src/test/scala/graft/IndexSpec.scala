@@ -50,6 +50,24 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH strictly improves recall at fixed table count") {
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val model = LshRhp.trainFromData(base, "vec", nTables = 8, nBits = 6)
+    val exact = exactTop10(sf001, VecMetric.Cosine)
+    def recall(multiProbe: Int): Double = {
+      val approx = LshRhp.search(base, queries, model, 10, multiProbe)
+        .select("query_id", "neighbor_id")
+      approx.intersect(exact).count().toDouble / exact.count().toDouble
+    }
+    val r0 = recall(0)
+    val r6 = recall(6)
+    assert(r6 > r0, s"multi-probe $r6 not above single-probe $r0")
+    assert(r6 >= 0.75, s"full 1-flip probing recall $r6")
+  }
+
   test("q29 persisted upsert returns exactly q28's merged-index results") {
     val asTuples = (name: String) => SparkEntry.queries(name)(spark, sf001)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
