@@ -20,6 +20,37 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getLong(3) == -1L) // all 64 bits set
   }
 
+  test("pack_bits / packed_hamming / poly_hash SQL surface") {
+    GraftSession.registerFunctions(spark)
+    val row = spark.sql(
+      """SELECT packed_hamming(pack_bits(array(1.0D, -1.0D, 1.0D), 60),
+        |                      pack_bits(array(1.0D, 1.0D, -1.0D), 60)) AS h,
+        |       poly_hash('abc', 31, 1000000007) AS p
+        |""".stripMargin).head()
+    assert(row.getLong(0) == 2L)
+    assert(row.getLong(1) ==
+      "abc".foldLeft(0L)((h, ch) => (h * 31 + ch.toInt) % 1000000007L))
+    // non-literal params are an analysis-time error, not a runtime NPE
+    val err = intercept[Exception] {
+      spark.sql("SELECT poly_hash('a', vec_id, 7) FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("foldable") ||
+      err.getMessage.contains("UNRESOLVED"), err.getMessage)
+  }
+
+  test("the knn hot path stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q01_knn_euclidean")(spark, sf)
+    df.collect() // AQE only finalises (and shows) codegen stages on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // the distance projection must carry the *(n) whole-stage-codegen
+    // marker — an interpreted fallback would print it unstarred
+    val projLine = plan.linesIterator
+      .find(l => l.contains("Project") && l.contains("vecl2"))
+    assert(projLine.isDefined, s"distance kernel not in plan:\n$plan")
+    assert(projLine.get.matches(""".*\*\(\d+\) Project.*"""),
+      s"distance projection not codegen'd: ${projLine.get}")
+  }
+
   test("SQL users can run a full knn query over parquet with vec functions") {
     GraftSession.registerFunctions(spark)
     spark.read.parquet(s"$sf/embeddings.parquet")
