@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.datagen.DataGen
+import graft.operators.{IvfIndex, KnnSearch, VecMetric}
+
+/** Scale smoke-bench over a GENERATED corpus — the scale-up path the
+  * driver's fixed testdata can't exercise. Generates n blob vectors
+  * with DataGen (no driver data, pure projections), builds the IVF
+  * index, and times: exact brute-force kNN, IVF nprobe search, and
+  * the packed-hamming scan, printing one JSON line per stage.
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleBench 1000000 64"
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 1000000L
+    val dims = if (args.length > 1) args(1).toInt else 64
+    val nlist = 64
+    val nprobe = 8
+    val nq = 100
+    val spark = GraftSession.create(appName = "graft-scale-bench")
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"""{"stage":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows,"n":$n,"dims":$dims}""")
+    }
+
+    val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    timed("generate+cache") { corpus.cache().count() }
+    val queries = corpus.filter(col("id") < nq)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+
+    timed("exact_knn_100q") {
+      KnnSearch.bruteForce(corpus, queries, 10, VecMetric.Euclidean).count()
+    }
+
+    val cents = IvfIndex.sampleCentroids(corpus, "vec", nlist)
+    var assigned: org.apache.spark.sql.DataFrame = null
+    timed("ivf_build") {
+      assigned = IvfIndex.assign(corpus, "vec", cents).cache()
+      assigned.count()
+    }
+    timed("ivf_search_100q") {
+      IvfIndex.search(assigned, queries, cents, 10, nprobe,
+        VecMetric.Euclidean).count()
+    }
+
+    timed("packed_hamming_100q") {
+      val packed = corpus.select(col("id"),
+        graft.functions.pack_bits(col("vec"), 64).as("bits")).cache()
+      packed.count()
+      val pq = packed.filter(col("id") < nq)
+        .select(col("id").as("query_id"), col("bits").as("qvec"))
+      val scored = packed.crossJoin(broadcast(pq))
+        .select(col("query_id"),
+          graft.functions.packed_hamming(col("qvec"), col("bits"))
+            .cast("double").as("score"),
+          col("id"))
+      KnnSearch.topKOf(scored, 10, asc = true).count()
+    }
+    spark.stop()
+  }
+}
