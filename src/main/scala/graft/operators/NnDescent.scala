@@ -43,7 +43,9 @@ object NnDescent {
       .distinct()
       .localCheckpoint(true)
 
-    val vecs = base.select(col("id"), col("vec"))
+    // every iteration joins vectors twice (src, dst) — without the
+    // cache that is 2*iters+2 parquet scans of the full vector column
+    val vecs = base.select(col("id"), col("vec")).cache()
 
     for (_ <- 1 to iters) {
       val und = edges.unionAll(
@@ -74,8 +76,13 @@ object NnDescent {
       .select(col("id").as("query_id"),
         vec_l2(col("sv"), col("dv")).as("score"),
         col("nb").as("id"))
-    KnnSearch.topKOf(scored, k, asc = true)
+    // materialise the (small, N x k) result so the vector cache can be
+    // released before returning — no storage pinned past the build
+    val out = KnnSearch.topKOf(scored, k, asc = true)
       .select(col("query_id").as("id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"))
+      .localCheckpoint(true)
+    vecs.unpersist()
+    out
   }
 }
