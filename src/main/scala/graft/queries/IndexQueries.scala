@@ -311,6 +311,26 @@ object IndexQueries {
       .orderBy("index_name")
   }
 
+  /** q16: binary IVF (reference BIN_IVF_FLAT on hamming datasets):
+    * embeddings sign-packed once at 60 bits/word, sample-init PACKED
+    * centroids, hamming assignment/probes, exact hamming top-k inside
+    * probed cells. The whole index is bit-vectors — dims/8 bytes per
+    * row, popcount distances.
+    */
+  def binIvfFlat(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val packed = emb.select(col("vec_id").as("id"),
+      graft.functions.pack_bits(col("embedding"), 60).as("vec"))
+    val queries = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.pack_bits(col("embedding"), 60).as("qvec"))
+    val cents = cached(dir, "bin-ivf-sample") {
+      BinIvf.sampleCentroids(packed, "vec", NList)
+    }
+    val assigned = BinIvf.assign(packed, "vec", cents)
+    ranked(BinIvf.search(assigned, queries, cents, K, NProbe))
+  }
+
   /** q35: streaming vector ingest into the IVF index (see
     * graft.streaming.VectorIngest), then partition-pruned search.
     * Content-identical to q20's batch-built index, which is the gate.
@@ -341,6 +361,7 @@ object IndexQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a06_index_build_metrics" -> (indexBuildMetrics _),
     "q12_recall_at_k" -> (recallAtK _),
+    "q16_bin_ivf" -> (binIvfFlat _),
     "q20_ivf_flat" -> (ivfFlat _),
     "q21_ivf_pq" -> (ivfPq _),
     "q22_ivf_sq8" -> (ivfSq8 _),
@@ -655,8 +676,49 @@ object IndexQueries {
        |         JOIN asg a ON a.cluster = pr.cluster)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** q16 oracle: pack 60-bit words (q15's CTE), sample-init packed
+    * centroids by id order, hamming argmin assignment and probes with
+    * (distance, cluster) tie-breaks, exact hamming top-k in probed
+    * cells with (distance, id) tie-breaks.
+    */
+  private val q16Sql: String = {
+    def hamm(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, len($a) + 1),
+         |  i -> bit_count(xor($a[CAST(i AS INT)], $b[CAST(i AS INT)]))))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id,
+       |        list_transform(range(0, (len(v) + 59) // 60), w ->
+       |          CAST(list_sum(list_transform(range(0, 60), j ->
+       |            CASE WHEN w * 60 + j < len(v) AND v[CAST(w * 60 + j + 1 AS INT)] > 0
+       |                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+       |                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS bits
+       |      FROM e),
+       |b AS (SELECT vec_id AS id, bits FROM p),
+       |q AS (SELECT vec_id AS query_id, bits AS qb FROM p WHERE vec_id < $NQ),
+       |c AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, bits AS cb
+       |      FROM (SELECT id, bits FROM b ORDER BY id LIMIT $NList)),
+       |asg AS (SELECT id, bits, cluster FROM (
+       |   SELECT b.id, b.bits, c.cluster,
+       |          row_number() OVER (PARTITION BY b.id
+       |            ORDER BY ${hamm("b.bits", "c.cb")}, c.cluster) AS rn
+       |   FROM b CROSS JOIN c) WHERE rn = 1),
+       |pr AS (SELECT query_id, cluster FROM (
+       |   SELECT q.query_id, c.cluster,
+       |          row_number() OVER (PARTITION BY q.query_id
+       |            ORDER BY ${hamm("q.qb", "c.cb")}, c.cluster) AS rn
+       |   FROM q CROSS JOIN c) WHERE rn <= $NProbe)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT q.query_id, a.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY ${hamm("q.qb", "a.bits")}, a.id) AS rank
+       |  FROM q JOIN pr ON pr.query_id = q.query_id
+       |         JOIN asg a ON a.cluster = pr.cluster)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "a06_index_build_metrics" -> a06Sql,
+    "q16_bin_ivf" -> q16Sql,
     "q28_ivf_upsert" -> q28Sql,
     // identical semantics to q28 — only the storage differs
     "q29_ivf_upsert_persisted" -> q28Sql,

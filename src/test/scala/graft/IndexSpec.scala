@@ -68,6 +68,15 @@ class IndexSpec extends AnyFunSuite {
     assert(r6 >= 0.75, s"full 1-flip probing recall $r6")
   }
 
+  test("binary IVF recall@10 >= 0.8 vs exact packed hamming (measured 0.93)") {
+    val approx = SparkEntry.queries("q16_bin_ivf")(spark, sf001)
+      .select("query_id", "neighbor_id")
+    val exact = SparkEntry.queries("q15_knn_hamming_packed")(spark, sf001)
+      .select("query_id", "neighbor_id")
+    val hits = approx.intersect(exact).count().toDouble
+    assert(hits / exact.count().toDouble >= 0.8)
+  }
+
   test("q29 persisted upsert returns exactly q28's merged-index results") {
     val asTuples = (name: String) => SparkEntry.queries(name)(spark, sf001)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
