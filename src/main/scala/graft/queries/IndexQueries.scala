@@ -345,6 +345,33 @@ object IndexQueries {
       VecMetric.Euclidean))
   }
 
+  val SweepNprobes: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** q17: the reference runner's query-argument sweep
+    * (query_argument_groups, runner.py — nprobe is THE IVF tuning
+    * knob): recall@K of the IVF index at each nprobe, averaged over
+    * the query set. One assignment and one exact-GT computation are
+    * shared across the whole sweep; each step only swaps the probe
+    * list. avg_recall = total_hits / (NQ * K) — an exact integer
+    * ratio, so the curve itself is hash-gated.
+    */
+  def nprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    val cents = sampleCents(s, dir)
+    val assigned = IvfIndex.assign(base, "vec", cents)
+    val exact = KnnSearch.bruteForce(base, queries, K, VecMetric.Euclidean)
+      .select(col("query_id"), col("neighbor_id"))
+    SweepNprobes.map { np =>
+      val approx = IvfIndex.search(assigned, queries, cents, K, np,
+        VecMetric.Euclidean).select(col("query_id"), col("neighbor_id"))
+      approx.intersect(exact)
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np.toLong).as("nprobe"),
+          (col("hits").cast("double") / lit((NQ * K).toDouble))
+            .as("avg_recall"))
+    }.reduceLeft(_ unionAll _).orderBy("nprobe")
+  }
+
   /** q12: recall@k of the IVF index against the exact kNN. */
   def recallAtK(s: SparkSession, dir: String): DataFrame = {
     val approx = ivfFlat(s, dir).select(col("query_id"), col("neighbor_id"))
@@ -362,6 +389,7 @@ object IndexQueries {
     "a06_index_build_metrics" -> (indexBuildMetrics _),
     "q12_recall_at_k" -> (recallAtK _),
     "q16_bin_ivf" -> (binIvfFlat _),
+    "q17_nprobe_sweep" -> (nprobeSweep _),
     "q20_ivf_flat" -> (ivfFlat _),
     "q21_ivf_pq" -> (ivfPq _),
     "q22_ivf_sq8" -> (ivfSq8 _),
@@ -716,9 +744,45 @@ object IndexQueries {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q17 oracle: the ivfCte build + a fully-ranked probe list, then
+    * one recall block per swept nprobe (integer hit counts, one exact
+    * division each).
+    */
+  private val q17Sql: String = {
+    val blocks = SweepNprobes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |       CAST((SELECT count(*) FROM (
+         |          SELECT query_id, neighbor_id FROM (
+         |            SELECT q.query_id, a.id AS neighbor_id,
+         |                   row_number() OVER (PARTITION BY q.query_id
+         |                     ORDER BY list_distance(q.qv, a.v), a.id) AS rank
+         |            FROM q JOIN prr ON prr.query_id = q.query_id
+         |                               AND prr.rn <= $np
+         |                   JOIN asg a ON a.cluster = prr.cluster)
+         |          WHERE rank <= $K) ap
+         |          JOIN ex USING (query_id, neighbor_id)) AS DOUBLE) /
+         |       CAST(${NQ * K} AS DOUBLE) AS avg_recall""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ivfCte,
+       |prr AS (SELECT query_id, cluster, rn FROM (
+       |   SELECT q.query_id, c.cluster,
+       |          row_number() OVER (PARTITION BY q.query_id
+       |            ORDER BY list_distance(q.qv, c.cv), c.cluster) AS rn
+       |   FROM q CROSS JOIN c) WHERE rn <= $NList),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT q.query_id, b.id AS neighbor_id,
+       |          row_number() OVER (PARTITION BY q.query_id
+       |            ORDER BY list_distance(q.qv, b.v), b.id) AS rank
+       |   FROM q CROSS JOIN b) WHERE rank <= $K)
+       |SELECT nprobe, avg_recall FROM (
+       |$blocks
+       |) ORDER BY nprobe""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "a06_index_build_metrics" -> a06Sql,
     "q16_bin_ivf" -> q16Sql,
+    "q17_nprobe_sweep" -> q17Sql,
     "q28_ivf_upsert" -> q28Sql,
     // identical semantics to q28 — only the storage differs
     "q29_ivf_upsert_persisted" -> q28Sql,
