@@ -128,6 +128,22 @@ object VectorQueries {
       (0 until 4).map(i => (s"bv$i", s"qv$i", 0.25))))
   }
 
+  /** q18: the reference's EXACT multi-vector metric — mean of
+    * per-field euclidean distances (random_mv ground truth,
+    * datasets.py:437-441: np.mean(np.linalg.norm(test - train,
+    * axis=3), axis=2)) — ascending. q06/q07 are the fusion variants;
+    * this one is the reference's own mv distance.
+    */
+  def multiVectorMeanL2(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = mvBaseAndQueries(s, dir)
+    val score = (0 until 4)
+      .map(i => graft.functions.vec_l2(col(s"qv$i"), col(s"bv$i")))
+      .reduceLeft(_ + _) / lit(4.0)
+    val scored = base.crossJoin(broadcast(queries))
+      .select(col("query_id"), score.as("score"), col("id"))
+    ranked(KnnSearch.topKOf(scored, K, asc = true))
+  }
+
   def multiVectorRrf(s: SparkSession, dir: String): DataFrame = {
     val (base, queries) = mvBaseAndQueries(s, dir)
     ranked(MultiVectorSearch.rrf(base, queries, K,
@@ -221,6 +237,7 @@ object VectorQueries {
     "q05_range_search" -> (rangeSearch _),
     "q06_multi_vector" -> (multiVectorWeighted _),
     "q07_multi_vector_rrf" -> (multiVectorRrf _),
+    "q18_multi_vector_mean_l2" -> (multiVectorMeanL2 _),
     "q08_knn_hamming" -> knn(VecMetric.SignHamming) _,
     "q15_knn_hamming_packed" -> (knnHammingPacked _),
     "q09_knn_jaccard" -> (knnJaccard _),
@@ -333,6 +350,10 @@ object VectorQueries {
          |ORDER BY query_id, neighbor_id""".stripMargin,
     "q06_multi_vector" -> knnSqlCustom(mvWeightedOrder),
     "q07_multi_vector_rrf" -> rrfSql,
+    "q18_multi_vector_mean_l2" -> knnSqlCustom(
+      (0 until 4).map(i =>
+        s"list_distance(${mvSliceSql("q.qv", i)}, ${mvSliceSql("b.v", i)})")
+        .mkString("(", " + ", ") / 4.0")),
     "q08_knn_hamming" -> knnSql(
       "len(list_filter(list_zip(q.qv, b.v), p -> (p[1] > 0) != (p[2] > 0)))"),
     "q15_knn_hamming_packed" ->
