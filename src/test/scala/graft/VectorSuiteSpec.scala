@@ -137,6 +137,25 @@ class VectorSuiteSpec extends AnyFunSuite {
     assert(asTuples(blocked) == asTuples(exact))
   }
 
+  test("blocked paths survive empty and filtered-to-empty inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.Dedup.embeddingNearDups(empty, 0.5).count() == 0)
+    val few = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("id", "vec")
+    val q = few.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val none = KnnSearch.bruteForceBlocked(few, q, 3, VecMetric.Euclidean,
+      preFilter = Some(col("id") > 100))
+    assert(none.count() == 0)
+    val withPair = KnnSearch.bruteForceBlocked(few, q, 3, VecMetric.Euclidean,
+      pairFilter = Some(col("id") =!= col("query_id")))
+    // self excluded, so each query's single neighbor is the other row
+    val got = withPair.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(got == Set((1L, 2L), (2L, 1L)))
+  }
+
   test("query-side scans prune to the selected columns only") {
     val plan = SparkEntry.queries("q01_knn_euclidean")(spark, sf)
       .queryExecution.executedPlan.toString
