@@ -49,6 +49,23 @@ object ScaleBench {
         VecMetric.Euclidean).count()
     }
 
+    // the blocked grid join (d05/q10 shape) on a 20k slice: 400M pair
+    // evaluations through the equi-join path — the workload that a
+    // broadcast or cartesian plan could not survive at larger N
+    val slice = corpus.filter(col("id") < 20000)
+      .withColumnRenamed("id", "vec_id").withColumnRenamed("vec", "embedding")
+    timed("blocked_pairs_20k") {
+      graft.operators.Dedup
+        .embeddingNearDups(slice, 0.995, blockRows = 4096).count()
+    }
+    timed("blocked_batch_knn_20k") {
+      val b = slice.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = slice.select(col("vec_id").as("query_id"),
+        col("embedding").as("qvec"))
+      KnnSearch.bruteForceBlocked(b, q, 10, VecMetric.Euclidean,
+        blockRows = 4096).count()
+    }
+
     timed("packed_hamming_100q") {
       val packed = corpus.select(col("id"),
         graft.functions.pack_bits(col("vec"), 64).as("bits")).cache()
