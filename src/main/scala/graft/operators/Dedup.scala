@@ -108,8 +108,12 @@ object Dedup {
     */
   def ngramJaccardPairsOf(sh: DataFrame, tau: Double,
       maxDf: Long = 1000L): DataFrame = {
+    // the final plan consumes the exploded index FOUR times (df agg,
+    // hot-doc agg, both self-join sides); materialise it once —
+    // localCheckpoint blocks are freed by the ContextCleaner when the
+    // plan is GC'd, so nothing stays pinned across invocations
     val inv = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("s"))
+      explode(col("sh")).as("s")).localCheckpoint(true)
     // no .cache(): both consumers (keep, hot) sit in ONE final plan,
     // so the agg's exchange is shared by ReuseExchange without pinning
     // executor storage across invocations
