@@ -178,11 +178,14 @@ object Dedup {
     val h = bands * rowsPerBand
     val sig = minhashSignatures(sh, h, seed)
     // one signature pass, bands exploded from it — unioning per-band
-    // selects would recompute the signatures once per band
+    // selects would recompute the signatures once per band; the
+    // banded table feeds BOTH self-join sides, so materialise it once
+    // (h minhash evaluations per doc are the expensive part)
     val banded = sig.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), " +
         s"b -> xxhash64(slice(sigs, b * $rowsPerBand + 1, $rowsPerBand)))"))
       .as(Seq("band", "bucket")))
+      .localCheckpoint(true)
     val candA = banded.toDF("doc_a", "band", "bucket")
     val candB = banded.toDF("doc_b", "band", "bucket")
     val cands = candA.join(candB, Seq("band", "bucket"))

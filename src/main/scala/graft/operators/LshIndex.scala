@@ -110,10 +110,13 @@ object MinHashLshIndex {
     // bucket key = the band's raw signature slice (4 longs). At scale
     // you'd xxhash64-compress the slice to one long; the raw slice is
     // equality-identical and keeps the key DuckDB-replicable.
+    // feeds both the base side and (filtered) the query side of the
+    // bucket join — materialise the signature pass once
     val banded = sig.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), " +
         s"b -> slice(sigs, b * $rowsPerBand + 1, $rowsPerBand))"))
       .as(Seq("band", "bucket")))
+      .localCheckpoint(true)
     val qb = banded.filter(queryIds)
       .toDF("query_id", "band", "bucket")
     val cands = banded.join(broadcast(qb), Seq("band", "bucket"))
