@@ -123,6 +123,49 @@ object IvfIndex {
   def persistIndex(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+  /** Apply a mutation batch to a PERSISTED cluster-partitioned index
+    * incrementally: only the touched cell partitions (where upserts
+    * land + where mutated keys lived) are rewritten via dynamic
+    * partition overwrite, and cells the deletes emptied are dropped
+    * explicitly — dynamic overwrite leaves a partition dir alone when
+    * the merged batch has no rows for it, so without the drop its
+    * stale rows would survive. Per-batch I/O is O(batch + touched
+    * cells), never O(N).
+    *
+    * upsAssigned: (id, vec, cluster) — the batch already assigned to
+    * the EXISTING centroids; deletes: (id).
+    */
+  def upsertPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      upsAssigned0: DataFrame,
+      deletes: DataFrame): Unit = {
+    val upsAssigned = upsAssigned0.localCheckpoint(true)
+    val idx = spark.read.parquet(path)
+    val touchedKeys = upsAssigned.select("id")
+      .unionAll(deletes.select("id")).distinct()
+    val touched = idx.join(touchedKeys, "id").select("cluster")
+      .unionAll(upsAssigned.select("cluster"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // materialise BEFORE overwriting the path the plan reads from
+    val merged = Mutations.applyBatch(
+      idx.filter(col("cluster").isin(touched: _*)),
+      upsAssigned, deletes, "id").localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster").parquet(path)
+    val nonEmpty = merged.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    touched.filterNot(nonEmpty).foreach { c =>
+      val d = java.nio.file.Paths.get(path, s"cluster=$c")
+      if (java.nio.file.Files.exists(d)) {
+        java.nio.file.Files.walk(d)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+    }
+  }
+
   /** Search a persisted index: the probe set prunes partitions at the
     * scan, then the per-query probe join restricts candidate pairs.
     */

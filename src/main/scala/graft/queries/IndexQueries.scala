@@ -224,34 +224,9 @@ object IndexQueries {
       val upserts = base.filter(col("id") % 7 === 0)
         .select(col("id"), reverse(col("vec")).as("vec"))
         .unionByName(base.select((col("id") + 10000).as("id"), col("vec")))
-      val upsAssigned = IvfIndex.assign(upserts, "vec", cents)
-        .localCheckpoint(true)
-      val deletes = base.filter(col("id") % 10 === 0).select("id")
-      val idx = s.read.parquet(p)
-      // touched cells: where upserts land + where mutated keys lived
-      val touchedKeys = upserts.select("id").unionAll(deletes).distinct()
-      val touched = idx.join(touchedKeys, "id").select("cluster")
-        .unionAll(upsAssigned.select("cluster"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      // materialise BEFORE overwriting the path the plan reads from
-      val merged = Mutations.applyBatch(
-        idx.filter(col("cluster").isin(touched: _*)),
-        upsAssigned, deletes, "id").localCheckpoint(true)
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cluster").parquet(p)
-      // dynamic overwrite leaves a partition dir alone if the merged
-      // batch has no rows for it — a cell emptied by deletes must be
-      // dropped explicitly or its stale rows survive
-      val nonEmpty = merged.select("cluster").distinct()
-        .collect().map(_.getInt(0)).toSet
-      touched.filterNot(nonEmpty).foreach { c =>
-        val d = java.nio.file.Paths.get(p, s"cluster=$c")
-        if (java.nio.file.Files.exists(d)) {
-          java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.delete(f))
-        }
-      }
+      IvfIndex.upsertPersisted(s, p,
+        IvfIndex.assign(upserts, "vec", cents),
+        base.filter(col("id") % 10 === 0).select("id"))
       p
     }
     ranked(IvfIndex.searchPersisted(s, path, queries, cents, K, NProbe,

@@ -77,6 +77,29 @@ class IndexSpec extends AnyFunSuite {
     assert(hits / exact.count().toDouble >= 0.8)
   }
 
+  test("persisted upsert drops a cell its deletes emptied (no stale partition)") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    // 2 centroids far apart; ids 0,1 -> cell of (0,0), ids 2,3 -> cell of (9,9)
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0.5f, 0f)),
+      (2L, Array(9f, 9f)), (3L, Array(9.5f, 9f))).toDF("id", "vec")
+    val cents = Array(Array(0.0, 0.0), Array(9.0, 9.0))
+    val p = java.nio.file.Files.createTempDirectory("graft_ups_test").toString
+    IvfIndex.persistIndex(IvfIndex.assign(vecs, "vec", cents), p)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p, "cluster=1")))
+    // delete BOTH members of cell 1, upsert nothing
+    val deletes = Seq(2L, 3L).toDF("id")
+    val noUpserts = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    IvfIndex.upsertPersisted(spark, p,
+      IvfIndex.assign(noUpserts, "vec", cents), deletes)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "cluster=1")),
+      "emptied cell directory must be dropped")
+    val left = spark.read.parquet(p).select("id").as[Long].collect().toSet
+    assert(left == Set(0L, 1L))
+  }
+
   test("q29 persisted upsert returns exactly q28's merged-index results") {
     val asTuples = (name: String) => SparkEntry.queries(name)(spark, sf001)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
