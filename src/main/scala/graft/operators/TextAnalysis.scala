@@ -89,6 +89,9 @@ object TextAnalysis {
     * doubles — no log() whose libm rounding could differ per engine.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    // term counts feed three consumers; measured at sf0.1 the
+    // recompute is cheaper than materialising (cf. d02/d03 where the
+    // shared subtree is heavy enough to checkpoint)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val docLen = toks.groupBy("doc_id").agg(sum("tf").as("n_toks"))
