@@ -181,6 +181,40 @@ object IndexQueries {
     NnDescent.build(base, k = 5).orderBy("id", "rank")
   }
 
+  // calibrated on the unstructured corpus (the hard case): degree is
+  // the recall lever, not rounds — at degree 5 the walk converges to a
+  // local minimum by round 3 (recall 0.72, extra rounds add nothing),
+  // at degree 8 it escapes (recall 0.99 visiting ~136/500 nodes)
+  val Beam = 10
+  val BeamRounds = 3
+  val GraphDeg = 8
+
+  /** q19: graph-index SEARCH — batch beam search over the prebuilt
+    * kNN graph (the query side of the reference's HNSW/SPTAG-BKT
+    * family; q25/q27 are the build side). The graph is built once and
+    * persisted (an index is built-then-queried, like q26's IVF
+    * layout); the search itself touches only
+    * entries + rounds x beam x degree vectors per query — never a
+    * full scan per query. Entry points are the first NList ids, the
+    * same replicable seed rows the IVF builds sample.
+    */
+  def graphSearch(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    val path = cached(dir, "knn-graph-path") {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_knn_graph").toString
+      KnnSearch.bruteForceBlocked(base,
+        base.select(col("id").as("query_id"), col("vec").as("qvec")),
+        GraphDeg, VecMetric.Euclidean,
+        pairFilter = Some(col("id") =!= col("query_id")))
+        .select(col("query_id").as("id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    ranked(GraphSearch.beamSearch(base, s.read.parquet(path), queries,
+      K, Beam, BeamRounds, NList))
+  }
+
   /** q28: incremental IVF maintenance — the reference serves CRUD
     * against a BUILT index (base/module.py insert/update/delete)
     * without rebuilding it: only the mutation batch is assigned to the
@@ -373,6 +407,7 @@ object IndexQueries {
     "q28_ivf_upsert" -> (ivfUpsert _),
     "q29_ivf_upsert_persisted" -> (ivfUpsertPersisted _),
     "q35_stream_index_ingest" -> (ivfStreamIngest _),
+    "q19_graph_search" -> (graphSearch _),
     "q24_lsh_minhash" -> (lshMinhash _),
     "q25_graph_knn" -> (knnGraph _),
     "q27_nn_descent" -> (nnDescentGraph _)
@@ -621,6 +656,44 @@ object IndexQueries {
        |WHERE rank <= 5 ORDER BY id, rank""".stripMargin
   }
 
+  /** q19 oracle: the exact-graph CTE (q25's shape at degree GraphDeg)
+    * + the beam walk unrolled — visited set s_r grows by the beam's
+    * one-hop neighbors each round, beam = top-Beam of s_r by
+    * (distance, id); final answer is the top-K of everything visited.
+    */
+  private val q19Sql: String = {
+    val rounds = (1 to BeamRounds).map { r =>
+      val prev = r - 1
+      s"""bm$prev AS (SELECT query_id, id FROM (
+         |   SELECT s.query_id, s.id,
+         |          row_number() OVER (PARTITION BY s.query_id
+         |            ORDER BY list_distance(q.qv, b.v), s.id) AS rn
+         |   FROM s$prev s JOIN q USING (query_id) JOIN b USING (id))
+         | WHERE rn <= $Beam),
+         |s$r AS (SELECT query_id, id FROM s$prev
+         |        UNION
+         |        SELECT m.query_id, g.neighbor_id
+         |        FROM bm$prev m JOIN g USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < $NQ),
+       |g AS (SELECT id, neighbor_id FROM (
+       |   SELECT a.id, z.id AS neighbor_id,
+       |          row_number() OVER (PARTITION BY a.id
+       |            ORDER BY list_distance(a.v, z.v), z.id) AS rank
+       |   FROM b a CROSS JOIN b z WHERE a.id != z.id) WHERE rank <= $GraphDeg),
+       |s0 AS (SELECT q.query_id, e.id
+       |       FROM q CROSS JOIN (SELECT id FROM b ORDER BY id LIMIT $NList) e),
+       |$rounds
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT s.query_id, s.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY s.query_id
+       |           ORDER BY list_distance(q.qv, b.v), s.id) AS rank
+       |  FROM s$BeamRounds s JOIN q USING (query_id) JOIN b USING (id))
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   /** a06 oracle: every gated metric is derivable from (N, dim) and the
     * fixed index constants — the oracle recomputes the same size model
     * over count(*)/len(embedding).
@@ -762,6 +835,7 @@ object IndexQueries {
     // identical semantics to q28 — only the storage differs
     "q29_ivf_upsert_persisted" -> q28Sql,
     "q12_recall_at_k" -> recallSql,
+    "q19_graph_search" -> q19Sql,
     "q20_ivf_flat" -> ivfFlatSql,
     "q21_ivf_pq" -> ivfPqSql,
     "q22_ivf_sq8" -> ivfSq8Sql,

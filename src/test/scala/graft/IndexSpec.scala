@@ -114,6 +114,10 @@ class IndexSpec extends AnyFunSuite {
     assert(asTuples("q35_stream_index_ingest") == asTuples("q20_ivf_flat"))
   }
 
+  test("q19 graph beam search recall@10 >= 0.9 (measured 0.99 visiting ~27% of nodes)") {
+    assert(recallOf("q19_graph_search") >= 0.9)
+  }
+
   test("IVF-PQ (rerank) recall@10 >= 0.7") {
     assert(recallOf("q21_ivf_pq") >= 0.7)
   }
