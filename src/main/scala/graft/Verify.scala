@@ -9,7 +9,7 @@ object Verify {
     // optional third arg: only dump queries whose name matches the
     // regex (iteration aid; the driver always calls with two args)
     val keep: String => Boolean =
-      if (args.length > 2) args(2).r.unanchored.matches(_) else _ => true
+      if (args.length > 2) args(2).r.findFirstIn(_).isDefined else _ => true
     val spark = GraftSession.create(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>

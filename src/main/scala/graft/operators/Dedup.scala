@@ -295,6 +295,52 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** d06: near-dup PAIRS → dedup CLUSTERS. A pair list alone can't
+    * drive deduplication — transitive near-dups (A~B, B~C) must
+    * collapse into ONE surviving document — so the pipeline step after
+    * any of d02-d05 is connected components over the pair graph.
+    * Returns (doc_id, cluster_id) for every doc appearing in a pair,
+    * cluster_id = the smallest doc id reachable from it (the canonical
+    * survivor; docs absent from `pairs` are their own singleton
+    * cluster and are omitted, as nothing needs deduplicating).
+    *
+    * Algorithm: min-label propagation — labels start as min(self,
+    * neighbors) and each round takes the min of neighbors' labels; a
+    * round is one shuffle join on node ids + an agg, lineage cut per
+    * round. Rounds needed = cluster diameter, and near-dup clusters
+    * are dense (shared content ⇒ most pairs present ⇒ diameter 2-3),
+    * so this converges in a handful of rounds at any corpus size —
+    * the same plan a large-star/small-star implementation reaches,
+    * without its re-pointing bookkeeping. Convergence is a fixpoint of
+    * the graph (iteration count doesn't affect the result), which is
+    * what lets a recursive-CTE oracle replicate it.
+    */
+  def connectedComponents(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // undirected edges + a self-loop per node: the self-loop folds a
+    // node's own label into the same neighbor-min aggregation
+    val und = fwd
+      .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .unionAll(fwd.select(col("src"), col("src").as("dst")))
+      .unionAll(fwd.select(col("dst").as("src"), col("dst").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = und.groupBy("src").agg(min("dst").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val next = und
+        .join(labels.select(col("src").as("dst"), col("comp")), "dst")
+        .groupBy("src").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "src")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+    }
+    labels.select(col("src").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
   def embeddingNearDups(emb: DataFrame, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       blockRows: Int = 8192): DataFrame = {

@@ -79,6 +79,36 @@ object TextAnalysis {
       (col("doc_id") +: langs.map(l => col(s"s_$l")) :+ pred.as("pred_lang")): _*)
   }
 
+  /** t07: PII redaction — the scrub pass an LLM-training corpus gets
+    * before anything else sees it. Pure sequential `regexp_replace`
+    * column expressions (codegen'd, one projection, no UDF), so the
+    * scan streams at full width at any corpus size. Patterns stay in
+    * the regex subset whose semantics agree between Java regex (Spark)
+    * and RE2 (DuckDB): character classes, bounded repetition, greedy
+    * quantifiers — no backrefs or lookaround, which RE2 lacks.
+    * Replacement order is pinned (emails, then SSN-shaped ids, then
+    * phones) and counts are taken on the ORIGINAL text, so both
+    * engines compute identical outputs by construction.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(SsnRe), lit(0)))
+        .cast("long").as("n_ids"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          SsnRe, "<ID>"),
+        PhoneRe, "<PHONE>").as("scrubbed"))
+
   /** t04: rolling-hash fingerprint (custom codegen'd expression). */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), text_fingerprint(col("text")).as("fp"))

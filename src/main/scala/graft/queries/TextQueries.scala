@@ -56,6 +56,15 @@ object TextQueries {
     Dedup.embeddingNearDups(Tables.embeddings(s, dir), CosTau)
       .orderBy("id_a", "id_b")
 
+  /** d06: the pipeline step AFTER pair discovery — near-dup clusters
+    * via connected components over d03's pair graph, cluster_id = the
+    * canonical survivor (min reachable doc id).
+    */
+  def d06(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashLshOf(shingled(s, dir), NgramTau))
+      .orderBy("doc_id")
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25NQ = 5
@@ -105,6 +114,27 @@ object TextQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** t07: PII scrub (TextAnalysis.piiScrub). The synthetic corpus
+    * carries no PII, so the gated query first plants deterministic
+    * markers (an email, a phone, an SSN-shaped id for every third doc)
+    * with the SAME concat expression on both engines — the gate then
+    * exercises the real scrubber: counts from the original text,
+    * redaction chain in pinned order.
+    */
+  def t07(s: SparkSession, dir: String): DataFrame = {
+    val aug = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" ssn 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.piiScrub(aug).orderBy("doc_id")
+  }
+
   def t01(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
 
@@ -134,12 +164,14 @@ object TextQueries {
     "d03_dedup_minhash_lsh" -> (d03 _),
     "d04_dedup_simhash" -> (d04 _),
     "d05_dedup_embedding" -> (d05 _),
+    "d06_dedup_clusters" -> (d06 _),
     "t01_quality_score" -> (t01 _),
     "t02_token_count" -> (t02 _),
     "t03_lang_id" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
     "t05_tfidf_bow" -> (t05 _),
     "t06_bm25" -> (t06 _),
+    "t07_pii_scrub" -> (t07 _),
     "m01_multimodal_pipeline" -> (m01 _),
     "m02_multimodal_frames" -> (m02 _)
   )
@@ -151,14 +183,31 @@ object TextQueries {
       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
       |           FROM d WHERE len(t) >= 3)""".stripMargin
 
-  private val ngramPairsSql =
-    s"""$shingleCte
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  private val pairSelect =
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |      >= $NgramTau
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |      >= $NgramTau""".stripMargin
+
+  private val ngramPairsSql =
+    s"$shingleCte\n$pairSelect\nORDER BY doc_a, doc_b"
+
+  /** d06 oracle: the exact pair set + a recursive-CTE transitive
+    * closure; cluster_id = min reachable doc id (the propagation
+    * fixpoint is graph-determined, so the iterative Spark plan and the
+    * recursion agree exactly).
+    */
+  private val d06Sql =
+    s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |p AS ($pairSelect),
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+       |reach AS (SELECT src, dst FROM und
+       |          UNION
+       |          SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   private val langSql: String = {
     val scores = TextAnalysis.LangMarkers.map { case (lang, words) =>
@@ -191,6 +240,7 @@ object TextQueries {
     // the exact pair set is its oracle. The ScalaTest spec asserts
     // d03 == d02 independently.
     "d03_dedup_minhash_lsh" -> ngramPairsSql,
+    "d06_dedup_clusters" -> d06Sql,
     "d04_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
          |             FROM documents),
@@ -279,6 +329,27 @@ object TextQueries {
          |           ORDER BY score DESC, doc_id) AS rank
          |  FROM sc)
          |WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
+    "t07_pii_scrub" -> {
+      import graft.operators.TextAnalysis.{EmailRe, SsnRe, PhoneRe}
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@mail.example.org call 555-' ||
+         |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-' ||
+         |       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |       ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$SsnRe')) AS BIGINT) AS n_ids,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$SsnRe', '<ID>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+         |FROM aug ORDER BY doc_id""".stripMargin
+    },
     "t04_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

@@ -98,6 +98,38 @@ class DedupTextSpec extends AnyFunSuite {
       s"missed=${exact.diff(gotSet)} extra=${gotSet.diff(exact)}")
   }
 
+  test("d06 components: chains collapse transitively, islands stay apart") {
+    import spark.implicits._
+    // a-b-c chain (a~b, b~c but NOT a~c), a separate pair, a 4-cycle
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("d06 components of an empty pair set is empty") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(pairs).count() == 0)
+  }
+
+  test("piiScrub redacts planted PII and counts it, leaves clean text alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "mail me at a.b-c+x@sub.example.org or 555-123-4567 id 123-45-6789"),
+      (1L, "no pii here just words")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[String]("scrubbed") ==
+      "mail me at <EMAIL> or <PHONE> id <ID>")
+    assert((got(0L).getAs[Long]("n_emails"), got(0L).getAs[Long]("n_phones"),
+      got(0L).getAs[Long]("n_ids")) == ((1L, 1L, 1L)))
+    assert(got(1L).getAs[String]("scrubbed") == "no pii here just words")
+    assert(got(1L).getAs[Long]("n_emails") == 0L)
+  }
+
   test("simhashPairs refuses maxDist the banding cannot guarantee") {
     val docs = Tables.documents(spark, sf)
     intercept[IllegalArgumentException] {
