@@ -354,6 +354,26 @@ object IndexQueries {
       VecMetric.Euclidean))
   }
 
+  // two-level tree: 8 x 4 leaves, descend 3 cells then 6 leaves
+  val TreeL1 = 8
+  val TreeSub = 4
+  val TreeP1 = 3
+  val TreeP2 = 6
+
+  /** q36: two-level IVF tree (the reference's SPTAG-BKT / coarse-fine
+    * family) — see IvfTree. Both levels sample-init ⇒ the whole
+    * descent replicates in SQL.
+    */
+  def ivfTree(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    val m = cached(dir, "ivf-tree") {
+      IvfTree.sampleModel(base, "vec", TreeL1, TreeSub)
+    }
+    val assigned = IvfTree.assign(base, "vec", m)
+    ranked(IvfTree.search(assigned, queries, m, K, TreeP1, TreeP2,
+      VecMetric.Euclidean))
+  }
+
   val SweepNprobes: Seq[Int] = Seq(1, 2, 4, 8, 16)
 
   /** q17: the reference runner's query-argument sweep
@@ -407,6 +427,7 @@ object IndexQueries {
     "q28_ivf_upsert" -> (ivfUpsert _),
     "q29_ivf_upsert_persisted" -> (ivfUpsertPersisted _),
     "q35_stream_index_ingest" -> (ivfStreamIngest _),
+    "q36_ivf_tree" -> (ivfTree _),
     "q19_graph_search" -> (graphSearch _),
     "q24_lsh_minhash" -> (lshMinhash _),
     "q25_graph_knn" -> (knnGraph _),
@@ -694,6 +715,49 @@ object IndexQueries {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q36 oracle: the two-level descent in SQL — both levels' sample
+    * init and argmin assignments, then the p1-cells → p2-leaves probe
+    * rankings, all with the same (distance, index) tie-breaks the
+    * first-min Spark assignment produces.
+    */
+  private val q36Sql: String =
+    s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < $NQ),
+       |c1 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS l1, v AS cv
+       |       FROM (SELECT id, v FROM b ORDER BY id LIMIT $TreeL1)),
+       |a1 AS (SELECT id, v, l1 FROM (
+       |   SELECT b.id, b.v, c1.l1,
+       |          row_number() OVER (PARTITION BY b.id
+       |            ORDER BY list_distance(b.v, c1.cv), c1.l1) AS rn
+       |   FROM b CROSS JOIN c1) WHERE rn = 1),
+       |c2 AS (SELECT l1, rn - 1 AS l2, v AS cv FROM (
+       |   SELECT l1, v, row_number() OVER (PARTITION BY l1 ORDER BY id) AS rn
+       |   FROM a1) WHERE rn <= $TreeSub),
+       |a2 AS (SELECT id, v, l1, l2 FROM (
+       |   SELECT a.id, a.v, a.l1, c2.l2,
+       |          row_number() OVER (PARTITION BY a.id
+       |            ORDER BY list_distance(a.v, c2.cv), c2.l2) AS rn
+       |   FROM a1 a JOIN c2 ON c2.l1 = a.l1) WHERE rn = 1),
+       |p1 AS (SELECT query_id, l1 FROM (
+       |   SELECT q.query_id, c1.l1,
+       |          row_number() OVER (PARTITION BY q.query_id
+       |            ORDER BY list_distance(q.qv, c1.cv), c1.l1) AS rn
+       |   FROM q CROSS JOIN c1) WHERE rn <= $TreeP1),
+       |p2 AS (SELECT query_id, l1, l2 FROM (
+       |   SELECT q.query_id, c2.l1, c2.l2,
+       |          row_number() OVER (PARTITION BY q.query_id
+       |            ORDER BY list_distance(q.qv, c2.cv), c2.l1, c2.l2) AS rn
+       |   FROM q JOIN p1 USING (query_id) JOIN c2 ON c2.l1 = p1.l1)
+       | WHERE rn <= $TreeP2)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT q.query_id, a.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, a.v), a.id) AS rank
+       |  FROM q JOIN p2 ON p2.query_id = q.query_id
+       |         JOIN a2 a ON a.l1 = p2.l1 AND a.l2 = p2.l2)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   /** a06 oracle: every gated metric is derivable from (N, dim) and the
     * fixed index constants — the oracle recomputes the same size model
     * over count(*)/len(embedding).
@@ -845,6 +909,7 @@ object IndexQueries {
     "q26_ivf_persisted" -> ivfFlatSql,
     // streaming ingest lands the same index content as the batch build
     "q35_stream_index_ingest" -> ivfFlatSql,
+    "q36_ivf_tree" -> q36Sql,
     "q27_nn_descent" -> nnDescentSql
   )
 }

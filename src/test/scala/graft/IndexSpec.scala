@@ -118,6 +118,23 @@ class IndexSpec extends AnyFunSuite {
     assert(recallOf("q19_graph_search") >= 0.9)
   }
 
+  test("q36 ivf tree recall@10 >= 0.75 scanning ~p2/(l1*sub) of data (measured 0.86)") {
+    assert(recallOf("q36_ivf_tree") >= 0.75)
+  }
+
+  test("ivf tree assignment: every row lands in a leaf of its own L1 cell") {
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val m = IvfTree.sampleModel(base, "vec", 8, 4)
+    val a = IvfTree.assign(base, "vec", m)
+    assert(a.count() == base.count())
+    val leaves = a.groupBy("l1", "l2").count().collect()
+    leaves.foreach { r =>
+      val (l1, l2) = (r.getInt(0), r.getInt(1))
+      assert(l1 >= 0 && l1 < 8 && l2 >= 0 && l2 < m.sub(l1).length)
+    }
+  }
+
   test("IVF-PQ (rerank) recall@10 >= 0.7") {
     assert(recallOf("q21_ivf_pq") >= 0.7)
   }
