@@ -193,3 +193,131 @@ case class Sq8L2(left: Expression, right: Expression,
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
   override def prettyName: String = "sq8_l2"
 }
+
+/** SQ4 pack: vec -> array<long> words, 15 four-bit codes per word
+  * (60 bits used — every word < 2^60, BIGINT-safe on both engines).
+  * code_i = clamp(0, 15, round((x_i - min_i) / scale_i)); the affine
+  * inputs are non-negative, so Math.round (half-up) equals the
+  * half-away-from-zero rounding the DuckDB oracle uses.
+  */
+case class Sq4Pack(child: Expression,
+    mins: Array[Double], scales: Array[Double])
+    extends UnaryExpression with Serializable {
+
+  private val dim = mins.length
+  private val nWords = (dim + Sq4Pack.CodesPerWord - 1) / Sq4Pack.CodesPerWord
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val out = new Array[Long](nWords)
+    var i = 0
+    val n = math.min(dim, arr.numElements())
+    while (i < n) {
+      val x = if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)
+      val c = math.max(0L, math.min(15L, math.round((x - mins(i)) / scales(i))))
+      out(i / Sq4Pack.CodesPerWord) |= c << (4 * (i % Sq4Pack.CodesPerWord))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("sq4Mins", mins, "double[]")
+    val scalesRef = ctx.addReferenceObj("sq4Scales", scales, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val cpw = Sq4Pack.CodesPerWord
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val cd = ctx.freshName("cd")
+      s"""
+       |long[] $out = new long[$nWords];
+       |int $n = java.lang.Math.min($dim, $v.numElements());
+       |for (int $i = 0; $i < $n; $i++) {
+       |  long $cd = java.lang.Math.max(0L, java.lang.Math.min(15L,
+       |    java.lang.Math.round((((double) $v.$get($i)) - $minsRef[$i])
+       |      / $scalesRef[$i])));
+       |  $out[$i / $cpw] |= $cd << (4 * ($i % $cpw));
+       |}
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "sq4_pack"
+}
+
+object Sq4Pack { val CodesPerWord = 15 }
+
+/** SQ4 L2 directly on packed words: decode (shift+mask) fused into
+  * the distance loop — the scan reads dim/2 bytes per row and never
+  * materialises a decoded array.
+  */
+case class Sq4L2(left: Expression, right: Expression,
+    mins: Array[Double], scales: Array[Double])
+    extends BinaryExpression with Serializable {
+
+  private val dim = mins.length
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def qIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(q: Any, words: Any): Any = {
+    val qa = q.asInstanceOf[ArrayData]
+    val wa = words.asInstanceOf[ArrayData]
+    val fl = qIsFloat
+    var acc = 0.0
+    var i = 0
+    val n = math.min(dim, qa.numElements())
+    while (i < n) {
+      val code = ((wa.getLong(i / Sq4Pack.CodesPerWord)
+        >>> (4 * (i % Sq4Pack.CodesPerWord))) & 15L).toInt
+      val qv = if (fl) qa.getFloat(i).toDouble else qa.getDouble(i)
+      val d = qv - (mins(i) + code * scales(i))
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("sq4Mins", mins, "double[]")
+    val scalesRef = ctx.addReferenceObj("sq4Scales", scales, "double[]")
+    val get = if (qIsFloat) "getFloat" else "getDouble"
+    val cpw = Sq4Pack.CodesPerWord
+    nullSafeCodeGen(ctx, ev, (q, w) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val cd = ctx.freshName("cd")
+      val d = ctx.freshName("d")
+      s"""
+       |int $n = java.lang.Math.min($dim, $q.numElements());
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  int $cd = (int) (($w.getLong($i / $cpw) >>> (4 * ($i % $cpw))) & 15L);
+       |  double $d = ((double) $q.$get($i)) - ($minsRef[$i] + $cd * $scalesRef[$i]);
+       |  $acc += $d * $d;
+       |}
+       |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "sq4_l2"
+}

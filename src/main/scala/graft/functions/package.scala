@@ -40,6 +40,16 @@ package object functions {
     Shim.column(Sq8L2(Shim.expression(qvec), Shim.expression(codes),
       mins, scales))
 
+  /** Pack a vector into 4-bit affine codes, 15 per long word. */
+  def sq4_pack(vec: Column, mins: Array[Double], scales: Array[Double]): Column =
+    Shim.column(Sq4Pack(Shim.expression(vec), mins, scales))
+
+  /** L2 between a query vector and an SQ4-packed word array. */
+  def sq4_l2(qvec: Column, words: Column,
+      mins: Array[Double], scales: Array[Double]): Column =
+    Shim.column(Sq4L2(Shim.expression(qvec), Shim.expression(words),
+      mins, scales))
+
   /** 64-bit simhash from an array<long> of element hashes, one pass. */
   def simhash64(c: Column): Column =
     Shim.column(SimHash64(Shim.expression(c)))

@@ -14,8 +14,11 @@ object Sq8Index {
 
   case class Model(mins: Array[Double], scales: Array[Double])
 
-  /** Per-dimension min/max via one posexplode + groupBy pass. */
-  def train(base: DataFrame, vecCol: String): Model = {
+  /** Per-dimension min/max via one posexplode + groupBy pass.
+    * `maxCode` sets the quantization width: 255 for SQ8, 15 for the
+    * packed SQ4 variant (Sq4Pack/Sq4L2).
+    */
+  def train(base: DataFrame, vecCol: String, maxCode: Int = 255): Model = {
     val stats = base
       .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("pos")
@@ -26,7 +29,7 @@ object Sq8Index {
     val mins = stats.map(_.getDouble(1))
     val scales = stats.map(r => {
       val span = r.getDouble(2) - r.getDouble(1)
-      if (span == 0.0) 1.0 else span / 255.0
+      if (span == 0.0) 1.0 else span / maxCode.toDouble
     })
     Model(mins, scales)
   }

@@ -120,6 +120,30 @@ object IndexQueries {
     ranked(KnnSearch.topKOf(scored, K, asc = true))
   }
 
+  /** q37: IVF pruning + packed SQ4 scan — the byte-cheapest float
+    * quantizer: 4-bit affine codes packed 15/long (Sq4Pack), decode
+    * fused into the codegen'd distance (Sq4L2), so the probed-cell
+    * scan reads dim/2 bytes per vector (8x under raw floats, 2x under
+    * SQ8). Packing is lossless over the codes, which keeps the
+    * unpacked-code oracle exact.
+    */
+  def ivfSq4(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    val cents = sampleCents(s, dir)
+    val sq = cached(dir, "sq4") { Sq8Index.train(base, "vec", maxCode = 15) }
+    val assigned = IvfIndex.assign(base, "vec", cents)
+      .withColumn("words",
+        graft.functions.sq4_pack(col("vec"), sq.mins, sq.scales))
+    val probed = IvfIndex.probedQueries(queries, cents, NProbe)
+    val scored = assigned
+      .join(broadcast(probed), "cluster")
+      .select(col("query_id"),
+        graft.functions.sq4_l2(col("qvec"), col("words"),
+          sq.mins, sq.scales).as("score"),
+        col("id"))
+    ranked(KnnSearch.topKOf(scored, K, asc = true))
+  }
+
   /** q26: search against the *persisted* IVF layout — the scan reads
     * only probed cell partitions (PartitionFilters pruning), which is
     * the on-disk shape the index takes at 100 TB.
@@ -428,6 +452,7 @@ object IndexQueries {
     "q29_ivf_upsert_persisted" -> (ivfUpsertPersisted _),
     "q35_stream_index_ingest" -> (ivfStreamIngest _),
     "q36_ivf_tree" -> (ivfTree _),
+    "q37_ivf_sq4" -> (ivfSq4 _),
     "q19_graph_search" -> (graphSearch _),
     "q24_lsh_minhash" -> (lshMinhash _),
     "q25_graph_knn" -> (knnGraph _),
@@ -529,18 +554,23 @@ object IndexQueries {
        |  FROM top t JOIN q ON q.query_id = t.query_id JOIN b ON b.id = t.id)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  private val ivfSq8Sql: String =
+  /** Shared SQ oracle body: affine per-dim quantization at `maxCode`
+    * levels (255 = SQ8 / q22, 15 = packed SQ4 / q37 — packing is
+    * lossless, so the oracle checks the code math on unpacked codes
+    * while Spark scans the packed words).
+    */
+  private def ivfSqSql(maxCode: Int): String =
     s"""WITH $ivfCte,
        |st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
        |       FROM b, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
        |       GROUP BY i),
        |prm AS (SELECT list(mn ORDER BY i) AS mns,
        |               list(CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
-       |                         ELSE (mx - mn) / 255.0 END ORDER BY i) AS scs
+       |                         ELSE (mx - mn) / $maxCode.0 END ORDER BY i) AS scs
        |        FROM st),
        |cod AS (SELECT a.id, a.cluster,
        |               list_transform(range(1, len(a.v) + 1),
-       |                 i -> least(255, greatest(0,
+       |                 i -> least($maxCode, greatest(0,
        |                   CAST(round((a.v[i] - prm.mns[i]) / prm.scs[i]) AS INT))))
        |                 AS codes
        |        FROM asg a CROSS JOIN prm)
@@ -902,7 +932,8 @@ object IndexQueries {
     "q19_graph_search" -> q19Sql,
     "q20_ivf_flat" -> ivfFlatSql,
     "q21_ivf_pq" -> ivfPqSql,
-    "q22_ivf_sq8" -> ivfSq8Sql,
+    "q22_ivf_sq8" -> ivfSqSql(255),
+    "q37_ivf_sq4" -> ivfSqSql(15),
     "q23_lsh_rhp" -> lshRhpSql,
     "q24_lsh_minhash" -> lshMinhashSql,
     "q25_graph_knn" -> q25Sql,

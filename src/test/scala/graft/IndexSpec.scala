@@ -143,6 +143,34 @@ class IndexSpec extends AnyFunSuite {
     assert(recallOf("q22_ivf_sq8") >= 0.75)
   }
 
+  test("q37 packed SQ4 recall@10 >= 0.75 at dim/2 bytes per row (measured 0.85)") {
+    assert(recallOf("q37_ivf_sq4") >= 0.75)
+  }
+
+  test("sq4: fused packed distance equals L2 over decoded codes") {
+    import spark.implicits._
+    import graft.functions._
+    val rng = new scala.util.Random(7)
+    // 33 dims: exercises the partial second word (33 = 2*15 + 3)
+    val vecs = (0 until 50).map(i => (i.toLong, Array.fill(33)(rng.nextFloat())))
+    val df = vecs.toDF("id", "vec")
+    val m = Sq8Index.train(df, "vec", maxCode = 15)
+    val q = vecs.head._2
+    val got = df.select(col("id"),
+      sq4_l2(typedlit(q.toSeq), sq4_pack(col("vec"), m.mins, m.scales),
+        m.mins, m.scales).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.foreach { case (id, v) =>
+      val expected = math.sqrt(v.indices.map { i =>
+        val code = math.max(0L, math.min(15L,
+          math.round((v(i) - m.mins(i)) / m.scales(i)))).toInt
+        val d = q(i) - (m.mins(i) + code * m.scales(i))
+        d * d
+      }.sum)
+      assert(math.abs(got(id) - expected) < 1e-12, s"id $id")
+    }
+  }
+
   test("LSH-RHP recall@10 >= 0.4 vs cosine truth with 16x6-bit tables") {
     assert(recallOf("q23_lsh_rhp", VecMetric.Cosine) >= 0.4)
   }
