@@ -83,6 +83,16 @@ object IvfIndex {
   def probes(
       queries: DataFrame,
       cents: Array[Array[Double]],
+      nprobe: Int): DataFrame =
+    probesRanked(queries, cents, nprobe).select("query_id", "cluster")
+
+  /** [[probes]] keeping each cell's probe rank `rn` (1 = nearest) —
+    * lets one scan serve a whole nprobe sweep (cells probed at nprobe
+    * np are exactly those with rn <= np).
+    */
+  def probesRanked(
+      queries: DataFrame,
+      cents: Array[Array[Double]],
       nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -94,7 +104,8 @@ object IvfIndex {
         vec_l2(col("qvec"), col("centroid")).as("score"),
         col("cluster").cast("long").as("id"))
     KnnSearch.topKOf(scored, nprobe, asc = true)
-      .select(col("query_id"), col("neighbor_id").cast("int").as("cluster"))
+      .select(col("query_id"), col("neighbor_id").cast("int").as("cluster"),
+        col("rank").as("rn"))
   }
 
   /** (query_id, cluster, qvec) — the probe worklist with the query

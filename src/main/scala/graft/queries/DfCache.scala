@@ -1,0 +1,21 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One shared memo for cached intermediate DataFrames, keyed
+  * (session, dataset, kind) — a bounded pool (one entry per dataset a
+  * session touches) instead of per-invocation `.cache()` leaks.
+  * Shared across query modules so the SAME intermediate (e.g.
+  * termCounts, used by both the text and embedding suites) is cached
+  * once: two modules caching equal logical plans in private maps made
+  * Spark warn "Asked to cache already cached data" and double-tracked
+  * the entry.
+  */
+private[queries] object DfCache {
+  private val m = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  def apply(s: SparkSession, dir: String, kind: String)(
+      f: => DataFrame): DataFrame =
+    m.getOrElseUpdate((s, dir, kind), f.cache())
+}

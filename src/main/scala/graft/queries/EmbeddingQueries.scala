@@ -24,17 +24,11 @@ object EmbeddingQueries {
   val K = 10
 
   /** Shared intermediate DataFrames, memoised per (session, dataset)
-    * like IndexQueries.modelCache — a bounded pool (one entry per
-    * dataset a session touches) instead of a fresh never-unpersisted
-    * `.cache()` per invocation, which leaked executor storage in
-    * long-lived sessions.
+    * in the cross-module [[DfCache]] — termCounts here is the same
+    * plan TextQueries' t06 uses, cached once for both.
     */
-  private val dfCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
-
   private def cachedDf(s: SparkSession, dir: String, kind: String)(
-      f: => DataFrame): DataFrame =
-    dfCache.getOrElseUpdate((s, dir, kind), f.cache())
+      f: => DataFrame): DataFrame = DfCache(s, dir, kind)(f)
 
   /** e01: vocabulary TF-IDF, long format (doc_id, term, tf, df,
     * tfidf). Pinned formula: (tf / n_toks) * ((N + 1) / (df + 1)) —

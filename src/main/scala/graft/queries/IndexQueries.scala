@@ -409,20 +409,39 @@ object IndexQueries {
     * ratio, so the curve itself is hash-gated.
     */
   def nprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val (base, queries) = baseAndQueries(s, dir)
     val cents = sampleCents(s, dir)
     val assigned = IvfIndex.assign(base, "vec", cents)
+    // ONE probed scan serves the whole sweep: every cell carries its
+    // probe rank rn, each candidate row fans out to the swept nprobes
+    // that would scan it (np >= rn, <= |sweep| copies), and a single
+    // partial-aggregated top-k per (query, np) replaces |sweep|
+    // separate searches — same results, one pass over the data,
+    // shuffle still O(parts x Q x |sweep| x K).
+    val prr = IvfIndex.probesRanked(queries, cents, NList)
+      .join(queries, "query_id").localCheckpoint(true)
+    val sweepLit = typedlit(SweepNprobes)
+    val cand = assigned.join(broadcast(prr), "cluster")
+      .select(col("query_id"),
+        graft.functions.vec_l2(col("qvec"), col("vec")).as("score"),
+        col("id"),
+        explode(filter(sweepLit, np => np >= col("rn"))).as("np"))
+    val top = cand.groupBy("query_id", "np")
+      .agg(graft.functions.collect_topk(col("score"), col("id"), K,
+        asc = true).as("topk"))
+      .select(col("query_id"), col("np"),
+        explode(col("topk.id")).as("neighbor_id"))
     val exact = KnnSearch.bruteForce(base, queries, K, VecMetric.Euclidean)
       .select(col("query_id"), col("neighbor_id"))
-    SweepNprobes.map { np =>
-      val approx = IvfIndex.search(assigned, queries, cents, K, np,
-        VecMetric.Euclidean).select(col("query_id"), col("neighbor_id"))
-      approx.intersect(exact)
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(np.toLong).as("nprobe"),
-          (col("hits").cast("double") / lit((NQ * K).toDouble))
-            .as("avg_recall"))
-    }.reduceLeft(_ unionAll _).orderBy("nprobe")
+    val hits = top.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("np").agg(count(lit(1)).as("hits"))
+    SweepNprobes.toDF("np_all")
+      .join(hits, col("np_all") === col("np"), "left")
+      .select(col("np_all").cast("long").as("nprobe"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          lit((NQ * K).toDouble)).as("avg_recall"))
+      .orderBy("nprobe")
   }
 
   /** q12: recall@k of the IVF index against the exact kNN. */

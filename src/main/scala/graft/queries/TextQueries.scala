@@ -19,18 +19,13 @@ object TextQueries {
   val NgramTau = 0.8
   val CosTau = 0.45
 
-  /** Shared intermediates, memoised per (session, dataset) — one
-    * shingle pass serves d02 AND d03, one simhash pass serves d04,
-    * and repeated invocations in a long-lived session reuse the same
-    * bounded cache instead of leaking a fresh one per call (same
-    * pattern as EmbeddingQueries/IndexQueries).
+  /** Shared intermediates, memoised per (session, dataset) in the
+    * cross-module [[DfCache]] — one shingle pass serves d02 AND d03,
+    * one simhash pass serves d04, one termCounts pass serves t06 and
+    * the embedding suite.
     */
-  private val dfCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
-
   private def cachedDf(s: SparkSession, dir: String, kind: String)(
-      f: => DataFrame): DataFrame =
-    dfCache.getOrElseUpdate((s, dir, kind), f.cache())
+      f: => DataFrame): DataFrame = DfCache(s, dir, kind)(f)
 
   private def shingled(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "shingles")(Dedup.shingles(Tables.documents(s, dir)))
