@@ -295,6 +295,34 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** t08: benchmark decontamination — the cross-set twin of d02.
+    * Training corpora must drop documents that overlap an EVAL set
+    * (published benchmarks leak into web scrapes); the standard test
+    * is shared word n-grams above a small threshold (real pipelines
+    * use 13-grams; `sh` carries whatever n the caller shingled with).
+    *
+    * Shape at 100 TB: the eval side is BOUNDED by construction (a
+    * benchmark suite is fixed-size, not corpus-sized), so its exploded
+    * inverted index is broadcast and the corpus side streams through a
+    * map-side hash join — no shuffle of corpus shingles at all; the
+    * only shuffle is the (doc, eval_doc) candidate aggregation, whose
+    * volume is capped by matches against the bounded eval vocabulary,
+    * not by corpus size. Contrast d02, where both sides are
+    * corpus-sized and need the df-capped self-join.
+    */
+  def crossOverlap(sh: DataFrame, isEval: Column, minShared: Long): DataFrame = {
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val ev = inv.filter(isEval)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    // sh arrays are distinct per doc, so co-occurrence count ==
+    // |shingles(doc) ∩ shingles(eval_doc)| exactly
+    inv.filter(!isEval)
+      .join(broadcast(ev), "s")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** d06: near-dup PAIRS → dedup CLUSTERS. A pair list alone can't
     * drive deduplication — transitive near-dups (A~B, B~C) must
     * collapse into ONE surviving document — so the pipeline step after

@@ -109,6 +109,67 @@ object TextAnalysis {
           SsnRe, "<ID>"),
         PhoneRe, "<PHONE>").as("scrubbed"))
 
+  /** t09: repetition-based quality rules (the Gopher-style filters a
+    * pretraining corpus is screened with): per doc, the most frequent
+    * word bigram and the fraction of bigram slots it occupies, plus
+    * the fraction of slots covered by ANY repeated bigram. High values
+    * flag boilerplate / template spam that per-token stats (t01) miss.
+    *
+    * One explode + two aggregations, all keys per-doc — shuffles by
+    * doc_id only, embarrassingly parallel at any corpus size. The
+    * argmax is max(struct(c, bg)) (count, then lexicographically
+    * largest bigram — a pinned tie-break both engines reproduce);
+    * ratios are exact-int divisions.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> element_at(t, i + 1) || ' ' || element_at(t, i + 2))")).as("bg"))
+    grams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_bigrams"),
+        max(struct(col("c"), col("bg"))).as("m"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L)))
+          .as("dup_slots"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("m.bg").as("top_bigram"),
+        col("m.c").as("top_bigram_n"),
+        (col("m.c").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"),
+        (col("dup_slots").cast("double") / col("n_bigrams").cast("double"))
+          .as("dup_bigram_frac"))
+  }
+
+  /** t10: stratified rebalancing sample — deterministic per-stratum
+    * downsampling to the smallest stratum's size (domain/language
+    * balancing, the standard pretraining-mix step). Each row's fate is
+    * a pure function of its id: an affine hash into [0, 10000) basis
+    * points, kept iff below the stratum's computed rate
+    * floor(10000 * n_min / n_s) — so the sample is reproducible,
+    * single-pass, and needs NO per-stratum sort or window. The stratum
+    * count table is aggregated once and broadcast (bounded by the
+    * number of strata, not corpus size); a head-heavy stratum costs
+    * the same as any other because selection is a scan-local filter —
+    * contrast a row_number() window, which would funnel each stratum
+    * through one task. Expected sample size is n_min per stratum with
+    * binomial-not-exact counts; an exact-M variant would rank only the
+    * ~n_min hash-threshold survivors.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String): DataFrame = {
+    val counts = docs.groupBy(stratumCol).agg(count(lit(1)).as("n_s"))
+    val nMin = counts.agg(min("n_s").as("n_min"))
+    val bucket = pmod(col("doc_id") * lit(2654435761L) + lit(1013904223L),
+      lit(1000000007L)) % lit(10000L)
+    docs.join(broadcast(counts), stratumCol)
+      .crossJoin(broadcast(nMin))
+      .withColumn("rate_bp", expr("10000 * n_min div n_s"))
+      .filter(bucket < col("rate_bp"))
+      .select(col("doc_id"), col(stratumCol), col("rate_bp"))
+  }
+
   /** t04: rolling-hash fingerprint (custom codegen'd expression). */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), text_fingerprint(col("text")).as("fp"))

@@ -112,6 +112,68 @@ object AnalyticsQueries {
         sum(col("rev_cents")).as("revenue_cents"))
       .orderBy("r_name")
 
+  private val bucketedMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  /** Write lineitem + orders ONCE as co-bucketed tables (8 buckets on
+    * the join key, sorted within buckets) — the persisted layout that
+    * makes repeated fact-fact joins shuffle-free.
+    */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedMemo.getOrElseUpdate((s, dir), {
+      val tag = s"${math.abs(dir.hashCode)}"
+      val li = s"graft_bkt_lineitem_$tag"
+      val ord = s"graft_bkt_orders_$tag"
+      if (!s.catalog.tableExists(li)) {
+        // the in-memory catalog forgets tables across JVMs but the
+        // managed warehouse location persists on disk — clear any
+        // leftover so saveAsTable doesn't refuse the name
+        val hconf = s.sparkContext.hadoopConfiguration
+        Seq(li, ord).foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(
+            s.sessionState.conf.warehousePath, t)
+          p.getFileSystem(hconf).delete(p, true)
+        }
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord)
+      }
+      (li, ord)
+    })
+
+  /** a07: co-located bucketed join — revenue per order priority
+    * through a lineitem⋈orders join that moves NO fact rows: both
+    * tables are bucketed (and sorted) on the join key, so the sort-
+    * merge join reads bucket i against bucket i with zero Exchange
+    * and zero Sort in the plan (asserted in AnalyticsSpec). This is
+    * the layout answer to "the 100 TB fact-fact join": pay one
+    * bucketed write at ingest, then every subsequent join on that key
+    * is a local merge. The `merge` hint keeps Spark from choosing a
+    * broadcast join at toy scale, which would hide the property the
+    * query demonstrates; the only shuffle left is the final tiny
+    * rollup by priority.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = bucketedTables(s, dir)
+    s.table(li).hint("merge")
+      .join(s.table(ord).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100).cast("long")).as("revenue_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q38: stream-static broadcast enrichment + windowed rollup. */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame =
+    EventStream.enrichedHourlyAgg(s, dir)
+
   /** a05: semi-structured extraction — JSON props parsed per event. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -133,10 +195,26 @@ object AnalyticsQueries {
       EventStream.streamUpsert(s, dir)),
     "a01_pricing_agg" -> (pricingAgg _),
     "a02_latency_percentiles" -> (latencyPercentiles _),
-    "a03_sessionize" -> (sessionize _)
+    "a03_sessionize" -> (sessionize _),
+    "a07_bucketed_join" -> (bucketedJoin _),
+    "q38_stream_enrich" -> (streamEnrich _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a07_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q38_stream_enrich" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000
+        |         AS hour_start,
+        |       c_mktsegment AS segment, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a04_join_agg" ->
       """SELECT r_name, count(*) AS n_items,
         |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)

@@ -130,6 +130,29 @@ object TextQueries {
     TextAnalysis.piiScrub(aug).orderBy("doc_id")
   }
 
+  val DecontamMinShared = 2L
+
+  /** t08: benchmark decontamination — corpus docs sharing >=
+    * [[DecontamMinShared]] word 3-grams with the eval subset
+    * (doc_id % 50 == 0 stands in for a benchmark suite; real
+    * pipelines shingle at n=13). Reuses the d02/d03 shingle pass.
+    */
+  def t08(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossOverlap(shingled(s, dir), col("doc_id") % 50 === 0,
+      DecontamMinShared)
+      .orderBy("doc_id", "eval_id")
+
+  /** t09: Gopher-style repetition quality rules. */
+  def t09(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** t10: deterministic stratified rebalancing over the (skewed)
+    * `lang` column — every stratum downsampled toward the smallest.
+    */
+  def t10(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stratifiedSample(Tables.documents(s, dir), "lang")
+      .orderBy("doc_id")
+
   def t01(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
 
@@ -167,6 +190,9 @@ object TextQueries {
     "t05_tfidf_bow" -> (t05 _),
     "t06_bm25" -> (t06 _),
     "t07_pii_scrub" -> (t07 _),
+    "t08_decontaminate" -> (t08 _),
+    "t09_repetition" -> (t09 _),
+    "t10_stratified_sample" -> (t10 _),
     "m01_multimodal_pipeline" -> (m01 _),
     "m02_multimodal_frames" -> (m02 _)
   )
@@ -345,6 +371,44 @@ object TextQueries {
          |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
          |FROM aug ORDER BY doc_id""".stripMargin
     },
+    "t08_decontaminate" ->
+      s"""$shingleCte,
+         |ev AS (SELECT doc_id AS eval_id, sh FROM s WHERE doc_id % 50 = 0),
+         |co AS (SELECT doc_id, sh FROM s WHERE doc_id % 50 <> 0)
+         |SELECT co.doc_id, ev.eval_id,
+         |       CAST(len(list_intersect(co.sh, ev.sh)) AS BIGINT) AS n_shared
+         |FROM co CROSS JOIN ev
+         |WHERE len(list_intersect(co.sh, ev.sh)) >= $DecontamMinShared
+         |ORDER BY doc_id, eval_id""".stripMargin,
+    "t09_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |        i -> t[i] || ' ' || t[i+1])) AS bg
+        |      FROM d WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY 1, 2),
+        |top AS (SELECT doc_id, bg, c, row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY c DESC, bg DESC) AS rn FROM c),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |                 AS dup_slots
+        |        FROM c GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_bigrams, t.bg AS top_bigram,
+        |       CAST(t.c AS BIGINT) AS top_bigram_n,
+        |       CAST(t.c AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+        |         AS top_bigram_frac,
+        |       CAST(a.dup_slots AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+        |         AS dup_bigram_frac
+        |FROM agg a JOIN top t ON a.doc_id = t.doc_id AND t.rn = 1
+        |ORDER BY a.doc_id""".stripMargin,
+    "t10_stratified_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_s) AS n_min FROM c)
+        |SELECT d.doc_id, d.lang,
+        |       CAST(10000 * m.n_min // c.n_s AS BIGINT) AS rate_bp
+        |FROM documents d JOIN c USING (lang) CROSS JOIN m
+        |WHERE (d.doc_id * 2654435761 + 1013904223) % 1000000007 % 10000
+        |      < 10000 * m.n_min // c.n_s
+        |ORDER BY doc_id""".stripMargin,
     "t04_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

@@ -137,6 +137,45 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** q38: stream-static enrichment — the standard streaming-ETL shape
+    * where each event is decorated with dimension attributes before
+    * aggregation. The static side (customer) is a bounded dimension
+    * table, so Spark plans the join as a broadcast hash join REBUILT
+    * per micro-batch (stream-static inner joins are stateless: no
+    * join state accumulates, the 100 TB contract). Enriched events
+    * roll up into hourly windows per market segment; integer-cent
+    * sums keep the result order-independent and batch-reproducible.
+    */
+  def enrichedHourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+    val agg = stream
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour").as("w"),
+        col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        unix_timestamp(col("w.start")).as("hour_start"),
+        col("c_mktsegment").as("segment"), col("n_events"), col("value_cents"))
+    val sink = s"graft_enrich_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("hour_start", "segment")
+  }
+
   /** q32: true stateful streaming sessionization via session_window
     * (30 min gap) + watermark. Append mode emits exactly the CLOSED
     * sessions — those whose (last event + gap) precedes the final

@@ -55,6 +55,65 @@ class DedupTextSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("t08 cross-overlap matches set intersection, eval side broadcast") {
+    import spark.implicits._
+    // eval doc 0; doc 1 copies a run of eval text (contaminated);
+    // doc 2 is clean
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "intro words alpha beta gamma delta epsilon outro"),
+      (2L, "totally different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    val got = Dedup.crossOverlap(sh, col("doc_id") === 0, minShared = 2L)
+    // doc1 shares 3-grams: "alpha beta gamma","beta gamma delta",
+    // "gamma delta epsilon" = 3; doc2 shares none
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet == Set((1L, 0L, 3L)))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval side not broadcast:\n$plan")
+  }
+
+  test("t09 repetition stats on a known-repetitive doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a b"), // bigrams: ab,ba,ab,ba,ab -> top (a b,3), all dup
+      (1L, "x y z w")      // 3 distinct bigrams, none repeated
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionStats(docs).orderBy("doc_id").collect()
+    val r0 = rows(0)
+    assert(r0.getLong(1) == 5L)                 // n_bigrams
+    assert(r0.getString(2) == "a b")            // top_bigram
+    assert(r0.getLong(3) == 3L)                 // top_bigram_n
+    assert(r0.getDouble(5) == 1.0)              // dup_bigram_frac
+    val r1 = rows(1)
+    assert(r1.getLong(1) == 3L && r1.getLong(3) == 1L &&
+      r1.getDouble(5) == 0.0)
+  }
+
+  test("t10 stratified sample: deterministic, rate-correct, no window") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val s1 = TextAnalysis.stratifiedSample(docs, "lang")
+    val rows = s1.collect()
+    assert(rows.nonEmpty)
+    // deterministic rerun
+    assert(TextAnalysis.stratifiedSample(docs, "lang").collect().toSeq ==
+      rows.toSeq)
+    // every stratum's kept count is <= its rate bound in expectation;
+    // hard property: every kept row satisfies the hash threshold
+    rows.foreach { r =>
+      val h = (r.getLong(0) * 2654435761L + 1013904223L) % 1000000007L % 10000L
+      assert(h < r.getLong(2), s"row $r violates its rate")
+    }
+    // the smallest stratum keeps ~everything (rate 10000 bp)
+    assert(rows.map(_.getLong(2)).max == 10000L)
+    // scan-local selection: no Window/Sort funneling strata through
+    // single tasks
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("d05 blocked join: exact pairs, no cartesian/BNLJ in the plan") {
     import graft.functions._
     val emb = Tables.embeddings(spark, sf)

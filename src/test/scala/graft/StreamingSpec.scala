@@ -32,4 +32,19 @@ class StreamingSpec extends AnyFunSuite {
     val again = SparkEntry.queries("q34_stream_upsert")(spark, sf)
     assert(again.collect().toSeq == out.collect().toSeq)
   }
+
+  test("q38 stream-static enrichment equals the batch join rollup") {
+    val out = SparkEntry.queries("q38_stream_enrich")(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(unix_timestamp(date_trunc("hour", col("event_time")))
+        .as("hour_start"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy("hour_start", "segment")
+    assert(out.collect().toSeq == batch.collect().toSeq)
+  }
 }
