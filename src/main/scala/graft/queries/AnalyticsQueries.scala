@@ -174,6 +174,45 @@ object AnalyticsQueries {
   def streamEnrich(s: SparkSession, dir: String): DataFrame =
     EventStream.enrichedHourlyAgg(s, dir)
 
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+
+  /** a08: as-of join — each error event picks up the user's most
+    * recent click at-or-before it (last-touch attribution, the
+    * canonical time-series enrichment Spark has no operator for).
+    * Clicks are pre-deduplicated per (user, timestamp) so the result
+    * is deterministic; errors with no prior click report -1.
+    */
+  def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "us").agg(max("event_id").as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "us", "event_id")
+    graft.operators.TemporalJoins.asofJoin(errors, clicks, "user_id", "us")
+      .select(col("event_id"), col("user_id"), col("us"),
+        coalesce(col("asof.click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("asof.us"), lit(-1L)).as("click_us"))
+      .orderBy("event_id")
+  }
+
+  /** a09: range-join count — clicks in the 30 minutes before each
+    * error, per user, via the bucketed equi-join (no inequality join
+    * in the plan).
+    */
+  def rangeJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "us")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "us", "event_id")
+    graft.operators.TemporalJoins.rangeJoinCount(errors, clicks,
+        "user_id", "us", 1800L * 1000000L, Seq("event_id", "user_id", "us"))
+      .withColumnRenamed("n_matches", "n_clicks")
+      .orderBy("event_id")
+  }
+
   /** a05: semi-structured extraction — JSON props parsed per event. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -197,6 +236,8 @@ object AnalyticsQueries {
     "a02_latency_percentiles" -> (latencyPercentiles _),
     "a03_sessionize" -> (sessionize _),
     "a07_bucketed_join" -> (bucketedJoin _),
+    "a08_asof_join" -> (asofJoinQ _),
+    "a09_range_join" -> (rangeJoinQ _),
     "q38_stream_enrich" -> (streamEnrich _)
   )
 
@@ -207,6 +248,32 @@ object AnalyticsQueries {
         |                     AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a08_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |            FROM events),
+        |c AS (SELECT user_id, us, max(event_id) AS click_id FROM ev
+        |      WHERE event_type = 'click' GROUP BY 1, 2),
+        |e AS (SELECT user_id, us, event_id FROM ev
+        |      WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, e.us,
+        |       coalesce(c.click_id, -1) AS click_id,
+        |       coalesce(c.us, -1) AS click_us
+        |FROM e ASOF LEFT JOIN c
+        |  ON e.user_id = c.user_id AND e.us >= c.us
+        |ORDER BY e.event_id""".stripMargin,
+    "a09_range_join" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |            FROM events),
+        |c AS (SELECT user_id, us FROM ev WHERE event_type = 'click'),
+        |e AS (SELECT user_id, us, event_id FROM ev
+        |      WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, e.us, count(c.us) AS n_clicks
+        |FROM e LEFT JOIN c
+        |  ON e.user_id = c.user_id
+        |     AND c.us > e.us - 1800000000 AND c.us <= e.us
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q38_stream_enrich" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000
         |         AS hour_start,

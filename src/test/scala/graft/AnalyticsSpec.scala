@@ -39,4 +39,46 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
   }
+
+  test("a08 asof join equals the brute-force latest-preceding-click") {
+    val got = SparkEntry.queries("a08_asof_join")(spark, sf)
+    // brute force: max (click us, click id) over all clicks <= error
+    val ev = Tables.events(spark, sf).select(col("user_id"),
+      col("event_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("cu"), col("us").as("cus"))
+      .agg(max("event_id").as("cid"))
+    val errors = ev.filter(col("event_type") === "error")
+    val want = errors.join(clicks,
+        col("user_id") === col("cu") && col("cus") <= col("us"), "left")
+      .groupBy("event_id", "user_id", "us")
+      .agg(max(struct(col("cus"), col("cid"))).as("w"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        coalesce(col("w.cid"), lit(-1L)).as("click_id"),
+        coalesce(col("w.cus"), lit(-1L)).as("click_us"))
+      .orderBy("event_id")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // and the scalable plan has no nested-loop join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("a09 bucketed range join: correct counts, equi-join only") {
+    val got = SparkEntry.queries("a09_range_join")(spark, sf)
+    val ev = Tables.events(spark, sf).select(col("user_id"),
+      col("event_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("us").as("cus"))
+    val want = ev.filter(col("event_type") === "error")
+      .join(clicks, col("user_id") === col("cu") &&
+        col("cus") > col("us") - 1800L * 1000000L &&
+        col("cus") <= col("us"), "left")
+      .groupBy("event_id", "user_id", "us")
+      .agg(count(col("cus")).as("n_clicks"))
+      .orderBy("event_id")
+    assert(got.collect().toSeq ==
+      want.select("event_id", "user_id", "us", "n_clicks").collect().toSeq)
+    assert(got.collect().map(_.getLong(3)).sum > 0)
+  }
 }
