@@ -207,6 +207,15 @@ object IvfIndex {
   /** IVF search: probe-join + exact distance inside probed cells.
     * assigned: (id, vec, cluster); queries: (query_id, qvec).
     * Returns (query_id, rank, neighbor_id, score).
+    *
+    * `pairFilter` (filtered ANN, post-filter strategy): a predicate
+    * over base attributes x per-query thresholds, evaluated ON the
+    * probe join BEFORE scoring — non-qualifying candidates never reach
+    * the distance kernel or the top-k heaps, so the filter rides the
+    * same scan the search already does (no second pass, no per-query
+    * jobs). Queries whose filter survives fewer than k candidates in
+    * the probed cells return fewer rows, mirroring the reference's
+    * filtered-query semantics.
     */
   def search(
       assigned: DataFrame,
@@ -214,10 +223,11 @@ object IvfIndex {
       cents: Array[Array[Double]],
       k: Int,
       nprobe: Int,
-      metric: VecMetric): DataFrame = {
+      metric: VecMetric,
+      pairFilter: Option[Column] = None): DataFrame = {
     val probed = probedQueries(queries, cents, nprobe)
-    val scored = assigned
-      .join(broadcast(probed), "cluster")
+    val joined = assigned.join(broadcast(probed), "cluster")
+    val scored = pairFilter.fold(joined)(joined.filter)
       .select(
         col("query_id"),
         metric.score(col("qvec"), col("vec")).as("score"),

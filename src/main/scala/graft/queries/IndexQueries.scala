@@ -70,6 +70,32 @@ object IndexQueries {
       VecMetric.Euclidean))
   }
 
+  /** q39: filtered ANN ON the IVF index — q14's per-query compound
+    * label predicate evaluated inside q20's probe join (post-filter
+    * strategy: prune cells first, then filter candidates before the
+    * distance kernel). The index and the filter compose in ONE scan;
+    * at 100 TB this is partition pruning + a pushed predicate, the
+    * plan every filtered-vector-search engine converges on.
+    */
+  def ivfFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      col("label").cast("long").as("l0"),
+      (col("vec_id") % 97).as("l1"),
+      ((col("vec_id") * 31) % 89).as("l2"))
+    val queries = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").cast("long").as("t0"),
+        (lit(20L) + (col("vec_id") * 13) % 60).as("t1"),
+        (lit(15L) + (col("vec_id") * 17) % 60).as("t2"))
+    val cents = sampleCents(s, dir)
+    val assigned = IvfIndex.assign(base, "vec", cents)
+    ranked(IvfIndex.search(assigned, queries, cents, K, NProbe,
+      VecMetric.Euclidean,
+      pairFilter = Some(col("l0") <= col("t0") &&
+        col("l1") <= col("t1") && col("l2") <= col("t2"))))
+  }
+
   /** IVF cell pruning + PQ ADC scan + exact re-rank (the milvus-ivfpq
     * shape; sample-init codebooks on raw vectors — recall recovered
     * by the re-rank, build replicable by the oracle).
@@ -463,6 +489,7 @@ object IndexQueries {
     "q16_bin_ivf" -> (binIvfFlat _),
     "q17_nprobe_sweep" -> (nprobeSweep _),
     "q20_ivf_flat" -> (ivfFlat _),
+    "q39_ivf_filtered" -> (ivfFiltered _),
     "q21_ivf_pq" -> (ivfPq _),
     "q22_ivf_sq8" -> (ivfSq8 _),
     "q23_lsh_rhp" -> (lshRhp _),
@@ -513,6 +540,26 @@ object IndexQueries {
 
   private val ivfFlatSql: String =
     s"WITH $ivfCte\n$ivfFlatSelect ORDER BY query_id, rank"
+
+  private val ivfFilteredSql: String =
+    s"""WITH $ivfCte,
+       |lb AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS l0,
+       |              vec_id % 97 AS l1, (vec_id * 31) % 89 AS l2
+       |       FROM embeddings),
+       |qt AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS t0,
+       |              20 + (vec_id * 13) % 60 AS t1,
+       |              15 + (vec_id * 17) % 60 AS t2
+       |       FROM embeddings WHERE vec_id < $NQ)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT q.query_id, a.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, a.v), a.id) AS rank
+       |  FROM q JOIN pr ON pr.query_id = q.query_id
+       |         JOIN asg a ON a.cluster = pr.cluster
+       |         JOIN lb ON lb.id = a.id
+       |         JOIN qt ON qt.query_id = q.query_id
+       |  WHERE lb.l0 <= qt.t0 AND lb.l1 <= qt.t1 AND lb.l2 <= qt.t2)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   private val recallSql: String =
     s"""WITH $ivfCte,
@@ -950,6 +997,7 @@ object IndexQueries {
     "q12_recall_at_k" -> recallSql,
     "q19_graph_search" -> q19Sql,
     "q20_ivf_flat" -> ivfFlatSql,
+    "q39_ivf_filtered" -> ivfFilteredSql,
     "q21_ivf_pq" -> ivfPqSql,
     "q22_ivf_sq8" -> ivfSqSql(255),
     "q37_ivf_sq4" -> ivfSqSql(15),

@@ -232,4 +232,22 @@ class IndexSpec extends AnyFunSuite {
     // exact re-rank is monotone in rank)
     assert(out.filter(col("rank") === 1).count() == 5)
   }
+
+  test("q39 filtered IVF: hits satisfy their predicate, decent recall") {
+    val got = SparkEntry.queries("q39_ivf_filtered")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.nonEmpty)
+    // every (query, neighbor) must satisfy the per-query compound
+    // predicate the labels/thresholds derive
+    got.foreach { case (q, n) =>
+      assert(n % 97 <= 20 + (q * 13) % 60, s"l1 violated for ($q,$n)")
+      assert((n * 31) % 89 <= 15 + (q * 17) % 60, s"l2 violated for ($q,$n)")
+    }
+    // recall vs the exact filtered search (q14, same labels/thresholds)
+    val exact = SparkEntry.queries("q14_knn_filtered_compound")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = got.count(exact.contains)
+    assert(hits.toDouble / exact.size >= 0.6,
+      s"filtered-IVF recall ${hits.toDouble / exact.size}")
+  }
 }
