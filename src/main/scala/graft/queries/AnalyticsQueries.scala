@@ -174,6 +174,26 @@ object AnalyticsQueries {
   def streamEnrich(s: SparkSession, dir: String): DataFrame =
     EventStream.enrichedHourlyAgg(s, dir)
 
+  /** a10: salted skew-safe join — revenue per order status through a
+    * lineitem⋈orders join spread over 4 salts per key. On this corpus
+    * no key is hot, so the gated check is pure semantics (result ==
+    * plain join); the skew behavior itself is spec-tested on a
+    * synthetic one-key corpus (AnalyticsSpec).
+    */
+  def saltedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long").as("rev_cents"),
+      col("l_quantity"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    graft.operators.SkewJoin.saltedJoin(li, ord, "l_orderkey",
+        salts = 4, saltBy = xxhash64(col("l_quantity"), col("rev_cents")))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"), sum("rev_cents").as("revenue_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   private def eventsUs(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(col("user_id"), col("event_id"),
       expr("ts div 1000").as("us"), col("event_type"))
@@ -238,12 +258,19 @@ object AnalyticsQueries {
     "a07_bucketed_join" -> (bucketedJoin _),
     "a08_asof_join" -> (asofJoinQ _),
     "a09_range_join" -> (rangeJoinQ _),
+    "a10_salted_join" -> (saltedJoinQ _),
     "q38_stream_enrich" -> (streamEnrich _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "a07_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a10_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
         |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
         |                     AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

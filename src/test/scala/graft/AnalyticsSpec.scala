@@ -81,4 +81,30 @@ class AnalyticsSpec extends AnyFunSuite {
       want.select("event_id", "user_id", "us", "n_clicks").collect().toSeq)
     assert(got.collect().map(_.getLong(3)).sum > 0)
   }
+
+  test("a10 salted join: exact on a one-hot-key corpus, salts spread work") {
+    import spark.implicits._
+    import graft.operators.SkewJoin
+    // 10k big rows ALL on key 1 (maximal skew) + a tail key
+    val big = spark.range(10000)
+      .select(when(col("id") < 9000, 1L).otherwise(2L).as("k"),
+        col("id").as("payload"))
+    val small = Seq((1L, "hot"), (2L, "cold"), (3L, "unmatched"))
+      .toDF("k", "name")
+    val got = SkewJoin.saltedJoin(big, small, "k", salts = 8,
+        saltBy = xxhash64(col("payload")))
+      .groupBy("k", "name").agg(count(lit(1)).as("n"),
+        sum("payload").as("s"))
+      .orderBy("k").collect()
+    val want = big.join(small, "k")
+      .groupBy("k", "name").agg(count(lit(1)).as("n"),
+        sum("payload").as("s"))
+      .orderBy("k").collect()
+    assert(got.toSeq == want.toSeq)
+    // the hot key's rows really divide across all 8 salts
+    val spread = big.withColumn("__salt",
+        pmod(xxhash64(col("payload")), lit(8)))
+      .filter(col("k") === 1).groupBy("__salt").count().collect()
+    assert(spread.length == 8, spread.mkString(","))
+  }
 }
