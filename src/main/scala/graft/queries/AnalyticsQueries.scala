@@ -259,6 +259,8 @@ object AnalyticsQueries {
     "a08_asof_join" -> (asofJoinQ _),
     "a09_range_join" -> (rangeJoinQ _),
     "a10_salted_join" -> (saltedJoinQ _),
+    "q40_stream_stream_join" -> ((s: SparkSession, dir: String) =>
+      EventStream.streamStreamJoin(s, dir)),
     "q38_stream_enrich" -> (streamEnrich _)
   )
 
@@ -275,6 +277,17 @@ object AnalyticsQueries {
         |                     AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q40_stream_stream_join" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |            FROM events)
+        |SELECT e.event_id AS error_id, c.event_id AS click_id,
+        |       e.us AS error_us, c.us AS click_us
+        |FROM ev e JOIN ev c
+        |  ON e.user_id = c.user_id
+        |     AND e.event_type = 'error' AND c.event_type = 'click'
+        |     AND c.us > e.us - 1800000000 AND c.us <= e.us
+        |ORDER BY error_id, click_id""".stripMargin,
     "a08_asof_join" ->
       """WITH ev AS (SELECT user_id, event_id,
         |              epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type

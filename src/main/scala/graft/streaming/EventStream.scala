@@ -176,6 +176,51 @@ object EventStream {
     spark.table(sink).orderBy("hour_start", "segment")
   }
 
+  /** q40: stream-STREAM interval join — errors joined to the same
+    * user's clicks within the preceding 30 minutes, both sides live
+    * streams (the click stream is hot state the error stream probes).
+    * Unlike q38's stream-static join this one keeps join state: the
+    * watermark plus the two-sided time-bound condition let Spark
+    * evict clicks older than the interval, so state is bounded by
+    * 30 minutes of clicks regardless of how long the streams run —
+    * the stream-stream contract at 100 TB/day. Inner interval joins
+    * emit each qualifying pair exactly once under any micro-batching,
+    * which is what makes the query batch-reproducible and
+    * oracle-checkable against the equivalent batch range join (a09's
+    * pair set).
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("event_time").as("error_time"))
+      .withWatermark("error_time", "1 hour")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val joined = errors.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_time") > col("error_time") - expr("INTERVAL 30 MINUTES") &&
+          col("click_time") <= col("error_time"))
+      .select(col("error_id"), col("click_id"),
+        unix_micros(col("error_time")).as("error_us"),
+        unix_micros(col("click_time")).as("click_us"))
+    val sink = s"graft_ssjoin_${nameCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("error_id", "click_id")
+  }
+
   /** q32: true stateful streaming sessionization via session_window
     * (30 min gap) + watermark. Append mode emits exactly the CLOSED
     * sessions — those whose (last event + gap) precedes the final

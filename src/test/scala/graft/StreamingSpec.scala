@@ -33,6 +33,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(again.collect().toSeq == out.collect().toSeq)
   }
 
+  test("q40 stream-stream interval join equals the batch range join") {
+    val out = SparkEntry.queries("q40_stream_stream_join")(spark, sf)
+      .collect()
+    val ev = Tables.events(spark, sf).select(col("user_id"),
+      col("event_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("us").as("cus"))
+    val want = ev.filter(col("event_type") === "error")
+      .join(clicks, col("user_id") === col("cu") &&
+        col("cus") > col("us") - 1800L * 1000000L && col("cus") <= col("us"))
+      .select(col("event_id").as("error_id"), col("click_id"),
+        col("us").as("error_us"), col("cus").as("click_us"))
+      .orderBy("error_id", "click_id").collect()
+    assert(out.toSeq == want.toSeq)
+    // pair count cross-checks a09's per-error counts
+    val a09Sum = SparkEntry.queries("a09_range_join")(spark, sf)
+      .agg(sum("n_clicks")).head().getLong(0)
+    assert(out.length.toLong == a09Sum)
+  }
+
   test("q38 stream-static enrichment equals the batch join rollup") {
     val out = SparkEntry.queries("q38_stream_enrich")(spark, sf)
     val batch = Tables.events(spark, sf)
