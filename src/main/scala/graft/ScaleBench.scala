@@ -17,15 +17,51 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 1000000L
     val dims = if (args.length > 1) args(1).toInt else 64
+    // optional stage-filter regex: time only matching stages
+    val keep: String => Boolean =
+      if (args.length > 2) args(2).r.findFirstIn(_).isDefined else _ => true
     val nlist = 64
     val nprobe = 8
     val nq = 100
     val spark = GraftSession.create(appName = "graft-scale-bench")
 
-    def timed(name: String)(f: => Long): Unit = {
+    def timed(name: String)(f: => Long): Unit = if (keep(name)) {
       val t0 = System.nanoTime()
       val rows = f
       println(f"""{"stage":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows,"n":$n,"dims":$dims}""")
+    }
+
+    // --- temporal joins + sampling at generated-event scale (pure
+    // projections over spark.range — no driver data, any n) ---
+    val users = math.max(1000L, n / 100)
+    val ev = spark.range(n).select(
+      pmod(col("id") * 2654435761L, lit(users)).as("user_id"),
+      col("id").as("event_id"),
+      pmod(col("id") * 1103515245L + 12345L, lit(86400L * 1000000L)).as("us"),
+      when(pmod(col("id"), lit(10)) === 0, lit("error"))
+        .otherwise(lit("click")).as("event_type"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "us", "event_id")
+    timed("asof_join") {
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "us").agg(max("event_id").as("click_id"))
+      graft.operators.TemporalJoins
+        .asofJoin(errors, clicks, "user_id", "us").count()
+    }
+    timed("range_join") {
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "us")
+      graft.operators.TemporalJoins.rangeJoinCount(errors, clicks,
+        "user_id", "us", 1800L * 1000000L,
+        Seq("event_id", "user_id", "us")).count()
+    }
+    timed("stratified_sample") {
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) < 6, lit("en"))
+          .when(pmod(col("id"), lit(10)) < 8, lit("zh"))
+          .when(pmod(col("id"), lit(10)) < 9, lit("es"))
+          .otherwise(lit("fr")).as("lang"))
+      graft.operators.TextAnalysis.stratifiedSample(docs, "lang").count()
     }
 
     val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
