@@ -153,6 +153,39 @@ object TextQueries {
     TextAnalysis.stratifiedSample(Tables.documents(s, dir), "lang")
       .orderBy("doc_id")
 
+  val HybridK = 5
+
+  /** q41: hybrid retrieval — BM25 (t06, sparse lexical) and TF-IDF
+    * cosine (e03, dense-ish semantic) rank lists fused with RRF
+    * (1/(60+rank), the public standard constant), top-[[HybridK]]
+    * per query. The fused score is two IEEE divisions added in
+    * pinned left-to-right order — oracle-exact. Both legs share the
+    * memoised termCounts pass; the fusion itself touches only
+    * 2 x Q x k rank rows, so it is free at any corpus size — the
+    * legs' scans dominate, exactly as in a production hybrid server.
+    */
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val bm = t06(s, dir).withColumnRenamed("rank", "r_bm")
+    val cs = EmbeddingQueries.embedSearch(s, dir)
+      .withColumnRenamed("rank", "r_cs")
+    val ids = bm.select("query_id", "neighbor_id")
+      .unionByName(cs.select("query_id", "neighbor_id")).distinct()
+    val sc = ids
+      .join(bm, Seq("query_id", "neighbor_id"), "left")
+      .join(cs, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(60) + col("r_bm")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_cs")), lit(0.0)))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    sc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HybridK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   def t01(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
 
@@ -189,6 +222,7 @@ object TextQueries {
     "t04_fingerprint" -> (t04 _),
     "t05_tfidf_bow" -> (t05 _),
     "t06_bm25" -> (t06 _),
+    "q41_hybrid_search" -> (q41 _),
     "t07_pii_scrub" -> (t07 _),
     "t08_decontaminate" -> (t08 _),
     "t09_repetition" -> (t09 _),
@@ -250,6 +284,37 @@ object TextQueries {
        |            ELSE '${langs.last}' END AS pred_lang
        |FROM sc ORDER BY doc_id""".stripMargin
   }
+
+  private val bm25Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |             FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |ad AS (SELECT CAST((SELECT sum(dl) FROM dl) AS DOUBLE) /
+       |              CAST(n AS DOUBLE) AS avgdl FROM nd),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT term, doc_id AS query_id FROM tf WHERE doc_id < $Bm25NQ),
+       |contrib AS (
+       |  SELECT q.query_id, tf.doc_id, tf.term,
+       |         ((CAST(nd.n AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5) /
+       |          (CAST(dft.df AS DOUBLE) + 0.5)) *
+       |         ((CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1.0}) /
+       |          (CAST(tf.tf AS DOUBLE) + $Bm25K1 *
+       |           (${1.0 - Bm25B} + $Bm25B *
+       |            (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS x
+       |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+       |       JOIN dft USING (term) CROSS JOIN nd CROSS JOIN ad),
+       |sc AS (SELECT query_id, doc_id,
+       |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                list(x ORDER BY term)), (acc, v) -> acc + v) AS score
+       |       FROM contrib GROUP BY query_id, doc_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT query_id, doc_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -320,36 +385,28 @@ object TextQueries {
         |       (length(text) + 3) // 4 AS est_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t03_lang_id" -> langSql,
-    "t06_bm25" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |             FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-         |ad AS (SELECT CAST((SELECT sum(dl) FROM dl) AS DOUBLE) /
-         |              CAST(n AS DOUBLE) AS avgdl FROM nd),
-         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |q AS (SELECT term, doc_id AS query_id FROM tf WHERE doc_id < $Bm25NQ),
-         |contrib AS (
-         |  SELECT q.query_id, tf.doc_id, tf.term,
-         |         ((CAST(nd.n AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5) /
-         |          (CAST(dft.df AS DOUBLE) + 0.5)) *
-         |         ((CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1.0}) /
-         |          (CAST(tf.tf AS DOUBLE) + $Bm25K1 *
-         |           (${1.0 - Bm25B} + $Bm25B *
-         |            (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS x
-         |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
-         |       JOIN dft USING (term) CROSS JOIN nd CROSS JOIN ad),
-         |sc AS (SELECT query_id, doc_id,
-         |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |                list(x ORDER BY term)), (acc, v) -> acc + v) AS score
-         |       FROM contrib GROUP BY query_id, doc_id)
+    "t06_bm25" -> bm25Sql,
+    "q41_hybrid_search" ->
+      s"""WITH bm AS (SELECT * FROM ($bm25Sql)),
+         |cs AS (SELECT * FROM
+         |       (${EmbeddingQueries.oracleSql("e03_embed_search")})),
+         |ids AS (SELECT DISTINCT query_id, neighbor_id FROM
+         |        (SELECT query_id, neighbor_id FROM bm
+         |         UNION ALL SELECT query_id, neighbor_id FROM cs)),
+         |sc AS (SELECT i.query_id, i.neighbor_id,
+         |         coalesce(1.0 / (60 + bm.rank), 0.0) +
+         |         coalesce(1.0 / (60 + cs.rank), 0.0) AS score
+         |       FROM ids i
+         |       LEFT JOIN bm ON bm.query_id = i.query_id
+         |                   AND bm.neighbor_id = i.neighbor_id
+         |       LEFT JOIN cs ON cs.query_id = i.query_id
+         |                   AND cs.neighbor_id = i.neighbor_id)
          |SELECT query_id, rank, neighbor_id FROM (
-         |  SELECT query_id, doc_id AS neighbor_id,
+         |  SELECT query_id, neighbor_id,
          |         row_number() OVER (PARTITION BY query_id
-         |           ORDER BY score DESC, doc_id) AS rank
-         |  FROM sc)
-         |WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
+         |           ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM sc) WHERE rank <= $HybridK
+         |ORDER BY query_id, rank""".stripMargin,
     "t07_pii_scrub" -> {
       import graft.operators.TextAnalysis.{EmailRe, SsnRe, PhoneRe}
       s"""WITH aug AS (SELECT doc_id,

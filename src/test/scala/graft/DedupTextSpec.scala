@@ -114,6 +114,27 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q41 hybrid fusion: candidates from the legs, dual hits outrank") {
+    val out = SparkEntry.queries("q41_hybrid_search")(spark, sf)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.length == 5)
+    val bm = SparkEntry.queries("t06_bm25")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cs = SparkEntry.queries("e03_embed_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // every fused hit came from at least one leg
+    rows.foreach { case (q, _, n) => assert(bm((q, n)) || cs((q, n))) }
+    // rank-1 must be a doc BOTH legs retrieved (two RRF terms beat
+    // one: 1/61 + 1/70 > 1/61 max single-leg)
+    rows.filter(_._2 == 1L).foreach { case (q, _, n) =>
+      assert(bm((q, n)) && cs((q, n)), s"rank-1 ($q,$n) not a dual hit") }
+    // fused list is not just one leg truncated
+    val bmTop = SparkEntry.queries("t06_bm25")(spark, sf)
+      .filter(col("rank") <= graft.queries.TextQueries.HybridK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet != bmTop.toSet)
+  }
+
   test("d05 blocked join: exact pairs, no cartesian/BNLJ in the plan") {
     import graft.functions._
     val emb = Tables.embeddings(spark, sf)
