@@ -187,6 +187,45 @@ object IndexQueries {
       VecMetric.Euclidean))
   }
 
+  /** q42: the persisted QUANTIZED index — q22's SQ8 math on q26's
+    * cell-partitioned layout, codes stored as true 1-byte tinyints
+    * (affine codes offset by -128). On disk each vector costs dim
+    * code bytes instead of 4*dim float bytes, so a probed-cell scan
+    * compounds the two multiplicative levers a 100 TB index has:
+    * partition pruning (read nprobe/nlist of the cells) x 4x byte
+    * shrink within each cell read. Quantization happens at WRITE
+    * time; persistence changes no math, so the oracle is q22's, and
+    * the byte claim is measured in IndexSpec, not asserted in prose.
+    */
+  def ivfSq8Persisted(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    val cents = sampleCents(s, dir)
+    val sq = cached(dir, "sq8") { Sq8Index.train(base, "vec") }
+    val path = cached(dir, "sq8-path") {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_sq8_idx").toString
+      IvfIndex.assign(base, "vec", cents)
+        .withColumn("codes", transform(Sq8Index.encode(col("vec"), sq),
+          c => (c - lit(128)).cast("tinyint")))
+        .select("id", "codes", "cluster")
+        .write.mode("overwrite").partitionBy("cluster").parquet(p)
+      p
+    }
+    val probed = IvfIndex.probedQueries(queries, cents, NProbe)
+    val cells = probed.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scan = s.read.parquet(path).filter(col("cluster").isin(cells: _*))
+      .withColumn("codes", transform(col("codes"),
+        c => c.cast("int") + lit(128)))
+    val scored = scan
+      .join(broadcast(probed), "cluster")
+      .select(col("query_id"),
+        graft.functions.sq8_l2(col("qvec"), col("codes"),
+          sq.mins, sq.scales).as("score"),
+        col("id"))
+    ranked(KnnSearch.topKOf(scored, K, asc = true))
+  }
+
   def lshRhp(s: SparkSession, dir: String): DataFrame = {
     val (base, queries) = baseAndQueries(s, dir)
     // data-derived hyperplanes (differences of sample-vector pairs):
@@ -490,6 +529,7 @@ object IndexQueries {
     "q17_nprobe_sweep" -> (nprobeSweep _),
     "q20_ivf_flat" -> (ivfFlat _),
     "q39_ivf_filtered" -> (ivfFiltered _),
+    "q42_sq8_persisted" -> (ivfSq8Persisted _),
     "q21_ivf_pq" -> (ivfPq _),
     "q22_ivf_sq8" -> (ivfSq8 _),
     "q23_lsh_rhp" -> (lshRhp _),
@@ -1000,6 +1040,8 @@ object IndexQueries {
     "q39_ivf_filtered" -> ivfFilteredSql,
     "q21_ivf_pq" -> ivfPqSql,
     "q22_ivf_sq8" -> ivfSqSql(255),
+    // persistence is lossless over the codes — same math as q22
+    "q42_sq8_persisted" -> ivfSqSql(255),
     "q37_ivf_sq4" -> ivfSqSql(15),
     "q23_lsh_rhp" -> lshRhpSql,
     "q24_lsh_minhash" -> lshMinhashSql,

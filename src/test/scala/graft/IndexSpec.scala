@@ -233,6 +233,32 @@ class IndexSpec extends AnyFunSuite {
     assert(out.filter(col("rank") === 1).count() == 5)
   }
 
+  test("q42 persisted sq8 == in-memory sq8; codes beat floats on disk") {
+    val a = SparkEntry.queries("q42_sq8_persisted")(spark, sf001)
+      .collect().toSeq
+    val b = SparkEntry.queries("q22_ivf_sq8")(spark, sf001).collect().toSeq
+    assert(a == b)
+    // measure the byte claim: same vectors as floats vs tinyint codes
+    import graft.operators.{IvfIndex, Sq8Index}
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val sq = Sq8Index.train(emb, "vec")
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum
+      finally s.close()
+    }
+    val fDir = java.nio.file.Files.createTempDirectory("graft_sz_f")
+    val cDir = java.nio.file.Files.createTempDirectory("graft_sz_c")
+    emb.write.mode("overwrite").parquet(fDir.toString)
+    emb.select(col("id"), transform(Sq8Index.encode(col("vec"), sq),
+        c => (c - lit(128)).cast("tinyint")).as("codes"))
+      .write.mode("overwrite").parquet(cDir.toString)
+    val (fB, cB) = (dirBytes(fDir), dirBytes(cDir))
+    assert(cB * 2 < fB, s"codes $cB bytes vs floats $fB bytes")
+  }
+
   test("q39 filtered IVF: hits satisfy their predicate, decent recall") {
     val got = SparkEntry.queries("q39_ivf_filtered")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
