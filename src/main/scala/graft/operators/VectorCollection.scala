@@ -68,6 +68,19 @@ class VectorCollection(
     IvfIndex.search(base, queries, cents, n, nprobe, metric)
   }
 
+  /** The reference's filtered-query module shape: `queries` carries
+    * per-query threshold columns alongside qvec, and `pairFilter`
+    * relates them to the collection's attribute columns — evaluated
+    * inside the probe join (q39's post-filter plan), so a static
+    * `filterExpr` and a per-query `pairFilter` cost the same scan.
+    */
+  def batchQueryFiltered(queries: DataFrame, n: Int,
+      pairFilter: Column): DataFrame = {
+    requireIndex()
+    IvfIndex.search(assigned, queries, cents, n, nprobe, metric,
+      pairFilter = Some(pairFilter))
+  }
+
   private def applyMutation(upserts: DataFrame, deletes: DataFrame): Unit = {
     data = Mutations.applyBatch(data, upserts, deletes, "id")
       .localCheckpoint(true)

@@ -51,5 +51,16 @@ class VectorCollectionSpec extends AnyFunSuite {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val batch = coll.batchQuery(queries, 3)
     assert(batch.groupBy("query_id").count().count() == 3)
+
+    // per-query compound filter: each query q only accepts ids below
+    // its own threshold column
+    val fq = queries.withColumn("max_id", (col("query_id") + 1) * 200)
+    val fres = coll.batchQueryFiltered(fq, 3, col("id") < col("max_id"))
+      .collect()
+    assert(fres.nonEmpty)
+    fres.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(2))
+      assert(n < (q + 1) * 200, s"($q,$n) violates its per-query bound")
+    }
   }
 }
