@@ -165,9 +165,14 @@ object TextQueries {
     * legs' scans dominate, exactly as in a production hybrid server.
     */
   def q41(s: SparkSession, dir: String): DataFrame = {
+    // each leg feeds BOTH the candidate union and the score join —
+    // materialise the tiny (Q x k) rank lists once or the full
+    // BM25/cosine pipelines run twice in the fused plan
     val bm = t06(s, dir).withColumnRenamed("rank", "r_bm")
+      .localCheckpoint(true)
     val cs = EmbeddingQueries.embedSearch(s, dir)
       .withColumnRenamed("rank", "r_cs")
+      .localCheckpoint(true)
     val ids = bm.select("query_id", "neighbor_id")
       .unionByName(cs.select("query_id", "neighbor_id")).distinct()
     val sc = ids
