@@ -60,6 +60,27 @@ object TextQueries {
       Dedup.minhashLshOf(shingled(s, dir), NgramTau))
       .orderBy("doc_id")
 
+  /** d07: the dedup pipeline's last step — one canonical SURVIVOR per
+    * near-dup cluster, chosen by quality (t01's composite score,
+    * doc_id as the deterministic tie-break). pairs → clusters → keep
+    * list is the complete shape a production dedup pass ships; the
+    * argmax is a per-cluster struct-max aggregation, one shuffle on
+    * cluster_id.
+    */
+  def d07(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashLshOf(shingled(s, dir), NgramTau))
+    val quality = TextAnalysis.qualityScore(Tables.documents(s, dir))
+      .select(col("doc_id"), col("quality"))
+    clusters.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("quality"), col("doc_id"))).as("w"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("w.doc_id").as("survivor_id"),
+        col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25NQ = 5
@@ -221,6 +242,7 @@ object TextQueries {
     "d04_dedup_simhash" -> (d04 _),
     "d05_dedup_embedding" -> (d05 _),
     "d06_dedup_clusters" -> (d06 _),
+    "d07_dedup_survivors" -> (d07 _),
     "t01_quality_score" -> (t01 _),
     "t02_token_count" -> (t02 _),
     "t03_lang_id" -> (t03 _),
@@ -288,6 +310,24 @@ object TextQueries {
        |       CASE $cases
        |            ELSE '${langs.last}' END AS pred_lang
        |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  private val t01Sql: String = {
+    val stop = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |     f AS (SELECT doc_id,
+       |             CAST(len(toks) AS BIGINT) AS n_tokens,
+       |             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |             CAST(len(list_filter(toks,
+       |               t -> list_contains($stop, t))) AS BIGINT) AS n_stop
+       |           FROM d)
+       |SELECT doc_id, n_tokens, n_distinct, n_stop,
+       |       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       |       CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       |       0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |       + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |       + 0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS quality
+       |FROM f ORDER BY doc_id""".stripMargin
   }
 
   private val bm25Sql: String =
@@ -366,23 +406,17 @@ object TextQueries {
          |       sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)))
          |      >= $CosTau
          |ORDER BY id_a, id_b""".stripMargin,
-    "t01_quality_score" -> {
-      val stop = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |     f AS (SELECT doc_id,
-         |             CAST(len(toks) AS BIGINT) AS n_tokens,
-         |             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-         |             CAST(len(list_filter(toks,
-         |               t -> list_contains($stop, t))) AS BIGINT) AS n_stop
-         |           FROM d)
-         |SELECT doc_id, n_tokens, n_distinct, n_stop,
-         |       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
-         |       CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
-         |       0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-         |       + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-         |       + 0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS quality
-         |FROM f ORDER BY doc_id""".stripMargin
-    },
+    "t01_quality_score" -> t01Sql,
+    "d07_dedup_survivors" ->
+      s"""WITH cl AS (SELECT * FROM ($d06Sql)),
+         |qual AS (SELECT doc_id, quality FROM ($t01Sql))
+         |SELECT cluster_id, survivor_id, n_members FROM (
+         |  SELECT cl.cluster_id, qual.doc_id AS survivor_id,
+         |         count(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
+         |         row_number() OVER (PARTITION BY cl.cluster_id
+         |           ORDER BY qual.quality DESC, qual.doc_id DESC) AS rn
+         |  FROM cl JOIN qual ON qual.doc_id = cl.doc_id)
+         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "t02_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

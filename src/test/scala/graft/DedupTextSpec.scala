@@ -114,6 +114,20 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("d07 survivors: one per cluster, a member, member count right") {
+    val sf01 = "/root/testdata/sf0.01"
+    val surv = SparkEntry.queries("d07_dedup_survivors")(spark, sf01).collect()
+    val members = SparkEntry.queries("d06_dedup_clusters")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(surv.length == members.size)
+    surv.foreach { r =>
+      val (c, sv, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(members(c).contains(sv), s"survivor $sv not in cluster $c")
+      assert(members(c).size.toLong == n)
+    }
+  }
+
   test("q41 hybrid fusion: candidates from the legs, dual hits outrank") {
     val out = SparkEntry.queries("q41_hybrid_search")(spark, sf)
     val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
