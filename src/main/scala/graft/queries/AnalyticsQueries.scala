@@ -233,6 +233,21 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** a11: hierarchical ROLLUP totals — per (flag, status), per flag,
+    * and grand total in ONE pass: Spark expands grouping sets before
+    * the exchange, so partial aggregation still combines map-side and
+    * the shuffle carries one row per (set, key), not one pass per
+    * level — the OLAP subtotal surface at any fact-table size.
+    */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** a05: semi-structured extraction — JSON props parsed per event. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -259,6 +274,7 @@ object AnalyticsQueries {
     "a08_asof_join" -> (asofJoinQ _),
     "a09_range_join" -> (rangeJoinQ _),
     "a10_salted_join" -> (saltedJoinQ _),
+    "a11_rollup" -> (rollupAgg _),
     "q40_stream_stream_join" -> ((s: SparkSession, dir: String) =>
       EventStream.streamStreamJoin(s, dir)),
     "q38_stream_enrich" -> (streamEnrich _)
@@ -271,6 +287,14 @@ object AnalyticsQueries {
         |                     AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |         AS qty_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS price_cents
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "a10_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
