@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.IndexQueries.queries ++
       graft.queries.EmbeddingQueries.queries ++
-      graft.queries.DataGenQueries.queries
+      graft.queries.DataGenQueries.queries ++
+      graft.queries.SourceQueries.queries
 
   /** DuckDB-equivalent SQL for every exactly-checkable query. */
   def oracleSql: Map[String, String] =
@@ -26,5 +27,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracleSql ++
       graft.queries.IndexQueries.oracleSql ++
       graft.queries.EmbeddingQueries.oracleSql ++
-      graft.queries.DataGenQueries.oracleSql
+      graft.queries.DataGenQueries.oracleSql ++
+      graft.queries.SourceQueries.oracleSql
 }

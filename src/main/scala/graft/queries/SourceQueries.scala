@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.TextSources
+
+/** Source-format ingest gates (SURVEY.md §2 s01/s02): the driver's
+  * tables staged once into JSONL / CSV, then read back through the
+  * schema-explicit readers and queried — the oracle compares against
+  * the ORIGINAL parquet, so a gate pass proves byte-faithful ingest
+  * (content hashes for text, exact aggregates for doubles), not just
+  * row counts.
+  */
+object SourceQueries {
+
+  private val staged = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), String]
+
+  private def stage(s: SparkSession, dir: String, kind: String)(
+      write: String => Unit): String =
+    staged.getOrElseUpdate((s, dir, kind), {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft_src_$kind").toString
+      write(p)
+      p
+    })
+
+  /** s01: JSONL corpus ingest — documents staged as JSON-lines, read
+    * back with the declared schema; md5(text) in the gate proves the
+    * text column survived encoding byte-for-byte.
+    */
+  def s01(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val path = stage(s, dir, "jsonl")(p => TextSources.writeJsonl(docs, p))
+    TextSources.readJsonl(s, path, docs.schema)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** s02: CSV log ingest — events staged as headered CSV (ts kept as
+    * integer nanoseconds; doubles round-trip via shortest-repr), read
+    * back and rolled up hourly. The oracle is q31's: the CSV path
+    * must feed the same pipeline to the same answer.
+    */
+  def s02(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val path = stage(s, dir, "csv")(p => TextSources.writeCsv(ev, p))
+    TextSources.readCsv(s, path, ev.schema)
+      .groupBy(
+        unix_timestamp(date_trunc("hour",
+          timestamp_micros(expr("ts div 1000")))).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_jsonl_ingest" -> (s01 _),
+    "s02_csv_ingest" -> (s02 _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s01_jsonl_ingest" ->
+      """SELECT doc_id, md5(text) AS text_hash, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s02_csv_ingest" -> AnalyticsQueries.oracleSql("q31_stream_ingest")
+  )
+}
