@@ -80,6 +80,11 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.collect().toSeq ==
       want.select("event_id", "user_id", "us", "n_clicks").collect().toSeq)
     assert(got.collect().map(_.getLong(3)).sum > 0)
+    // the whole point of the bucketing: the range predicate rides an
+    // EQUI-join, never a nested-loop plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("a10 salted join: exact on a one-hot-key corpus, salts spread work") {
