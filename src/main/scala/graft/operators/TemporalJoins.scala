@@ -28,9 +28,9 @@ object TemporalJoins {
     */
   def asofJoin(probe: DataFrame, build: DataFrame,
       key: String, time: String): DataFrame = {
-    val pCols = probe.columns
+    val pCols = probe.columns.toIndexedSeq
     val pStruct = struct(pCols.map(col): _*)
-    val bStruct = struct(build.columns.map(col): _*)
+    val bStruct = struct(build.columns.toIndexedSeq.map(col): _*)
     val pType = probe.select(pStruct).schema.head.dataType
     val bType = build.select(bStruct).schema.head.dataType
     val u = probe.select(col(key).as("__k"), col(time).as("__t"),
