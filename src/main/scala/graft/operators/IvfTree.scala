@@ -68,8 +68,15 @@ object IvfTree {
     (array_position(d, array_min(d)) - 1).cast("int")
   }
 
-  /** Assign every row to its (l1, l2) leaf. */
+  /** Assign every row to its (l1, l2) leaf. An empty L1 cell would
+    * make nearestSub's array_min null and silently drop its rows from
+    * any later probe join — refuse such a model up front instead.
+    */
   def assign(df: DataFrame, vecCol: String, m: Model): DataFrame = {
+    val empty = m.sub.zipWithIndex.collect { case (cs, i) if cs.isEmpty => i }
+    require(empty.isEmpty,
+      s"IvfTree model has empty L1 cells ${empty.mkString(",")}: " +
+        "out-of-sample rows assigned there would vanish from probes")
     val a1 = IvfIndex.assign(df, vecCol, m.l1)
       .withColumnRenamed("cluster", "l1")
     a1.withColumn("l2", nearestSub(col(vecCol), col("l1"), m))

@@ -158,16 +158,17 @@ object TextAnalysis {
     * binomial-not-exact counts; an exact-M variant would rank only the
     * ~n_min hash-threshold survivors.
     */
-  def stratifiedSample(docs: DataFrame, stratumCol: String): DataFrame = {
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+      idCol: String = "doc_id"): DataFrame = {
     val counts = docs.groupBy(stratumCol).agg(count(lit(1)).as("n_s"))
     val nMin = counts.agg(min("n_s").as("n_min"))
-    val bucket = pmod(col("doc_id") * lit(2654435761L) + lit(1013904223L),
+    val bucket = pmod(col(idCol) * lit(2654435761L) + lit(1013904223L),
       lit(1000000007L)) % lit(10000L)
     docs.join(broadcast(counts), stratumCol)
       .crossJoin(broadcast(nMin))
       .withColumn("rate_bp", expr("10000 * n_min div n_s"))
       .filter(bucket < col("rate_bp"))
-      .select(col("doc_id"), col(stratumCol), col("rate_bp"))
+      .select(col(idCol), col(stratumCol), col("rate_bp"))
   }
 
   /** t04: rolling-hash fingerprint (custom codegen'd expression). */

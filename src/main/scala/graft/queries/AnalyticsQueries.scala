@@ -121,7 +121,7 @@ object AnalyticsQueries {
     */
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
     bucketedMemo.getOrElseUpdate((s, dir), {
-      val tag = s"${math.abs(dir.hashCode)}"
+      val tag = f"${dir.hashCode}%08x" // unsigned hex: always a valid identifier
       val li = s"graft_bkt_lineitem_$tag"
       val ord = s"graft_bkt_orders_$tag"
       if (!s.catalog.tableExists(li)) {

@@ -10,6 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * once: two modules caching equal logical plans in private maps made
   * Spark warn "Asked to cache already cached data" and double-tracked
   * the entry.
+  *
+  * Kind registry — the key namespace is flat across modules, so a
+  * reused kind string silently shares the other module's plan:
+  *   - shared on purpose: "termCounts" (TextQueries + EmbeddingQueries
+  *     — identical plan, that sharing is the point of this object).
+  *   - module-private kinds MUST be prefixed with the module name
+  *     (e.g. "idx:assigned") when the plan is not the canonical one.
   */
 private[queries] object DfCache {
   private val m = scala.collection.concurrent.TrieMap

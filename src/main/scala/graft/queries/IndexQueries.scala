@@ -484,7 +484,7 @@ object IndexQueries {
     // partial-aggregated top-k per (query, np) replaces |sweep|
     // separate searches — same results, one pass over the data,
     // shuffle still O(parts x Q x |sweep| x K).
-    val prr = IvfIndex.probesRanked(queries, cents, NList)
+    val prr = IvfIndex.probesRanked(queries, cents, SweepNprobes.max)
       .join(queries, "query_id").localCheckpoint(true)
     val sweepLit = typedlit(SweepNprobes)
     val cand = assigned.join(broadcast(prr), "cluster")
