@@ -119,7 +119,11 @@ object AnalyticsQueries {
     * the join key, sorted within buckets) — the persisted layout that
     * makes repeated fact-fact joins shuffle-free.
     */
-  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+  /** Exposed for AnalyticsSpec so the plan assertion reads the SAME
+    * table names the query uses (the tag derivation must not be
+    * duplicated — r6 regressed exactly that way).
+    */
+  private[graft] def bucketedTables(s: SparkSession, dir: String): (String, String) =
     bucketedMemo.getOrElseUpdate((s, dir), {
       val tag = f"${dir.hashCode}%08x" // unsigned hex: always a valid identifier
       val li = s"graft_bkt_lineitem_$tag"

@@ -30,9 +30,10 @@ class AnalyticsSpec extends AnyFunSuite {
     // no Exchange at all
     val q = SparkEntry.queries("a07_bucketed_join")(spark, sf)
     q.collect() // ensures bucketed tables exist + AQE finalizes
-    val tag = s"${math.abs(sf.hashCode)}"
-    val join = spark.table(s"graft_bkt_lineitem_$tag").hint("merge")
-      .join(spark.table(s"graft_bkt_orders_$tag").hint("merge"),
+    val (liTable, ordTable) =
+      graft.queries.AnalyticsQueries.bucketedTables(spark, sf)
+    val join = spark.table(liTable).hint("merge")
+      .join(spark.table(ordTable).hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
     assert(join.count() > 0)
     val plan = join.queryExecution.executedPlan.toString
