@@ -64,6 +64,44 @@ object ScaleBench {
       graft.operators.TextAnalysis.stratifiedSample(docs, "lang").count()
     }
 
+    // --- dedup pipeline at generated-doc scale (pure projections —
+    // any n): 32-token docs over a 50k vocab, every 10th doc a
+    // planted near-dup of its predecessor (first 30 tokens shared ⇒
+    // 3-gram shingle jaccard 28/32 = 0.875 ≥ τ=0.8; unrelated docs
+    // share ~nothing at this vocab). Planted pair count = n/10, so
+    // candidate volume and output are linear in n by construction —
+    // the property the d02 df-cap and d03 banding must preserve.
+    if (Seq("dedup_shingles", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_clusters").exists(keep)) {
+      val docLen = 32
+      val shared = 30
+      val docs = spark.range(n).select(col("id").as("doc_id"))
+        .withColumn("text", concat_ws(" ", expr(
+          s"""transform(sequence(0, ${docLen - 1}), j -> concat('w',
+             |  pmod(xxhash64(CASE WHEN j < $shared AND doc_id % 10 = 9
+             |                     THEN (doc_id - 1) * 131 + j
+             |                     ELSE doc_id * 131 + j END), 50000)))
+             |""".stripMargin.replace('\n', ' '))))
+      val sh = operators.Dedup.shingles(docs)
+      timed("dedup_shingles") { sh.cache().count() }
+      timed("dedup_ngram_jaccard") {
+        operators.Dedup.ngramJaccardPairsOf(sh, 0.8).count()
+      }
+      var pairs: org.apache.spark.sql.DataFrame = null
+      timed("dedup_minhash_lsh") {
+        pairs = operators.Dedup.minhashLshOf(sh, 0.8).localCheckpoint(true)
+        pairs.count()
+      }
+      if (keep("dedup_clusters")) {
+        if (pairs == null) // minhash stage was filtered out: untimed build
+          pairs = operators.Dedup.minhashLshOf(sh, 0.8).localCheckpoint(true)
+        timed("dedup_clusters") {
+          operators.Dedup.connectedComponents(pairs).count()
+        }
+      }
+      sh.unpersist()
+    }
+
     val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     timed("generate+cache") { corpus.cache().count() }

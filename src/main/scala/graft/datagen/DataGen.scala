@@ -42,10 +42,10 @@ object DataGen {
   private def ids(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).withColumnRenamed("id", "vec_id")
 
-  /** id % 10 == 0 → test (the reference's test_size=0.1 split, made
-    * id-deterministic so n_test is exactly ceil(n / 10)).
+  /** The test_size=0.1 split — delegated to [[graft.queries.Split]]
+    * so the generator and the query-side predicates can never drift.
     */
-  private val isTrain: Column = col("vec_id") % 10 =!= 0
+  private val isTrain: Column = graft.queries.Split.isTrain(col("vec_id"))
 
   /** Blob-clustered float vectors (make_blobs): cluster id mod
     * `centers`, centers uniform in [-10, 10]^dims, sigma-1 Gaussian

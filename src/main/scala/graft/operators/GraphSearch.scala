@@ -31,6 +31,14 @@ object GraphSearch {
   /** base: (id, vec); graph: (id, neighbor_id) directed out-edges;
     * queries: (query_id, qvec). Returns (query_id, rank, neighbor_id,
     * score) — top-k of every node VISITED by the beam walk.
+    *
+    * `entryBeam` > 0 enables the LAYERED entry (the HNSW coarse-layer
+    * descent): the entryN sample rows form layer 1, each query scores
+    * that tiny layer and enters the base graph at only its
+    * `entryBeam` nearest layer rows — a narrower, better-aimed front
+    * than seeding every query with all entryN rows, so the same
+    * visited budget buys more rounds of real walking. `entryBeam` = 0
+    * keeps the flat behavior (all entryN rows seed the walk).
     */
   def beamSearch(
       base: DataFrame,
@@ -40,7 +48,24 @@ object GraphSearch {
       beam: Int,
       rounds: Int,
       entryN: Int,
-      metric: VecMetric = VecMetric.Euclidean): DataFrame = {
+      metric: VecMetric = VecMetric.Euclidean,
+      entryBeam: Int = 0): DataFrame =
+    beamSearchWithVisited(base, graph, queries, k, beam, rounds, entryN,
+      metric, entryBeam)._1
+
+  /** [[beamSearch]] plus the per-query count of nodes the walk scored
+    * — the visited-fraction metric a graph index is judged by.
+    */
+  def beamSearchWithVisited(
+      base: DataFrame,
+      graph: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      entryN: Int,
+      metric: VecMetric = VecMetric.Euclidean,
+      entryBeam: Int = 0): (DataFrame, DataFrame) = {
     val vecs = base.select(col("id"), col("vec"))
     val edges = graph.select(col("id"), col("neighbor_id"))
 
@@ -52,12 +77,15 @@ object GraphSearch {
         .select(col("query_id"), col("id"),
           metric.score(col("qvec"), col("vec")).as("score"))
 
-    // entry points: the first entryN ids in id order (the same rows
-    // IVF's sample-init picks as centroids — a fixed, replicable seed
-    // set), evaluated for every query
+    // layer 1: the first entryN ids in id order (the same rows IVF's
+    // sample-init picks as centroids — a fixed, replicable seed set),
+    // evaluated for every query
     val entries = vecs.orderBy("id").limit(entryN).select("id")
-    var visited = score(entries.crossJoin(queries.select("query_id")))
-      .localCheckpoint(true)
+    val layer = score(entries.crossJoin(queries.select("query_id")))
+    var visited = (if (entryBeam > 0)
+      KnnSearch.topKOf(layer, entryBeam, metric.asc)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("score"))
+    else layer).localCheckpoint(true)
 
     for (_ <- 1 to rounds) {
       // beam = top-`beam` of everything visited so far (scores are
@@ -75,6 +103,13 @@ object GraphSearch {
       visited = visited.unionByName(score(fresh)).localCheckpoint(true)
     }
 
-    KnnSearch.topKOf(visited, k, metric.asc)
+    // the layer scan scored entryN rows per query regardless of how
+    // many seeded the walk — count it in the visited metric honestly
+    val visitedCounts = visited.groupBy("query_id")
+      .agg(count(lit(1)).as("n_visited"))
+      .withColumn("n_visited",
+        if (entryBeam > 0) col("n_visited") + lit((entryN - entryBeam).toLong)
+        else col("n_visited"))
+    (KnnSearch.topKOf(visited, k, metric.asc), visitedCounts)
   }
 }

@@ -95,13 +95,18 @@ object LshRhp {
   */
 object MinHashLshIndex {
 
+  /** `baseIds` restricts the SEARCHED corpus (e.g. to a train split
+    * while `queryIds` selects held-out test docs); signatures are
+    * still computed once over all docs and filtered per side.
+    */
   def search(
       docs: DataFrame, // (doc_id, text)
       queryIds: Column,
       k: Int,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      baseIds: Column = lit(true)): DataFrame = {
     val sh = Dedup.shingles(docs, n = 1)
       .select(col("doc_id"), col("sh").as("toks"))
     val sig = Dedup.minhashSignatures(
@@ -119,7 +124,8 @@ object MinHashLshIndex {
       .localCheckpoint(true)
     val qb = banded.filter(queryIds)
       .toDF("query_id", "band", "bucket")
-    val cands = banded.join(broadcast(qb), Seq("band", "bucket"))
+    val cands = banded.filter(baseIds)
+      .join(broadcast(qb), Seq("band", "bucket"))
       .filter(col("doc_id") =!= col("query_id"))
       .select("query_id", "doc_id").distinct()
     val scored = cands

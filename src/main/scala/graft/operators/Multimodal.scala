@@ -9,24 +9,87 @@ import graft.functions._
 /** Multimodal column plumbing (SURVEY.md §2 m01; the reference's
   * multi-modal/cross-modal query use-cases, README "Use-cases for
   * Compound Queries" and bigvectorbench/datasets.py BVB img/text
-  * datasets): opaque binary
-  * payloads + typed metadata, batch feature extraction. The real
-  * decode (image/audio libs) is STUBBED with a deterministic fake —
-  * everything Spark-side (schema, binary columns, partition-balanced
-  * batch extraction, fixed-dim feature output) is real and is exactly
-  * the plumbing a JPEG/PCM decoder UDF would plug into.
+  * datasets): opaque binary payloads + typed metadata, batch feature
+  * extraction. The image leg is REAL: each doc carries a PNG payload
+  * (rendered once from a closed-form per-pixel formula) and the
+  * pipeline decodes it with javax.imageio inside the batched
+  * mapPartitions — the gate checks decoded width/height/channel sums
+  * against the oracle's arithmetic recomputation of the same formula,
+  * so a wrong decode cannot pass. Audio/video codecs (not in this
+  * container) would plug into the identical batch shape.
   */
 object Multimodal {
 
   val PatchBytes = 256
-  val FeatDim = 8
 
-  /** Build the multimodal table: payload as binary + metadata, then
-    * run the (stubbed) batch feature extractor per PatchBytes block.
-    * Output keeps the oracle-checkable metadata legs (sizes/checksum)
-    * alongside the fake embedding.
+  // synthetic image geometry + per-pixel formula — channel c of pixel
+  // i (row-major) is (doc_id * 31 + i * 7 + c * 97) % 256. PNG is
+  // lossless, so decode(encode(pixels)) == pixels and every decoded
+  // statistic is an exact integer the DuckDB oracle re-derives.
+  val ImgW = 16
+  val ImgH = 16
+
+  private def pixelChannel(docId: Long, i: Int, c: Int): Int =
+    (((docId * 31 + i * 7 + c * 97) % 256) + 256).toInt % 256
+
+  /** Render the deterministic PNG payload for one doc. */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(ImgW, ImgH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < ImgW * ImgH) {
+      val rgb = (pixelChannel(docId, i, 0) << 16) |
+        (pixelChannel(docId, i, 1) << 8) | pixelChannel(docId, i, 2)
+      img.setRGB(i % ImgW, i / ImgW, rgb)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL batched image decode: javax.imageio over the binary payload
+    * column, [[BatchSize]] rows per decoder call group — the batch
+    * shape a vectorised codec consumes. Emits per-image width/height
+    * and per-channel pixel sums.
+    */
+  def decodeImageStats(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("img_payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            var (rs, gs, bs) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                rs += (rgb >> 16) & 0xff
+                gs += (rgb >> 8) & 0xff
+                bs += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            (id, img.getWidth.toLong, img.getHeight.toLong, rs, gs, bs)
+          }
+        }
+      }.toDF("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
+  }
+
+  /** Build the multimodal table — text payload + metadata + the PNG
+    * image payload — then decode the images for real and keep the
+    * oracle-checkable legs: text sizes/checksum plus decoded pixel
+    * statistics.
     */
   def pipeline(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val withPayload = docs.select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),
@@ -38,16 +101,16 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
       .withColumn("checksum", byte_sum(col("payload")))
       .withColumn("n_patches", expr(s"(n_bytes + ${PatchBytes - 1}) div $PatchBytes"))
-      // deterministic fake "decoder": FeatDim pseudo-features seeded by
-      // the checksum — a stand-in with the exact shape a real decoder
-      // (mapPartitions over payload bytes) would produce
-      .withColumn("features", expr(
-        s"transform(sequence(0, ${FeatDim - 1}), " +
-          s"j -> cast(pmod(checksum * (j + 1), 997) as double) / 997.0)"))
+    // the image leg reads only doc_id (column-pruned scan), renders
+    // the payload once, and decodes it with the real codec
+    val imgs = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPng(id))))
+      .toDF("doc_id", "img_payload")
+    val stats = decodeImageStats(imgs)
     extracted.select(
       col("doc_id"), col("meta.origin").as("origin"),
-      col("n_bytes"), col("checksum"), col("n_patches"),
-      size(col("features")).cast("long").as("feat_dim"))
+      col("n_bytes"), col("checksum"), col("n_patches"))
+      .join(stats, "doc_id")
   }
 
   val BatchSize = 64

@@ -34,11 +34,17 @@ object NnDescent {
     val wk = k * workingDegreeFactor
     val n = base.count()
     // deterministic pseudo-random init: k candidates per node from a
-    // multiplicative hash, self-loops dropped
+    // multiplicative hash, self-loops dropped. `i` folds into the
+    // multiplicand (id + i*7919) so the wk targets of one node SPREAD
+    // over the id range — an additive i*c term degenerates to a
+    // c-mod-n-spaced window (c = 40503 ≡ 3 mod 450/500), which
+    // clusters the init and stalls convergence on non-contiguous id
+    // spaces (e.g. a train split). Targets that miss a real id are
+    // dropped by the vector join, same as the SQL mirror.
     var edges = base.select(col("id"),
       explode(expr(
         s"transform(sequence(1, $wk), i -> " +
-          s"pmod(id * 2654435761L + i * 40503L + $seed, ${n}L))")).as("nb"))
+          s"pmod((id + i * 7919L) * 2654435761L + $seed, ${n}L))")).as("nb"))
       .filter(col("id") =!= col("nb"))
       .distinct()
       .localCheckpoint(true)

@@ -281,7 +281,9 @@ object AnalyticsQueries {
     "a11_rollup" -> (rollupAgg _),
     "q40_stream_stream_join" -> ((s: SparkSession, dir: String) =>
       EventStream.streamStreamJoin(s, dir)),
-    "q38_stream_enrich" -> (streamEnrich _)
+    "q38_stream_enrich" -> (streamEnrich _),
+    "q43_stream_file_sink" -> ((s: SparkSession, dir: String) =>
+      EventStream.hourlyAggFileSink(s, dir))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -384,6 +386,22 @@ object AnalyticsQueries {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q43: q31's aggregation through the append-mode file sink — only
+    // watermark-CLOSED hours are emitted (window end <= max event
+    // time, the same final-watermark contract q32 gates on)
+    "q43_stream_file_sink" ->
+      """WITH agg AS (
+        |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000
+        |           AS hour_start,
+        |         event_type,
+        |         count(*) AS n_events,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS value_cents
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us FROM events)
+        |SELECT hour_start, event_type, n_events, value_cents
+        |FROM agg, mx WHERE (hour_start + 3600) * 1000000 <= max_us
+        |ORDER BY 1, 2""".stripMargin,
     // q34: the final upserted collection = per user the event with max
     // (ts, event_id), minus tombstoned ('error'-last) keys
     "q34_stream_upsert" ->

@@ -65,7 +65,10 @@ object EmbeddingQueries {
   /** e03: end-to-end embed -> flat index -> cosine top-k over the
     * sparse integer BOW: dot products and norms are exact integer
     * sums (order-independent), the final cosine is one pinned double
-    * expression.
+    * expression. Held-out ([[Split]]): the searched corpus is the
+    * train docs; queries are test docs excluded from it (vocab is
+    * still corpus-wide — the embedding model sees all text, the
+    * INDEX only train rows).
     */
   def embedSearch(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -74,15 +77,16 @@ object EmbeddingQueries {
     // tv feeds norms, queries, and the dot join — cache the pruned
     // vocab projection, not the full term table
     val tv = cachedDf(s, dir, "termVocab")(tc.join(broadcast(voc), "term"))
-    val norms = tv.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nrm"))
-    val q = tv.filter(col("doc_id") < NQ)
+    val corpus = tv.filter(Split.isTrain(col("doc_id")))
+    val norms = corpus.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nrm"))
+    val q = tv.filter(Split.isQuery(col("doc_id"), NQ))
       .select(col("term"), col("doc_id").as("query_id"), col("tf").as("qtf"))
-    val dots = tv.join(q, "term")
+    val qnorms = q.groupBy("query_id").agg(sum(col("qtf") * col("qtf")).as("na"))
+    val dots = corpus.join(q, "term")
       .groupBy("query_id", "doc_id")
       .agg(sum(col("tf") * col("qtf")).as("dot"))
     val scored = dots
-      .join(norms.select(col("doc_id").as("query_id"), col("nrm").as("na")),
-        "query_id")
+      .join(qnorms, "query_id")
       .join(norms.select(col("doc_id"), col("nrm").as("nb")), "doc_id")
       .select(col("query_id"),
         (col("dot").cast("double") /
@@ -132,20 +136,24 @@ object EmbeddingQueries {
     "e03_embed_search" ->
       s"""WITH $vocabCte,
          |tv AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN voc USING (term)),
+         |cp AS (SELECT doc_id, term, tf FROM tv
+         |       WHERE ${Split.trainSql("doc_id")}),
          |nr AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nrm
-         |       FROM tv GROUP BY 1),
+         |       FROM cp GROUP BY 1),
          |qv AS (SELECT term, doc_id AS query_id, tf AS qtf
-         |       FROM tv WHERE doc_id < $NQ),
-         |dt AS (SELECT query_id, tv.doc_id,
-         |              CAST(sum(tv.tf * qv.qtf) AS BIGINT) AS dot
-         |       FROM tv JOIN qv USING (term) GROUP BY 1, 2)
+         |       FROM tv WHERE ${Split.querySql("doc_id", NQ)}),
+         |qn AS (SELECT query_id, CAST(sum(qtf * qtf) AS BIGINT) AS nrm
+         |       FROM qv GROUP BY 1),
+         |dt AS (SELECT query_id, cp.doc_id,
+         |              CAST(sum(cp.tf * qv.qtf) AS BIGINT) AS dot
+         |       FROM cp JOIN qv USING (term) GROUP BY 1, 2)
          |SELECT query_id, rank, neighbor_id FROM (
          |  SELECT dt.query_id, dt.doc_id AS neighbor_id,
          |         row_number() OVER (PARTITION BY dt.query_id ORDER BY
          |           CAST(dt.dot AS DOUBLE) /
          |           sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) DESC,
          |           dt.doc_id) AS rank
-         |  FROM dt JOIN nr na ON na.doc_id = dt.query_id
+         |  FROM dt JOIN qn na ON na.query_id = dt.query_id
          |          JOIN nr nb ON nb.doc_id = dt.doc_id)
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   )

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, LshRhp, Multimodal, TextAnalysis}
 
 /* d04's oracle rebuilds the 60-bit simhash in SQL: per-token
  * polynomial hashes (Dedup.tokenHash60Sql), per-bit +1/-1 counters,
@@ -51,6 +51,39 @@ object TextQueries {
     Dedup.embeddingNearDups(Tables.embeddings(s, dir), CosTau)
       .orderBy("id_a", "id_b")
 
+  // d08: high-tau near-dup regime. Planted duplicates are EXACT 0.5x
+  // scaled copies — halving a float only shifts the exponent, so the
+  // copy's sign-hash bits equal the original's in every table
+  // (structural recall 1.0) and its cosine is exactly 1.0; the
+  // natural corpus tops out at cos 0.513, so tau=0.9 isolates the
+  // planted pairs and the EXACT all-pairs oracle gates the
+  // approximate path bit-for-bit.
+  val LshDedupTau = 0.9
+  val DupMod = 5
+  val DupIdOffset = 10000L
+
+  /** d08: the sub-quadratic embedding near-dup path — RHP sign-band
+    * bucketing + in-join exact verification (d05's scale alternative
+    * for the true-near-dup regime; see Dedup.embeddingNearDupsLsh).
+    * Candidate volume is bucket-collision-bounded, never N^2.
+    */
+  def d08(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmentedEmbeddings(s, dir)
+    val model = LshRhp.trainFromData(
+      aug.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "vec", nTables = 8, nBits = 8)
+    Dedup.embeddingNearDupsLsh(aug, LshDedupTau, model)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Corpus + planted exact-scaled duplicates for every DupMod-th id. */
+  private def augmentedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    emb.unionByName(emb.filter(col("vec_id") % DupMod === 0)
+      .select((col("vec_id") + DupIdOffset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding")))
+  }
+
   /** d06: the pipeline step AFTER pair discovery — near-dup clusters
     * via connected components over d03's pair graph, cluster_id = the
     * canonical survivor (min reachable doc id).
@@ -86,8 +119,11 @@ object TextQueries {
   val Bm25NQ = 5
   val Bm25K = 10
 
-  /** t06: BM25 top-k document retrieval, query docs = doc_id < 5 (the
-    * sparse text-relevance leg next to e03's cosine BOW). Oracle
+  /** t06: BM25 top-k document retrieval over the train-split corpus,
+    * query docs = the held-out test split ([[Split]], matching e03's
+    * leg so q41 fuses aligned query sets); BM25's corpus statistics
+    * (df, avgdl, N) are index-side quantities, so they come from the
+    * train split too. Oracle
     * parity for a SUM of doubles needs a pinned fold order: per-term
     * contributions are folded in term order on BOTH engines
     * (array_sort + aggregate here, list(x ORDER BY term) +
@@ -100,17 +136,18 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     val tc = cachedDf(s, dir, "termCounts")(
       graft.operators.EmbeddingGen.termCounts(docs))
-    val n = docs.count()
-    val dl = tc.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val tcb = tc.filter(Split.isTrain(col("doc_id")))
+    val n = docs.filter(Split.isTrain(col("doc_id"))).count()
+    val dl = tcb.groupBy("doc_id").agg(sum("tf").as("dl"))
     val totTok = dl.agg(sum("dl")).head().getLong(0)
     val avgdl = totTok.toDouble / n.toDouble
-    val dft = tc.groupBy("term").agg(count(lit(1)).as("df"))
-    val q = tc.filter(col("doc_id") < Bm25NQ)
+    val dft = tcb.groupBy("term").agg(count(lit(1)).as("df"))
+    val q = tc.filter(Split.isQuery(col("doc_id"), Bm25NQ))
       .select(col("term"), col("doc_id").as("query_id"))
     // dft is the FULL vocabulary — never broadcast it (unbounded at
     // scale); it joins on the same term key the q-join already
     // shuffled on
-    val contrib = tc.join(q, "term")
+    val contrib = tcb.join(q, "term")
       .join(dl, "doc_id")
       .join(dft, "term")
       .select(col("query_id"), col("doc_id"), col("term"),
@@ -241,6 +278,7 @@ object TextQueries {
     "d03_dedup_minhash_lsh" -> (d03 _),
     "d04_dedup_simhash" -> (d04 _),
     "d05_dedup_embedding" -> (d05 _),
+    "d08_dedup_embedding_lsh" -> (d08 _),
     "d06_dedup_clusters" -> (d06 _),
     "d07_dedup_survivors" -> (d07 _),
     "t01_quality_score" -> (t01 _),
@@ -334,21 +372,25 @@ object TextQueries {
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
        |             FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |cp AS (SELECT doc_id, term, tf FROM tf
+       |       WHERE ${Split.trainSql("doc_id")}),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM cp GROUP BY 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+       |       WHERE ${Split.trainSql("doc_id")}),
        |ad AS (SELECT CAST((SELECT sum(dl) FROM dl) AS DOUBLE) /
        |              CAST(n AS DOUBLE) AS avgdl FROM nd),
-       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-       |q AS (SELECT term, doc_id AS query_id FROM tf WHERE doc_id < $Bm25NQ),
+       |dft AS (SELECT term, count(*) AS df FROM cp GROUP BY 1),
+       |q AS (SELECT term, doc_id AS query_id FROM tf
+       |      WHERE ${Split.querySql("doc_id", Bm25NQ)}),
        |contrib AS (
-       |  SELECT q.query_id, tf.doc_id, tf.term,
+       |  SELECT q.query_id, cp.doc_id, cp.term,
        |         ((CAST(nd.n AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5) /
        |          (CAST(dft.df AS DOUBLE) + 0.5)) *
-       |         ((CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1.0}) /
-       |          (CAST(tf.tf AS DOUBLE) + $Bm25K1 *
+       |         ((CAST(cp.tf AS DOUBLE) * ${Bm25K1 + 1.0}) /
+       |          (CAST(cp.tf AS DOUBLE) + $Bm25K1 *
        |           (${1.0 - Bm25B} + $Bm25B *
        |            (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS x
-       |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+       |  FROM cp JOIN q USING (term) JOIN dl USING (doc_id)
        |       JOIN dft USING (term) CROSS JOIN nd CROSS JOIN ad),
        |sc AS (SELECT query_id, doc_id,
        |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -405,6 +447,22 @@ object TextQueries {
          |WHERE (list_inner_product(a.v, b.v) /
          |       sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)))
          |      >= $CosTau
+         |ORDER BY id_a, id_b""".stripMargin,
+    // d08's oracle is the EXACT all-pairs scan over the augmented
+    // corpus — the LSH path must reproduce it verbatim (recall 1.0 is
+    // structural for 0.5x-scaled duplicates, precision 1.0 from the
+    // in-join verification)
+    "d08_dedup_embedding_lsh" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e AS (SELECT vec_id, v FROM e0
+         |      UNION ALL
+         |      SELECT vec_id + $DupIdOffset, list_transform(v, x -> x * 0.5)
+         |      FROM e0 WHERE vec_id % $DupMod = 0)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE (list_inner_product(a.v, b.v) /
+         |       sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)))
+         |      >= $LshDedupTau
          |ORDER BY id_a, id_b""".stripMargin,
     "t01_quality_score" -> t01Sql,
     "d07_dedup_survivors" ->
@@ -547,13 +605,25 @@ object TextQueries {
         |         c -> unicode(c))) AS BIGINT) AS frame_checksum
         |FROM fr WHERE p % 4 = 0
         |ORDER BY doc_id, frame_no""".stripMargin,
-    "m01_multimodal_pipeline" ->
-      """SELECT doc_id, source AS origin,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       CAST(list_sum(list_transform(string_split(text, ''),
-        |         c -> unicode(c))) AS BIGINT) AS checksum,
-        |       (CAST(octet_length(encode(text)) AS BIGINT) + 255) // 256 AS n_patches,
-        |       CAST(8 AS BIGINT) AS feat_dim
-        |FROM documents ORDER BY doc_id""".stripMargin
+    // m01: the image leg's decoded statistics are recomputed from the
+    // closed-form pixel formula (Multimodal.pixelChannel) — PNG is
+    // lossless, so the real javax.imageio decode must reproduce them
+    "m01_multimodal_pipeline" -> {
+      val nPix = graft.operators.Multimodal.ImgW * graft.operators.Multimodal.ImgH
+      def chanSum(c: Int) =
+        s"""CAST(list_sum(list_transform(range(0, $nPix),
+           |         i -> (doc_id * 31 + i * 7 + $c * 97) % 256)) AS BIGINT)""".stripMargin
+      s"""SELECT doc_id, source AS origin,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |       CAST(list_sum(list_transform(string_split(text, ''),
+         |         c -> unicode(c))) AS BIGINT) AS checksum,
+         |       (CAST(octet_length(encode(text)) AS BIGINT) + 255) // 256 AS n_patches,
+         |       CAST(${graft.operators.Multimodal.ImgW} AS BIGINT) AS width,
+         |       CAST(${graft.operators.Multimodal.ImgH} AS BIGINT) AS height,
+         |       ${chanSum(0)} AS r_sum,
+         |       ${chanSum(1)} AS g_sum,
+         |       ${chanSum(2)} AS b_sum
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
   )
 }

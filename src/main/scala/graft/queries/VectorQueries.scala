@@ -10,6 +10,12 @@ import graft.operators.{KnnSearch, MultiVectorSearch, VecMetric}
 /** Core ANN query suite (SURVEY.md §2) with DuckDB oracle parity:
   * ids/ranks only in gated outputs (integer-exact), ordering ties
   * broken by id on both engines.
+  *
+  * Every entry evaluates OUT-OF-SAMPLE: the searched base is the
+  * train split and the query workload is drawn from the held-out test
+  * split ([[Split]] — the reference's train_test_split contract,
+  * datasets.py:339/351), so a query row is never present in the data
+  * it searches and rank 1 is a real neighbor, not self-retrieval.
   */
 object VectorQueries {
   val K = 10
@@ -17,8 +23,9 @@ object VectorQueries {
 
   private def baseAndQueries(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, dir)
-    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val queries = emb.filter(col("vec_id") < NQ)
+    val base = emb.filter(Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(Split.isQuery(col("vec_id"), NQ))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     (base, queries)
   }
@@ -35,11 +42,16 @@ object VectorQueries {
     ranked(KnnSearch.bruteForce(base, queries, K, metric))
   }
 
+  /** Oracle split predicates — MUST mirror [[Split]]. */
+  private val qPred: String = Split.querySql("vec_id", NQ)
+  private val bPred: String = Split.trainSql("vec_id")
+
   /** Oracle template shared by the exact knn variants. */
   private def knnSql(orderExpr: String): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-       |           FROM embeddings WHERE vec_id < $NQ),
-       |     b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+       |           FROM embeddings WHERE $qPred),
+       |     b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings WHERE $bPred)
        |SELECT query_id, rank, neighbor_id FROM (
        |  SELECT q.query_id, b.id AS neighbor_id,
        |         row_number() OVER (PARTITION BY q.query_id
@@ -55,9 +67,10 @@ object VectorQueries {
     */
   def knnFiltered(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"),
-      col("label"))
-    val queries = emb.filter(col("vec_id") < NQ)
+    val base = emb.filter(Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label"))
+    val queries = emb.filter(Split.isQuery(col("vec_id"), NQ))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     ranked(KnnSearch.bruteForce(base, queries, K, VecMetric.Euclidean,
       preFilter = Some(expr(FilterPred))))
@@ -76,11 +89,12 @@ object VectorQueries {
     */
   def knnFilteredCompound(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"),
-      col("label").cast("long").as("l0"),
-      (col("vec_id") % 97).as("l1"),
-      ((col("vec_id") * 31) % 89).as("l2"))
-    val queries = emb.filter(col("vec_id") < NQ)
+    val base = emb.filter(Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").cast("long").as("l0"),
+        (col("vec_id") % 97).as("l1"),
+        ((col("vec_id") * 31) % 89).as("l2"))
+    val queries = emb.filter(Split.isQuery(col("vec_id"), NQ))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("label").cast("long").as("t0"),
         (lit(20L) + (col("vec_id") * 13) % 60).as("t1"),
@@ -113,10 +127,11 @@ object VectorQueries {
   private def mvBaseAndQueries(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, dir)
     val base = withMvFields(
-      emb.select(col("vec_id").as("id"), col("embedding").as("vec")), "vec", "bv")
+      emb.filter(Split.isTrain(col("vec_id")))
+        .select(col("vec_id").as("id"), col("embedding").as("vec")), "vec", "bv")
       .drop("vec")
     val queries = withMvFields(
-      emb.filter(col("vec_id") < NQ)
+      emb.filter(Split.isQuery(col("vec_id"), NQ))
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
       "qvec", "qv").drop("qvec")
     (base, queries)
@@ -150,14 +165,18 @@ object VectorQueries {
       (0 until 4).map(i => (s"bv$i", s"qv$i")), perFieldK = 50))
   }
 
+  val NQDocs = 5
+
   /** q09: jaccard top-k over document token sets (reference jaccard
-    * metric, distance.py:12-16, on real set data not floats).
+    * metric, distance.py:12-16, on real set data not floats) — test-
+    * split query docs against the train-split corpus.
     */
   def knnJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-    val base = docs.select(col("doc_id").as("id"), col("toks").as("vec"))
-    val queries = docs.filter(col("doc_id") < 5)
+    val base = docs.filter(Split.isTrain(col("doc_id")))
+      .select(col("doc_id").as("id"), col("toks").as("vec"))
+    val queries = docs.filter(Split.isQuery(col("doc_id"), NQDocs))
       .select(col("doc_id").as("query_id"), col("toks").as("qvec"))
     val scored = base.crossJoin(broadcast(queries))
       .select(
@@ -170,15 +189,18 @@ object VectorQueries {
     ranked(KnnSearch.topKOf(scored, K, asc = false))
   }
 
-  /** q10: whole-table batch query (reference batch_query throughput
-    * mode) — every vector queries the full base. The query side is the
-    * WHOLE table, so this takes the blocked grid-join path: no O(N)
-    * broadcast anywhere in the plan (see KnnSearch.bruteForceBlocked).
+  /** q10: batch query (reference batch_query throughput mode) — the
+    * WHOLE test split queries the train base at once. The query side
+    * is unbounded (10% of the table), so this takes the blocked grid-
+    * join path: no O(N) broadcast anywhere in the plan (see
+    * KnnSearch.bruteForceBlocked).
     */
   def batchQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val queries = emb.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val base = emb.filter(Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(Split.isTest(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     ranked(KnnSearch.bruteForceBlocked(base, queries, K, VecMetric.Euclidean))
   }
 
@@ -195,8 +217,9 @@ object VectorQueries {
     val emb = Tables.embeddings(s, dir)
     val packed = emb.select(col("vec_id"),
       pack_bits(col("embedding"), 60).as("bits"))
-    val base = packed.select(col("vec_id").as("id"), col("bits").as("vec"))
-    val queries = packed.filter(col("vec_id") < NQ)
+    val base = packed.filter(Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("bits").as("vec"))
+    val queries = packed.filter(Split.isQuery(col("vec_id"), NQ))
       .select(col("vec_id").as("query_id"), col("bits").as("qvec"))
     val scored = base.crossJoin(broadcast(queries))
       .select(col("query_id"),
@@ -206,7 +229,8 @@ object VectorQueries {
   }
 
   /** q11: exact ground-truth top-100 (reference write_output,
-    * datasets.py:118-170).
+    * datasets.py:118-170) — test queries against the train base, the
+    * exact contract write_output evaluates.
     */
   def gtTop100(s: SparkSession, dir: String): DataFrame = {
     val (base, queries) = baseAndQueries(s, dir)
@@ -222,8 +246,9 @@ object VectorQueries {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"),
         flatten(array_repeat(col("embedding"), 24)).as("big"))
-    val base = emb.select(col("vec_id").as("id"), col("big").as("vec"))
-    val queries = emb.filter(col("vec_id") < NQ)
+    val base = emb.filter(Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("big").as("vec"))
+    val queries = emb.filter(Split.isQuery(col("vec_id"), NQ))
       .select(col("vec_id").as("query_id"), col("big").as("qvec"))
     ranked(KnnSearch.bruteForce(base, queries, K, VecMetric.Euclidean))
   }
@@ -268,8 +293,9 @@ object VectorQueries {
          |  FROM q CROSS JOIN b) WHERE rank <= 50""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-       |           FROM embeddings WHERE vec_id < $NQ),
-       |     b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |           FROM embeddings WHERE $qPred),
+       |     b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings WHERE $bPred),
        |     lists AS ($perField),
        |     piv AS (SELECT query_id, id,
        |               max(CASE WHEN field = 0 THEN rank END) AS r0,
@@ -294,46 +320,52 @@ object VectorQueries {
   private val jaccardSql: String =
     s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
        |           FROM documents),
-       |     q AS (SELECT doc_id AS query_id, toks AS qtoks FROM d WHERE doc_id < 5)
+       |     bd AS (SELECT doc_id, toks FROM d
+       |            WHERE ${Split.trainSql("doc_id")}),
+       |     q AS (SELECT doc_id AS query_id, toks AS qtoks FROM d
+       |           WHERE ${Split.querySql("doc_id", NQDocs)})
        |SELECT query_id, rank, neighbor_id FROM (
-       |  SELECT q.query_id, d.doc_id AS neighbor_id,
+       |  SELECT q.query_id, bd.doc_id AS neighbor_id,
        |         row_number() OVER (PARTITION BY q.query_id ORDER BY
-       |           (CAST(len(list_intersect(q.qtoks, d.toks)) AS DOUBLE) /
-       |            CAST(len(q.qtoks) + len(d.toks)
-       |                 - len(list_intersect(q.qtoks, d.toks)) AS DOUBLE)) DESC,
-       |           d.doc_id) AS rank
-       |  FROM q CROSS JOIN d)
+       |           (CAST(len(list_intersect(q.qtoks, bd.toks)) AS DOUBLE) /
+       |            CAST(len(q.qtoks) + len(bd.toks)
+       |                 - len(list_intersect(q.qtoks, bd.toks)) AS DOUBLE)) DESC,
+       |           bd.doc_id) AS rank
+       |  FROM q CROSS JOIN bd)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  private def knnSqlCustom(orderExpr: String, where: String = "",
-      nq: Long = NQ, k: Int = K): String =
+  private def knnSqlCustom(orderExpr: String, baseExtra: String = "",
+      qWhere: String = qPred, k: Int = K): String = {
+    val bWhere = if (baseExtra.isEmpty) bPred else s"$bPred AND ($baseExtra)"
     s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-       |           FROM embeddings WHERE vec_id < $nq),
-       |     b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings $where)
+       |           FROM embeddings WHERE $qWhere),
+       |     b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings WHERE $bWhere)
        |SELECT query_id, rank, neighbor_id FROM (
        |  SELECT q.query_id, b.id AS neighbor_id,
        |         row_number() OVER (PARTITION BY q.query_id
        |                            ORDER BY $orderExpr, b.id) AS rank
        |  FROM q CROSS JOIN b)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q01_knn_euclidean" -> knnSql("list_distance(q.qv, b.v)"),
     "q02_knn_cosine" -> knnSql("list_cosine_similarity(q.qv, b.v) DESC"),
     "q03_knn_dot" -> knnSql("list_inner_product(q.qv, b.v) DESC"),
     "q04_knn_filtered" -> knnSqlCustom("list_distance(q.qv, b.v)",
-      where = s"WHERE $FilterPred"),
+      baseExtra = FilterPred),
     "q14_knn_filtered_compound" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
          |             CAST(label AS BIGINT) AS t0,
          |             20 + (vec_id * 13) % 60 AS t1,
          |             15 + (vec_id * 17) % 60 AS t2
-         |           FROM embeddings WHERE vec_id < $NQ),
+         |           FROM embeddings WHERE $qPred),
          |     b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
          |             CAST(label AS BIGINT) AS l0,
          |             vec_id % 97 AS l1,
          |             (vec_id * 31) % 89 AS l2
-         |           FROM embeddings)
+         |           FROM embeddings WHERE $bPred)
          |SELECT query_id, rank, neighbor_id FROM (
          |  SELECT q.query_id, b.id AS neighbor_id,
          |         row_number() OVER (PARTITION BY q.query_id
@@ -342,8 +374,9 @@ object VectorQueries {
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "q05_range_search" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-         |           FROM embeddings WHERE vec_id < $NQ),
-         |     b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+         |           FROM embeddings WHERE $qPred),
+         |     b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |           FROM embeddings WHERE $bPred)
          |SELECT q.query_id, b.id AS neighbor_id
          |FROM q CROSS JOIN b
          |WHERE list_distance(q.qv, b.v) <= $RangeRadius
@@ -365,8 +398,8 @@ object VectorQueries {
          |                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
          |                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS bits
          |      FROM e),
-         |q AS (SELECT vec_id AS query_id, bits AS qb FROM p WHERE vec_id < $NQ),
-         |b AS (SELECT vec_id AS id, bits AS bb FROM p)
+         |q AS (SELECT vec_id AS query_id, bits AS qb FROM p WHERE $qPred),
+         |b AS (SELECT vec_id AS id, bits AS bb FROM p WHERE $bPred)
          |SELECT query_id, rank, neighbor_id FROM (
          |  SELECT q.query_id, b.id AS neighbor_id,
          |         row_number() OVER (PARTITION BY q.query_id ORDER BY
@@ -377,17 +410,17 @@ object VectorQueries {
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "q09_knn_jaccard" -> jaccardSql,
     "q10_batch_query" -> knnSqlCustom("list_distance(q.qv, b.v)",
-      nq = Long.MaxValue),
+      qWhere = Split.testSql("vec_id")),
     "q11_gt_top100" -> knnSqlCustom("list_distance(q.qv, b.v)", k = 100),
     "q13_big_query" ->
       s"""WITH q AS (SELECT vec_id AS query_id,
          |            flatten(list_transform(range(1, 25),
          |              i -> embedding::DOUBLE[])) AS qv
-         |           FROM embeddings WHERE vec_id < $NQ),
+         |           FROM embeddings WHERE $qPred),
          |     b AS (SELECT vec_id AS id,
          |            flatten(list_transform(range(1, 25),
          |              i -> embedding::DOUBLE[])) AS v
-         |           FROM embeddings)
+         |           FROM embeddings WHERE $bPred)
          |SELECT query_id, rank, neighbor_id FROM (
          |  SELECT q.query_id, b.id AS neighbor_id,
          |         row_number() OVER (PARTITION BY q.query_id

@@ -47,6 +47,44 @@ object EventStream {
     spark.table(sink).orderBy("hour_start", "event_type")
   }
 
+  /** q43: [[hourlyAgg]] routed through the PRODUCTION sink — the
+    * append-mode parquet FILE sink (exactly-once via the sink's
+    * commit log) plus batch read-back, instead of the memory-table
+    * harness. Append emits each window once its end passes the
+    * watermark (0s delay, q32's contract): AvailableNow's final
+    * no-data micro-batch advances the watermark to the max event time
+    * and flushes every closed hour; only the trailing open hour stays
+    * in state — the oracle mirrors that with the same
+    * window_end <= max(ts) predicate q32 gates on.
+    */
+  def hourlyAggFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("event_time", "0 seconds")
+      .groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        unix_timestamp(col("w.start")).as("hour_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_file_sink").toString
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/data").orderBy("hour_start", "event_type")
+  }
+
   /** q33: streaming dedup — dropDuplicates on a semantic key with a
     * watermark bounding state (the exactly-once ingest guard). Output
     * is the distinct key set, which is order-independent and so

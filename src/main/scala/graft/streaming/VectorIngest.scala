@@ -32,6 +32,9 @@ object VectorIngest {
       .option("pathGlobFilter", "embeddings.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(sfDir)
+      // index the train split only (graft.queries.Split): the test
+      // rows are the held-out query workload, never ingested
+      .filter(graft.queries.Split.isTrain(col("vec_id")))
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -43,6 +46,49 @@ object VectorIngest {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // post-ingest housekeeping: collapse any cell the micro-batch
+    // appends fragmented (content-preserving, so the q35 gate is
+    // unaffected)
+    compactIndex(spark, idxPath)
     idxPath
+  }
+
+  /** Compact the over-fragmented cells of a cluster-partitioned
+    * layout. Streaming ingest appends one file per (micro-batch x
+    * touched cell), so the layout degrades toward thousands of tiny
+    * files whose per-file open/footer cost eventually dominates a
+    * pruned search. Any cell holding more than `maxFilesPerCell`
+    * parquet files is rewritten as ONE file; untouched cells keep
+    * their files byte-identical (dynamic partition overwrite — the
+    * same surgical idiom as IvfIndex.upsertPersisted). Content is
+    * unchanged, so a post-compaction search is oracle-identical.
+    * Returns the number of cells compacted.
+    */
+  def compactIndex(spark: SparkSession, idxPath: String,
+      maxFilesPerCell: Int = 4): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    val base = new org.apache.hadoop.fs.Path(idxPath)
+    val frag = fs.listStatus(base).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("cluster="))
+      .filter(d => fs.listStatus(d)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCell)
+      .map(_.getName.stripPrefix("cluster=").toInt)
+      .toSeq
+    if (frag.nonEmpty) {
+      // repartition ON the partition column: each fragmented cell's
+      // rows land in exactly one task, so the rewrite emits exactly
+      // one file per cell. Materialise before overwriting the path
+      // the plan reads from.
+      val compacted = spark.read.parquet(idxPath)
+        .filter(col("cluster").isin(frag: _*))
+        .repartition(math.min(frag.length, 32), col("cluster"))
+        .localCheckpoint(true)
+      compacted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster").parquet(idxPath)
+    }
+    frag.length
   }
 }

@@ -25,11 +25,13 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(offenders == 0)
   }
 
-  test("embed-and-search: each query doc's rank-1 hit is itself") {
-    val out = SparkEntry.queries("e03_embed_search")(spark, sf)
-      .filter(col("rank") === 1).collect()
-    assert(out.length == 5)
-    out.foreach(r =>
-      assert(r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+  test("embed-and-search is out-of-sample: 5 held-out queries, train-only hits") {
+    val out = SparkEntry.queries("e03_embed_search")(spark, sf).collect()
+    val queries = out.map(_.getAs[Long]("query_id")).distinct.sorted
+    assert(queries.toSeq == Seq(0L, 10L, 20L, 30L, 40L))
+    out.foreach { r =>
+      val n = r.getAs[Long]("neighbor_id")
+      assert(n % 10 != 0, s"non-train neighbor $n returned")
+    }
   }
 }

@@ -9,11 +9,14 @@ class IndexSpec extends AnyFunSuite {
   import TestSpark._
   val sf001 = "/root/testdata/sf0.01"
 
+  // exact ground truth over the SAME held-out split the gated entries
+  // use (train base, test queries) — recall here is out-of-sample
   private def exactTop10(dir: String, metric: VecMetric) = {
     val emb = Tables.embeddings(spark, dir)
     KnnSearch.bruteForce(
-      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
-      emb.filter(col("vec_id") < 10)
+      emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
       10, metric)
       .select("query_id", "neighbor_id")
@@ -28,12 +31,14 @@ class IndexSpec extends AnyFunSuite {
     hits / exact.count().toDouble
   }
 
-  // thresholds calibrated on the *unstructured* synthetic corpus —
-  // the hard case for locality indexes (no cluster structure, top-10
-  // cosine neighbors at 60-70 degrees). Measured: IVF 0.84,
-  // SQ8 0.84, PQ+rerank 0.98, LSH 0.63.
-  test("IVF-FLAT recall@10 >= 0.75 with nprobe=6/16") {
-    assert(recallOf("q20_ivf_flat") >= 0.75)
+  // thresholds calibrated OUT-OF-SAMPLE on the *unstructured*
+  // synthetic corpus — the hard case for locality indexes (no cluster
+  // structure, top-10 cosine neighbors at 60-70 degrees), with
+  // held-out queries (Split) never present in the indexed base.
+  // Measured: IVF 0.72, SQ8 0.72, SQ4 0.71, PQ+rerank passes 0.7,
+  // LSH-RHP 0.35, graph 0.83, tree 0.70, bin-IVF 0.62.
+  test("IVF-FLAT recall@10 >= 0.65 with nprobe=6/16 (measured 0.72 held-out)") {
+    assert(recallOf("q20_ivf_flat") >= 0.65)
   }
 
   test("q28 upsert semantics: deletes gone, duplicate inserts found at distance 0") {
@@ -41,9 +46,12 @@ class IndexSpec extends AnyFunSuite {
     val byQuery = got.groupBy(_.getAs[Long]("query_id"))
       .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
     byQuery.foreach { case (q, nbrs) =>
-      // every surviving original id %10==0 was deleted; new ids (+10000) exempt
-      assert(!nbrs.exists(n => n < 10000 && n % 10 == 0),
+      // deleted train rows (id % 10 == 5) are gone; new ids (+10000) exempt
+      assert(!nbrs.exists(n => n < 10000 && n % 10 == 5),
         s"query $q returned deleted id in $nbrs")
+      // the held-out test split was never indexed in the first place
+      assert(!nbrs.exists(n => n < 10000 && n % 10 == 0),
+        s"query $q returned a test-split id in $nbrs")
       // the inserted exact copy of the query vector is a distance-0 neighbor
       assert(nbrs.contains(q + 10000),
         s"query $q missing its inserted duplicate in $nbrs")
@@ -52,8 +60,9 @@ class IndexSpec extends AnyFunSuite {
 
   test("multi-probe LSH strictly improves recall at fixed table count") {
     val emb = Tables.embeddings(spark, sf001)
-    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val queries = emb.filter(col("vec_id") < 10)
+    val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val model = LshRhp.trainFromData(base, "vec", nTables = 8, nBits = 6)
     val exact = exactTop10(sf001, VecMetric.Cosine)
@@ -68,13 +77,13 @@ class IndexSpec extends AnyFunSuite {
     assert(r6 >= 0.75, s"full 1-flip probing recall $r6")
   }
 
-  test("binary IVF recall@10 >= 0.8 vs exact packed hamming (measured 0.93)") {
+  test("binary IVF recall@10 >= 0.55 vs exact packed hamming (measured 0.62 held-out)") {
     val approx = SparkEntry.queries("q16_bin_ivf")(spark, sf001)
       .select("query_id", "neighbor_id")
     val exact = SparkEntry.queries("q15_knn_hamming_packed")(spark, sf001)
       .select("query_id", "neighbor_id")
     val hits = approx.intersect(exact).count().toDouble
-    assert(hits / exact.count().toDouble >= 0.8)
+    assert(hits / exact.count().toDouble >= 0.55)
   }
 
   test("persisted upsert drops a cell its deletes emptied (no stale partition)") {
@@ -114,12 +123,77 @@ class IndexSpec extends AnyFunSuite {
     assert(asTuples("q35_stream_index_ingest") == asTuples("q20_ivf_flat"))
   }
 
-  test("q19 graph beam search recall@10 >= 0.9 (measured 0.99 visiting ~27% of nodes)") {
-    assert(recallOf("q19_graph_search") >= 0.9)
+  test("ingest compaction: per-cell file count collapses, search unchanged") {
+    import graft.streaming.VectorIngest
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cents = IvfIndex.sampleCentroids(base, "vec", 16)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    // reproduce the streaming append shape: 6 micro-batch-sized
+    // slices, each appended separately -> ~6 files per touched cell
+    val assigned = IvfIndex.assign(base, "vec", cents).localCheckpoint(true)
+    for (slice <- 0 until 6)
+      assigned.filter(pmod(col("id"), lit(6)) === slice)
+        .write.mode("append").partitionBy("cluster").parquet(idxPath)
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(idxPath))
+    }
+    val before = parquetFiles()
+    val preSearch = IvfIndex.searchPersisted(spark, idxPath, queries, cents,
+      10, 6, VecMetric.Euclidean)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    val nCompacted = VectorIngest.compactIndex(spark, idxPath,
+      maxFilesPerCell = 2)
+    val after = parquetFiles()
+    assert(nCompacted > 0, "no cell was fragmented enough to compact")
+    assert(after < before, s"file count did not drop: $before -> $after")
+    val postSearch = IvfIndex.searchPersisted(spark, idxPath, queries, cents,
+      10, 6, VecMetric.Euclidean)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    assert(postSearch == preSearch, "compaction changed search results")
   }
 
-  test("q36 ivf tree recall@10 >= 0.75 scanning ~p2/(l1*sub) of data (measured 0.86)") {
-    assert(recallOf("q36_ivf_tree") >= 0.75)
+  test("q19 graph beam search recall@10 >= 0.75 (measured 0.83 held-out)") {
+    assert(recallOf("q19_graph_search") >= 0.75)
+  }
+
+  test("q19 layered entry: >= flat-entry recall, strictly fewer visited nodes") {
+    import graft.queries.{IndexQueries => IQ}
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val graph = KnnSearch.bruteForceBlocked(base,
+      base.select(col("id").as("query_id"), col("vec").as("qvec")),
+      IQ.GraphDeg, VecMetric.Euclidean,
+      pairFilter = Some(col("id") =!= col("query_id")))
+      .select(col("query_id").as("id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val exact = exactTop10(sf001, VecMetric.Euclidean).localCheckpoint(true)
+    val nEx = exact.count().toDouble
+    def run(entryBeam: Int, rounds: Int): (Double, Double) = {
+      val (topk, vis) = GraphSearch.beamSearchWithVisited(base, graph,
+        queries, 10, IQ.Beam, rounds, 16, VecMetric.Euclidean, entryBeam)
+      val r = topk.select("query_id", "neighbor_id")
+        .intersect(exact).count().toDouble / nEx
+      (r, vis.agg(avg("n_visited")).head().getDouble(0))
+    }
+    val (flatR, flatV) = run(entryBeam = 0, rounds = 3)
+    val (layerR, layerV) = run(IQ.EntryBeam, IQ.BeamRounds)
+    assert(layerR >= flatR, s"layered recall $layerR below flat $flatR")
+    assert(layerV < flatV, s"layered visited $layerV not below flat $flatV")
+  }
+
+  test("q36 ivf tree recall@10 >= 0.6 scanning ~p2/(l1*sub) of data (measured 0.70 held-out)") {
+    assert(recallOf("q36_ivf_tree") >= 0.6)
   }
 
   test("ivf tree assignment: every row lands in a leaf of its own L1 cell") {
@@ -139,12 +213,12 @@ class IndexSpec extends AnyFunSuite {
     assert(recallOf("q21_ivf_pq") >= 0.7)
   }
 
-  test("IVF-SQ8 recall@10 >= 0.75 (quantization adds no loss over IVF)") {
-    assert(recallOf("q22_ivf_sq8") >= 0.75)
+  test("IVF-SQ8 recall@10 >= 0.65 (quantization adds no loss over IVF)") {
+    assert(recallOf("q22_ivf_sq8") >= 0.65)
   }
 
-  test("q37 packed SQ4 recall@10 >= 0.75 at dim/2 bytes per row (measured 0.85)") {
-    assert(recallOf("q37_ivf_sq4") >= 0.75)
+  test("q37 packed SQ4 recall@10 >= 0.65 at dim/2 bytes per row (measured 0.71 held-out)") {
+    assert(recallOf("q37_ivf_sq4") >= 0.65)
   }
 
   test("sq4: fused packed distance equals L2 over decoded codes") {
@@ -171,20 +245,21 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
-  test("LSH-RHP recall@10 >= 0.4 vs cosine truth with 16x6-bit tables") {
-    assert(recallOf("q23_lsh_rhp", VecMetric.Cosine) >= 0.4)
+  test("LSH-RHP recall@10 >= 0.3 vs cosine truth with 16x6-bit tables (measured 0.35 held-out)") {
+    assert(recallOf("q23_lsh_rhp", VecMetric.Cosine) >= 0.3)
   }
 
-  test("recall_at_k query averages >= 0.75") {
+  test("recall_at_k query averages >= 0.65 (measured 0.72 held-out)") {
     val df = SparkEntry.queries("q12_recall_at_k")(spark, sf001)
     val avg = df.agg(org.apache.spark.sql.functions.avg("recall"))
       .head().getDouble(0)
-    assert(avg >= 0.75)
+    assert(avg >= 0.65)
   }
 
   test("knn graph has 5 neighbors per node, none self") {
     val g = SparkEntry.queries("q25_graph_knn")(spark, sf)
-    val n = Tables.embeddings(spark, sf).count()
+    val n = Tables.embeddings(spark, sf)
+      .filter(graft.queries.Split.isTrain(col("vec_id"))).count()
     assert(g.count() == n * 5)
     assert(g.filter(col("id") === col("neighbor_id")).count() == 0)
   }
@@ -202,17 +277,18 @@ class IndexSpec extends AnyFunSuite {
   // which run the deterministic sample-init variants) keep their own
   // recall contracts: they are the quality-tuned path a real
   // deployment trains.
-  test("KMeans-trained IVF recall@10 >= 0.75 with nprobe=6/16") {
+  test("KMeans-trained IVF recall@10 >= 0.65 with nprobe=6/16 (measured 0.73 held-out)") {
     val emb = Tables.embeddings(spark, sf001)
-    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val queries = emb.filter(col("vec_id") < 10)
+    val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val cents = IvfIndex.train(base, "vec", 16)
     val approx = IvfIndex.search(IvfIndex.assign(base, "vec", cents),
       queries, cents, 10, 6, VecMetric.Euclidean)
       .select("query_id", "neighbor_id")
     val exact = exactTop10(sf001, VecMetric.Euclidean)
-    assert(approx.intersect(exact).count().toDouble / exact.count() >= 0.75)
+    assert(approx.intersect(exact).count().toDouble / exact.count() >= 0.65)
   }
 
   test("Gaussian-plane LSH returns sane candidates (trained path)") {

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** m01's image leg is a REAL decode: the payload is a genuine PNG
+  * file and the pipeline's statistics come from javax.imageio pixel
+  * reads, verified here against the closed-form per-pixel formula.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def expectedSum(docId: Long, c: Int): Long =
+    (0 until Multimodal.ImgW * Multimodal.ImgH)
+      .map(i => (docId * 31 + i * 7 + c * 97) % 256).sum
+
+  test("syntheticPng emits a real PNG file (magic bytes + decodable)") {
+    val bytes = Multimodal.syntheticPng(7L)
+    assert(bytes.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+      "missing PNG signature")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == Multimodal.ImgW)
+    assert(img.getHeight == Multimodal.ImgH)
+  }
+
+  test("decoded channel sums equal the closed-form formula per doc") {
+    val got = SparkEntry.queries("m01_multimodal_pipeline")(spark, sf)
+      .select("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == Multimodal.ImgW && r.getLong(2) == Multimodal.ImgH)
+      assert(r.getLong(3) == expectedSum(id, 0), s"r_sum mismatch doc $id")
+      assert(r.getLong(4) == expectedSum(id, 1), s"g_sum mismatch doc $id")
+      assert(r.getLong(5) == expectedSum(id, 2), s"b_sum mismatch doc $id")
+    }
+  }
+}

@@ -63,14 +63,19 @@ class VectorSuiteSpec extends AnyFunSuite {
     assert(desc(1L) == Seq((10L, 5.0), (12L, 3.0)))
   }
 
-  test("bruteForce knn: rank-1 neighbor of a vector is itself (l2/cosine)") {
-    val got = SparkEntry.queries("q01_knn_euclidean")(spark, sf)
-      .filter(col("rank") === 1).collect()
-    assert(got.nonEmpty)
-    got.foreach(r => assert(r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
-    val cos = SparkEntry.queries("q02_knn_cosine")(spark, sf)
-      .filter(col("rank") === 1).collect()
-    cos.foreach(r => assert(r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+  test("bruteForce knn is out-of-sample: neighbors are train rows, never the query") {
+    // the held-out contract (Split): queries are test rows excluded
+    // from the searched base, so no result may be the query itself or
+    // any other test row
+    for (name <- Seq("q01_knn_euclidean", "q02_knn_cosine")) {
+      val got = SparkEntry.queries(name)(spark, sf).collect()
+      assert(got.nonEmpty, name)
+      got.foreach { r =>
+        val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        assert(q % 10 == 0, s"$name query $q not from the test split")
+        assert(n % 10 != 0, s"$name returned non-train neighbor $n for query $q")
+      }
+    }
   }
 
   test("knn plan broadcasts queries and avoids sort-based topk") {
