@@ -52,8 +52,14 @@ object IvfTree {
         col(vecCol).cast("array<double>").as("cv"))
       .collect()
     val subCents = Array.tabulate(l1) { c =>
-      subRows.filter(_.getInt(0) == c).sortBy(_.getInt(1))
+      val members = subRows.filter(_.getInt(0) == c).sortBy(_.getInt(1))
         .map(_.getSeq[Double](2).toArray)
+      // An L1 cell can end up with zero members when duplicate vectors
+      // appear among the sampled centroids (ties all assign to the
+      // first duplicate). Repair at build time by seeding the cell
+      // with its own L1 centroid — a valid single-leaf cell — rather
+      // than handing assign() a model it must reject.
+      if (members.nonEmpty) members else Array(l1Cents(c).clone())
     }
     Model(l1Cents, subCents)
   }

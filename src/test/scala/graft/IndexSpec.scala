@@ -209,6 +209,21 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf tree sampleModel repairs empty L1 cells from duplicate centroids") {
+    import spark.implicits._
+    // First 4 rows (the sampled centroids) are all identical, so cells
+    // 1..3 get no members — sampleModel must seed them, not emit an
+    // invalid model that assign() rejects.
+    val dup = Array(1.0, 0.0)
+    val rows = (0L until 4L).map(i => (i, dup)) ++
+      (4L until 40L).map(i => (i, Array(i.toDouble / 40.0, 1.0)))
+    val base = rows.toDF("id", "vec")
+    val m = IvfTree.sampleModel(base, "vec", 4, 4)
+    assert(m.sub.forall(_.nonEmpty))
+    val a = IvfTree.assign(base, "vec", m)
+    assert(a.count() == 40)
+  }
+
   test("IVF-PQ (rerank) recall@10 >= 0.7") {
     assert(recallOf("q21_ivf_pq") >= 0.7)
   }
