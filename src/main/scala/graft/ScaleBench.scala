@@ -102,6 +102,12 @@ object ScaleBench {
       sh.unpersist()
     }
 
+    // vector stages share the generated corpus; skip the whole block
+    // (including the otherwise-unconditional centroid collect) when a
+    // stage filter selects none of them
+    if (Seq("generate+cache", "exact_knn_100q", "ivf_build",
+        "ivf_search_100q", "blocked_pairs_20k", "blocked_batch_knn_20k",
+        "packed_hamming_100q").exists(keep)) {
     val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     timed("generate+cache") { corpus.cache().count() }
@@ -112,15 +118,17 @@ object ScaleBench {
       KnnSearch.bruteForce(corpus, queries, 10, VecMetric.Euclidean).count()
     }
 
-    val cents = IvfIndex.sampleCentroids(corpus, "vec", nlist)
-    var assigned: org.apache.spark.sql.DataFrame = null
-    timed("ivf_build") {
-      assigned = IvfIndex.assign(corpus, "vec", cents).cache()
-      assigned.count()
-    }
-    timed("ivf_search_100q") {
-      IvfIndex.search(assigned, queries, cents, 10, nprobe,
-        VecMetric.Euclidean).count()
+    if (Seq("ivf_build", "ivf_search_100q").exists(keep)) {
+      val cents = IvfIndex.sampleCentroids(corpus, "vec", nlist)
+      var assigned: org.apache.spark.sql.DataFrame = null
+      timed("ivf_build") {
+        assigned = IvfIndex.assign(corpus, "vec", cents).cache()
+        assigned.count()
+      }
+      timed("ivf_search_100q") {
+        IvfIndex.search(assigned, queries, cents, 10, nprobe,
+          VecMetric.Euclidean).count()
+      }
     }
 
     // the blocked grid join (d05/q10 shape) on a 20k slice: 400M pair
@@ -153,6 +161,7 @@ object ScaleBench {
           col("id"))
       KnnSearch.topKOf(scored, 10, asc = true).count()
     }
+    } // end vector stages
     spark.stop()
   }
 }

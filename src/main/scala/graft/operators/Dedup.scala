@@ -111,9 +111,17 @@ object Dedup {
     // the final plan consumes the exploded index FOUR times (df agg,
     // hot-doc agg, both self-join sides); materialise it once —
     // localCheckpoint blocks are freed by the ContextCleaner when the
-    // plan is GC'd, so nothing stays pinned across invocations
+    // plan is GC'd, so nothing stays pinned across invocations.
+    // Shingles are keyed by xxhash64 — an 8-byte long instead of a
+    // ~n-gram-sized string through all four shuffles. Intersection
+    // counts are unchanged unless two DISTINCT shingles of the same
+    // doc pair collide at 64 bits (~n_distinct^2 / 2^65 — negligible
+    // even at 10^9 distinct shingles), so d02 stays byte-equal to the
+    // exact string-keyed jaccard oracle.
     val inv = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("s")).localCheckpoint(true)
+      explode(col("sh")).as("s_raw"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s_raw")).as("s"))
+      .localCheckpoint(true)
     // no .cache(): both consumers (keep, hot) sit in ONE final plan,
     // so the agg's exchange is shared by ReuseExchange without pinning
     // executor storage across invocations
@@ -127,7 +135,7 @@ object Dedup {
       col("n_sh").as("n_a"))
     val b = capped.select(col("s"), col("doc_id").as("doc_b"),
       col("n_sh").as("n_b"))
-    val none = typedLit(Seq.empty[String])
+    val none = typedLit(Seq.empty[Long])
     a.join(b, "s")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
