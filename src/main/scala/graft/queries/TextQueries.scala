@@ -249,6 +249,51 @@ object TextQueries {
       .orderBy("query_id", "rank")
   }
 
+  val P01QualityTau = 0.5
+
+  /** p01: the COMPLETE training-data curation pass, composed from the
+    * suite's stages as set algebra over doc_ids — a doc survives iff
+    * it is (1) its exact-dup group's canonical min-id [d01], (2) not a
+    * dropped near-dup cluster member [d03→d06→d07 survivor rule],
+    * (3) not in the eval split and not contaminated by it [t08], and
+    * (4) above the quality gate [t01]; survivors carry pred_lang
+    * [t03] and quality. Every stage's drop-set is doc_id-keyed, so
+    * the composition is semi/anti joins on the id — co-partitioned,
+    * broadcastable when small, and order-independent (pure set
+    * algebra), which is what makes the single-query pipeline both
+    * scale-shaped and oracle-checkable end to end.
+    */
+  def p01(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = shingled(s, dir)
+    val exactKeep = Dedup.exact(docs).select("doc_id")
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashLshOf(sh, NgramTau))
+    val quality = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val survivors = clusters.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("quality"), col("doc_id"))).as("w"))
+      .select(col("cluster_id"), col("w.doc_id").as("survivor_id"))
+    val nearDupDrop = clusters.join(survivors, "cluster_id")
+      .filter(col("doc_id") =!= col("survivor_id"))
+      .select("doc_id")
+    val contaminated = Dedup.crossOverlap(sh,
+      col("doc_id") % 50 === 0, DecontamMinShared)
+      .select("doc_id").distinct()
+    val lang = TextAnalysis.langId(docs).select("doc_id", "pred_lang")
+    docs.select("doc_id")
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nearDupDrop, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(quality, "doc_id")
+      .filter(col("quality") >= P01QualityTau)
+      .join(lang, "doc_id")
+      .select(col("doc_id"), col("pred_lang"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   def t01(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
 
@@ -276,6 +321,9 @@ object TextQueries {
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_ngram_jaccard" -> (d02 _),
     "d03_dedup_minhash_lsh" -> (d03 _),
+    "q44_stream_near_dedup" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.DocStream.streamNearDedup(s, dir, NgramTau)),
+    "p01_pipeline" -> (p01 _),
     "d04_dedup_simhash" -> (d04 _),
     "d05_dedup_embedding" -> (d05 _),
     "d08_dedup_embedding_lsh" -> (d08 _),
@@ -328,6 +376,79 @@ object TextQueries {
        |          SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst)
        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** p01 oracle: the full curation pass as one composed CTE chain —
+    * clusters (d06), quality (t01), survivor rule (d07), exact-dup
+    * keep (d01), eval contamination (t08) and language (t03), all
+    * verbatim copies of the stage oracles with disambiguated CTE
+    * names, intersected exactly as the Spark plan intersects them.
+    */
+  private val p01Sql: String = {
+    val stop = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scores = TextAnalysis.LangMarkers.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(ltoks, t -> list_contains($arr, t))) AS DOUBLE) / ln AS s_$lang"
+    }.mkString(",\n           ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val cases = langs.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n             ")
+    s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |p AS ($pairSelect),
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+       |reach AS (SELECT src, dst FROM und
+       |          UNION
+       |          SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+       |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |       FROM reach GROUP BY src),
+       |qd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |qf AS (SELECT doc_id,
+       |         CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |         CAST(len(list_filter(toks,
+       |           t -> list_contains($stop, t))) AS BIGINT) AS n_stop
+       |       FROM qd),
+       |qual AS (SELECT doc_id,
+       |         0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |         + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |         + 0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS quality
+       |         FROM qf),
+       |surv AS (SELECT cluster_id, doc_id AS survivor_id FROM (
+       |           SELECT cl.cluster_id, qual.doc_id,
+       |                  row_number() OVER (PARTITION BY cl.cluster_id
+       |                    ORDER BY qual.quality DESC, qual.doc_id DESC) AS rn
+       |           FROM cl JOIN qual ON qual.doc_id = cl.doc_id)
+       |         WHERE rn = 1),
+       |nddrop AS (SELECT cl.doc_id FROM cl JOIN surv USING (cluster_id)
+       |           WHERE cl.doc_id <> surv.survivor_id),
+       |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |ev AS (SELECT doc_id AS eval_id, sh FROM s WHERE doc_id % 50 = 0),
+       |co AS (SELECT doc_id, sh FROM s WHERE doc_id % 50 <> 0),
+       |contam AS (SELECT DISTINCT co.doc_id FROM co CROSS JOIN ev
+       |           WHERE len(list_intersect(co.sh, ev.sh)) >= $DecontamMinShared),
+       |ld AS (SELECT doc_id, string_split(text, ' ') AS ltoks,
+       |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS ln
+       |       FROM documents),
+       |lsc AS (SELECT doc_id,
+       |           $scores
+       |        FROM ld),
+       |lng AS (SELECT doc_id,
+       |          CASE $cases
+       |               ELSE '${langs.last}' END AS pred_lang
+       |        FROM lsc)
+       |SELECT dx.doc_id, lng.pred_lang, qual.quality
+       |FROM documents dx
+       |JOIN ek ON ek.doc_id = dx.doc_id
+       |JOIN qual ON qual.doc_id = dx.doc_id
+       |JOIN lng ON lng.doc_id = dx.doc_id
+       |WHERE dx.doc_id NOT IN (SELECT doc_id FROM nddrop)
+       |  AND dx.doc_id % 50 <> 0
+       |  AND dx.doc_id NOT IN (SELECT doc_id FROM contam)
+       |  AND qual.quality >= $P01QualityTau
+       |ORDER BY dx.doc_id""".stripMargin
+  }
 
   private val langSql: String = {
     val scores = TextAnalysis.LangMarkers.map { case (lang, words) =>
@@ -413,6 +534,11 @@ object TextQueries {
     // the exact pair set is its oracle. The ScalaTest spec asserts
     // d03 == d02 independently.
     "d03_dedup_minhash_lsh" -> ngramPairsSql,
+    // q44 is d03's pipeline run as a STREAM (dedup-at-ingest): same
+    // banding, same exact verification, emitted from keyed state —
+    // the pair set is batch-identical, so it shares the oracle.
+    "q44_stream_near_dedup" -> ngramPairsSql,
+    "p01_pipeline" -> p01Sql,
     "d06_dedup_clusters" -> d06Sql,
     "d04_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t

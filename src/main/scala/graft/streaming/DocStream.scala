@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+
+import graft.functions.token_hashes
+import graft.operators.Dedup
+
+/** Streaming document-pipeline operators — the dedup-at-ingest shape
+  * a training-data pipeline needs once the corpus arrives
+  * continuously instead of as a batch (the reference's insert
+  * workload, base/module.py insert surface, applied to documents).
+  */
+object DocStream {
+  private val nameCounter = new AtomicInteger(0)
+
+  /** q44: streaming near-duplicate detection. Documents arrive as a
+    * stream; each is shingled and MinHash-banded with d03's exact
+    * configuration, shuffled to its (band, bucket) groups, and
+    * compared inside keyed state against the bucket's previously seen
+    * docs with the exact hashed-shingle jaccard. A match emits the
+    * ordered pair (least, greatest doc_id).
+    *
+    * Determinism under ANY micro-batching: a pair is emitted iff the
+    * two docs share a band bucket and their exact jaccard >= tau —
+    * pure set semantics, no dependence on arrival order (within a
+    * batch rows are folded in doc_id order, but the emitted pair set
+    * is order-free by construction). The finite stream therefore
+    * reproduces batch [[Dedup.minhashLshOf]] exactly, which is what
+    * makes the query oracle-checkable.
+    *
+    * Scale: state is sharded by (band, bucket) — the same key the
+    * batch LSH join shuffles on — and holds each member's sorted
+    * shingle-hash array (~|sh| longs/doc/band). That is the standard
+    * signature-store design for dedup-at-ingest; production
+    * deployments bound it with a state TTL (dropping buckets idle
+    * past the dedup horizon), which GroupStateTimeout supports
+    * directly — the finite harness uses NoTimeout so the oracle sees
+    * the whole corpus.
+    */
+  def streamNearDedup(
+      spark: SparkSession,
+      sfDir: String,
+      tau: Double = 0.8,
+      bands: Int = 8,
+      rowsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val sh = Dedup.shingles(stream)
+    val sig = Dedup.minhashSignatures(sh, bands * rowsPerBand, seed)
+    val banded = sig.select(col("doc_id"),
+        sort_array(token_hashes(col("sh"))).as("hs"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> xxhash64(slice(sigs, b * $rowsPerBand + 1, $rowsPerBand)))"))
+          .as(Seq("band", "bucket")))
+      .as[(Long, Array[Long], Int, Long)]
+
+    val pairs = banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[List[(Long, Array[Long])], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long)]
+          rows.toSeq.sortBy(_._1).foreach { r =>
+            val id = r._1
+            val hs = r._2
+            seen.foreach { case (oid, ohs) =>
+              if (oid != id) {
+                val inter = sortedIntersectCount(hs, ohs)
+                val jac = inter.toDouble / (hs.length + ohs.length - inter)
+                if (jac >= tau)
+                  out += ((math.min(oid, id), math.max(oid, id)))
+              }
+            }
+            seen = (id, hs) :: seen
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF("doc_a", "doc_b")
+
+    val sink = s"graft_neardup_${nameCounter.incrementAndGet()}"
+    val q = pairs.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // a pair colliding in several bands is emitted once per bucket
+    // group — exactly the batch LSH candidate multiplicity, resolved
+    // the same way (distinct on the tiny pair set)
+    spark.table(sink).distinct().orderBy("doc_a", "doc_b")
+  }
+
+  /** Count of common elements between two SORTED long arrays. */
+  private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { n += 1; i += 1; j += 1 }
+    }
+    n
+  }
+}

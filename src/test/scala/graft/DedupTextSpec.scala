@@ -128,6 +128,26 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("p01 pipeline: every stage's drop rule holds on the survivors") {
+    val out = SparkEntry.queries("p01_pipeline")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+    // eval split excluded
+    assert(ids.forall(_ % 50 != 0))
+    // quality gate holds
+    assert(rows.forall(_.getDouble(2) >= graft.queries.TextQueries.P01QualityTau))
+    // no kept doc is a dropped near-dup cluster member: kept set is
+    // disjoint from (members minus survivors)
+    val surv = SparkEntry.queries("d07_dedup_survivors")(spark, sf)
+      .collect().map(_.getLong(1)).toSet
+    val members = SparkEntry.queries("d06_dedup_clusters")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val dropped = members -- surv
+    assert(ids.forall(id => !dropped.contains(id)))
+  }
+
   test("q41 hybrid fusion: candidates from the legs, dual hits outrank") {
     val out = SparkEntry.queries("q41_hybrid_search")(spark, sf)
     val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -33,6 +33,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(again.collect().toSeq == out.collect().toSeq)
   }
 
+  test("q44 streaming near-dedup equals batch minhash LSH pairs") {
+    val out = SparkEntry.queries("q44_stream_near_dedup")(spark, sf)
+    val batch = SparkEntry.queries("d03_dedup_minhash_lsh")(spark, sf)
+    assert(out.collect().toSeq == batch.collect().toSeq)
+    // deterministic rerun (state rebuilt from scratch)
+    val again = SparkEntry.queries("q44_stream_near_dedup")(spark, sf)
+    assert(again.collect().toSeq == out.collect().toSeq)
+  }
+
   test("q40 stream-stream interval join equals the batch range join") {
     val out = SparkEntry.queries("q40_stream_stream_join")(spark, sf)
       .collect()
