@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -99,10 +99,100 @@ object EmbeddingQueries {
       .orderBy("query_id", "rank")
   }
 
+  val InD = 64
+  val OutD = 24
+  val RerankR = 100
+  val ProjSeed = 7L
+
+  /** Rademacher sign matrix (OutD × InD, ±1), drawn once from
+    * java.util.Random([[ProjSeed]]) — the JDK LCG is bit-specified,
+    * so the matrix is a stable constant; its literal values are
+    * embedded in BOTH the Spark plan and the oracle SQL (the same
+    * shared-literal discipline the poly-hash coefficients use).
+    * A hash-parity "matrix" is NOT usable here: adjacent rows of
+    * cheap arithmetic hashes over (i·InD + j) are heavily correlated
+    * (measured |row·row'|/InD up to 0.94), which collapses the
+    * projection to ~1 effective dimension and near-random recall.
+    */
+  private[graft] val Signs: Array[Array[Double]] = {
+    val rnd = new java.util.Random(ProjSeed)
+    Array.fill(OutD, InD)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Deterministic Rademacher projection y_i = (Σ_j s_ij·x_j)/√OutD.
+    * The j fold is ascending on both engines and √OutD is one
+    * correctly-rounded IEEE sqrt, so components are bit-exact
+    * reproducible.
+    */
+  private def projectExpr(vec: Column): Column = {
+    val sLit = typedlit(Signs.map(_.toSeq).toSeq)
+    transform(sequence(lit(0), lit(OutD - 1)), i =>
+      aggregate(sequence(lit(0), lit(InD - 1)), lit(0.0),
+        (acc, j) => acc +
+          element_at(element_at(sLit, i + 1), j + 1) *
+          element_at(vec, j + 1).cast("double"))
+        / sqrt(lit(OutD.toDouble)))
+  }
+
+  /** DuckDB literal for [[Signs]] (a list-of-list constant). */
+  private def signsSql: String =
+    Signs.map(_.map(s => if (s > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** e04: random-projection dimensionality reduction (InD → OutD) —
+    * the embedding-pipeline step that makes 100 TB candidate
+    * generation affordable: a ~2.7× narrower vector per scanned row,
+    * computed scan-local (one projection expression against a
+    * broadcast literal matrix, no shuffle, no model state). Output
+    * exploded to scalar (vec_id, dim, comp) rows for the exact
+    * comparator.
+    */
+  def randomProjection(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(projectExpr(col("embedding"))).as(Seq("pos", "comp")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("comp"))
+      .orderBy("vec_id", "dim")
+
+  /** e05: the two-stage search the projection exists for — stage 1
+    * scans the REDUCED vectors (OutD/InD of the bytes) for
+    * top-[[RerankR]] candidates per held-out query, stage 2 reranks
+    * only those R rows on full dims for the final top-k. At scale the
+    * full-dim table is touched R-rows-per-query deep instead of
+    * end-to-end — the classic ANN memory/recall lever, exactly
+    * reproducible here because the projection is deterministic.
+    */
+  def reducedSearch(s: SparkSession, dir: String): DataFrame = {
+    val proj = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        projectExpr(col("embedding")).as("rv"))
+    val base = proj.filter(Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("rv"))
+    val qs = proj.filter(Split.isQuery(col("vec_id"), NQ))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("rv").as("qrv"))
+    val cands = KnnSearch.bruteForce(base, qs, RerankR,
+      graft.operators.VecMetric.Euclidean, vecCol = "rv", qvecCol = "qrv")
+      .select(col("query_id"), col("neighbor_id").as("id"))
+    val rerank = cands
+      .join(base.select(col("id"), col("vec")), "id")
+      .join(broadcast(qs.select(col("query_id"), col("qvec"))), "query_id")
+      .select(col("query_id"),
+        graft.functions.vec_l2(col("qvec"), col("vec")).as("score"),
+        col("id"))
+    KnnSearch.topKOf(rerank, K, asc = true)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_embed_tfidf" -> (embedTfidf _),
     "e02_normalize" -> (normalizeVecs _),
-    "e03_embed_search" -> (embedSearch _)
+    "e03_embed_search" -> (embedSearch _),
+    "e04_random_projection" -> (randomProjection _),
+    "e05_reduced_search" -> (reducedSearch _)
   )
 
   /** Shared vocab CTEs (tokenize, tf, df, top-VocabSize vocab). */
@@ -155,6 +245,43 @@ object EmbeddingQueries {
          |           dt.doc_id) AS rank
          |  FROM dt JOIN qn na ON na.query_id = dt.query_id
          |          JOIN nr nb ON nb.doc_id = dt.doc_id)
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "e04_random_projection" ->
+      s"""WITH m AS (SELECT $signsSql AS s),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |d AS (SELECT unnest(range(0, $OutD)) AS i)
+         |SELECT e.vec_id, CAST(d.i + 1 AS BIGINT) AS dim,
+         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list_transform(range(0, $InD), j ->
+         |           m.s[d.i + 1][j + 1] * e.v[j + 1])),
+         |         (acc, x) -> acc + x) / sqrt(CAST($OutD AS DOUBLE)) AS comp
+         |FROM e CROSS JOIN d CROSS JOIN m
+         |ORDER BY vec_id, dim""".stripMargin,
+    "e05_reduced_search" ->
+      s"""WITH m AS (SELECT $signsSql AS s),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |y AS (SELECT vec_id, v,
+         |        list_transform(range(0, $OutD), i ->
+         |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            list_transform(range(0, $InD), j ->
+         |              m.s[i + 1][j + 1] * v[j + 1])),
+         |            (acc, x) -> acc + x) / sqrt(CAST($OutD AS DOUBLE))) AS rv
+         |      FROM e CROSS JOIN m),
+         |b AS (SELECT vec_id AS id, v, rv FROM y
+         |      WHERE ${Split.trainSql("vec_id")}),
+         |q AS (SELECT vec_id AS query_id, v AS qv, rv AS qrv FROM y
+         |      WHERE ${Split.querySql("vec_id", NQ)}),
+         |cand AS (SELECT query_id, id, qv, v FROM (
+         |           SELECT q.query_id, b.id, q.qv, b.v,
+         |                  row_number() OVER (PARTITION BY q.query_id
+         |                    ORDER BY list_distance(q.qrv, b.rv), b.id) AS rr
+         |           FROM q CROSS JOIN b)
+         |         WHERE rr <= $RerankR)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT query_id, id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY list_distance(qv, v), id) AS rank
+         |  FROM cand)
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   )
 }
