@@ -175,8 +175,10 @@ object EmbeddingQueries {
     val cands = KnnSearch.bruteForce(base, qs, RerankR,
       graft.operators.VecMetric.Euclidean, vecCol = "rv", qvecCol = "qrv")
       .select(col("query_id"), col("neighbor_id").as("id"))
-    val rerank = cands
-      .join(base.select(col("id"), col("vec")), "id")
+    // broadcast the Q×R candidate ids INTO one scan of the full-dim
+    // table — never shuffle the base on id for a tiny fetch list
+    val rerank = base.select(col("id"), col("vec"))
+      .join(broadcast(cands), "id")
       .join(broadcast(qs.select(col("query_id"), col("qvec"))), "query_id")
       .select(col("query_id"),
         graft.functions.vec_l2(col("qvec"), col("vec")).as("score"),
