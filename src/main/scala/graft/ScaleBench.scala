@@ -118,6 +118,32 @@ object ScaleBench {
       KnnSearch.bruteForce(corpus, queries, 10, VecMetric.Euclidean).count()
     }
 
+    // e04/e05 shape at scale: project once (scan-local), candidate-gen
+    // on the 24/64-width reduced vectors, rerank only Q x R rows on
+    // full dims — compare wall against exact_knn_100q above
+    if (Seq("rp_project", "rp_two_stage_100q").exists(keep)) {
+      val reduced = corpus.withColumn("rv",
+        graft.queries.EmbeddingQueries.projectExpr(col("vec")))
+      timed("rp_project") { reduced.cache().count() }
+      timed("rp_two_stage_100q") {
+        val qs = reduced.filter(col("id") < nq)
+          .select(col("id").as("query_id"), col("vec").as("qvec"),
+            col("rv").as("qrv"))
+        val cands = KnnSearch.bruteForce(reduced, qs, 100,
+          VecMetric.Euclidean, vecCol = "rv", qvecCol = "qrv")
+          .select(col("query_id"), col("neighbor_id").as("id"))
+        val rr = reduced.select(col("id"), col("vec"))
+          .join(broadcast(cands), "id")
+          .join(broadcast(qs.select(col("query_id"), col("qvec"))),
+            "query_id")
+          .select(col("query_id"),
+            graft.functions.vec_l2(col("qvec"), col("vec")).as("score"),
+            col("id"))
+        KnnSearch.topKOf(rr, 10, asc = true).count()
+      }
+      reduced.unpersist()
+    }
+
     if (Seq("ivf_build", "ivf_search_100q").exists(keep)) {
       val cents = IvfIndex.sampleCentroids(corpus, "vec", nlist)
       var assigned: org.apache.spark.sql.DataFrame = null

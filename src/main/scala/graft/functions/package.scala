@@ -58,6 +58,11 @@ package object functions {
   def lsh_sigs(c: Column, planes: Array[Array[Array[Double]]]): Column =
     Shim.column(LshSigs(Shim.expression(c), planes))
 
+  /** Fused matrix-vector projection y = (M·x)/scale (M row-major). */
+  def mat_project(c: Column, m: Array[Array[Double]], scale: Double): Column =
+    Shim.column(MatProject(Shim.expression(c), m.flatten,
+      m.length, if (m.isEmpty) 0 else m(0).length, scale))
+
   /** Pack sign bits of a float/double vector into array<long> words. */
   def pack_bits(c: Column, bitsPerWord: Int = 64): Column =
     Shim.column(PackBits(Shim.expression(c), bitsPerWord))

@@ -119,20 +119,14 @@ object EmbeddingQueries {
     Array.fill(OutD, InD)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** Deterministic Rademacher projection y_i = (Σ_j s_ij·x_j)/√OutD.
+  /** Deterministic Rademacher projection y_i = (Σ_j s_ij·x_j)/√OutD,
+    * via the fused codegen'd [[graft.functions.MatProject]] kernel.
     * The j fold is ascending on both engines and √OutD is one
     * correctly-rounded IEEE sqrt, so components are bit-exact
-    * reproducible.
+    * reproducible (spec asserts equality with the HOF formulation).
     */
-  private def projectExpr(vec: Column): Column = {
-    val sLit = typedlit(Signs.map(_.toSeq).toSeq)
-    transform(sequence(lit(0), lit(OutD - 1)), i =>
-      aggregate(sequence(lit(0), lit(InD - 1)), lit(0.0),
-        (acc, j) => acc +
-          element_at(element_at(sLit, i + 1), j + 1) *
-          element_at(vec, j + 1).cast("double"))
-        / sqrt(lit(OutD.toDouble)))
-  }
+  private[graft] def projectExpr(vec: Column): Column =
+    graft.functions.mat_project(vec, Signs, math.sqrt(OutD.toDouble))
 
   /** DuckDB literal for [[Signs]] (a list-of-list constant). */
   private def signsSql: String =

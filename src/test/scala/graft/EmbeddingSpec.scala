@@ -35,6 +35,24 @@ class EmbeddingSpec extends AnyFunSuite {
     }
   }
 
+  test("mat_project equals the HOF projection bit-for-bit") {
+    import graft.queries.EmbeddingQueries.{InD, OutD, Signs}
+    val sLit = typedlit(Signs.map(_.toSeq).toSeq)
+    val hof = transform(sequence(lit(0), lit(OutD - 1)), i =>
+      aggregate(sequence(lit(0), lit(InD - 1)), lit(0.0),
+        (acc, j) => acc +
+          element_at(element_at(sLit, i + 1), j + 1) *
+          element_at(col("embedding"), j + 1).cast("double"))
+        / sqrt(lit(OutD.toDouble)))
+    val fused = graft.functions.mat_project(col("embedding"), Signs,
+      math.sqrt(OutD.toDouble))
+    val rows = Tables.embeddings(spark, sf).limit(64)
+      .select(hof.as("a"), fused.as("b")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1))
+    }
+  }
+
   test("e05 reduced-dim candidates + full-dim rerank keep recall high") {
     import graft.operators.{KnnSearch, VecMetric}
     import graft.queries.{EmbeddingQueries, Split}
