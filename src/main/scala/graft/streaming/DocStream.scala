@@ -47,12 +47,20 @@ object DocStream {
       tau: Double = 0.8,
       bands: Int = 8,
       rowsPerBand: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    // documents*.parquet: the driver layout is one documents.parquet
+    // file; the multi-batch spec lays out documents_0..N.parquet so
+    // each becomes its own micro-batch
+    val reader0 = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents*.parquet")
+    // bound files per micro-batch (the spec uses 1 to force the
+    // multi-batch path and prove state carries across triggers)
+    val reader = maxFilesPerTrigger
+      .map(n => reader0.option("maxFilesPerTrigger", n)).getOrElse(reader0)
+    val stream = reader.parquet(sfDir)
     val sh = Dedup.shingles(stream)
     val sig = Dedup.minhashSignatures(sh, bands * rowsPerBand, seed)
     val banded = sig.select(col("doc_id"),

@@ -42,6 +42,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(again.collect().toSeq == out.collect().toSeq)
   }
 
+  test("q44 near-dedup state carries across micro-batches") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // lay the corpus out as 4 single-file slices (doc_id mod 4) so
+    // maxFilesPerTrigger=1 yields 4 micro-batches; planted near-dup
+    // pairs have adjacent ids, so pair members land in DIFFERENT
+    // batches and a match requires state from an earlier trigger
+    val tmp = Files.createTempDirectory("graft_q44_mb").toString
+    val docs = Tables.documents(spark, sf)
+    val nParts = 4
+    for (i <- 0 until nParts) {
+      val stage = s"$tmp/stage_$i"
+      docs.filter(pmod(col("doc_id"), lit(nParts)) === i)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dest = if (i == 0) s"$tmp/documents.parquet"
+        else s"$tmp/documents_$i.parquet"
+      Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val out = graft.streaming.DocStream.streamNearDedup(spark, tmp,
+      graft.queries.TextQueries.NgramTau, maxFilesPerTrigger = Some(1))
+    val batch = SparkEntry.queries("d03_dedup_minhash_lsh")(spark, sf)
+    assert(out.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("q40 stream-stream interval join equals the batch range join") {
     val out = SparkEntry.queries("q40_stream_stream_join")(spark, sf)
       .collect()
