@@ -113,6 +113,61 @@ object Multimodal {
       .join(stats, "doc_id")
   }
 
+  val ResizeFactor = 4
+
+  /** m03: REAL image resize — decode the PNG with the codec, then
+    * nearest-neighbor downsample by [[ResizeFactor]] (each output
+    * pixel samples the top-left pixel of its factor×factor cell of
+    * the DECODED image) and emit resized dims + per-channel sums.
+    * The oracle recomputes the sums arithmetically over the sampled
+    * (x·f, y·f) lattice of the closed-form pixels, so a wrong decode
+    * OR a wrong sampling index fails the gate. Same batched
+    * mapPartitions shape as [[decodeImageStats]] — a vectorised
+    * resize (libvips/OpenCV) would consume the identical batches.
+    */
+  def resizeImageStats(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("img_payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val ow = img.getWidth / ResizeFactor
+            val oh = img.getHeight / ResizeFactor
+            var (rs, gs, bs) = (0L, 0L, 0L)
+            var y = 0
+            while (y < oh) {
+              var x = 0
+              while (x < ow) {
+                val rgb = img.getRGB(x * ResizeFactor, y * ResizeFactor)
+                rs += (rgb >> 16) & 0xff
+                gs += (rgb >> 8) & 0xff
+                bs += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            (id, ow.toLong, oh.toLong, rs, gs, bs)
+          }
+        }
+      }.toDF("doc_id", "out_w", "out_h", "r_sum", "g_sum", "b_sum")
+  }
+
+  /** m03 entry: render payloads (column-pruned doc_id scan), decode
+    * + resize for real.
+    */
+  def resizePipeline(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val imgs = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPng(id))))
+      .toDF("doc_id", "img_payload")
+    resizeImageStats(imgs)
+  }
+
   val BatchSize = 64
   val FrameStride = 4
 

@@ -341,7 +341,10 @@ object TextQueries {
     "t09_repetition" -> (t09 _),
     "t10_stratified_sample" -> (t10 _),
     "m01_multimodal_pipeline" -> (m01 _),
-    "m02_multimodal_frames" -> (m02 _)
+    "m02_multimodal_frames" -> (m02 _),
+    "m03_multimodal_resize" -> ((s: SparkSession, dir: String) =>
+      Multimodal.resizePipeline(Tables.documents(s, dir))
+        .orderBy("doc_id"))
   )
 
   private val shingleCte =
@@ -746,6 +749,25 @@ object TextQueries {
          |       (CAST(octet_length(encode(text)) AS BIGINT) + 255) // 256 AS n_patches,
          |       CAST(${graft.operators.Multimodal.ImgW} AS BIGINT) AS width,
          |       CAST(${graft.operators.Multimodal.ImgH} AS BIGINT) AS height,
+         |       ${chanSum(0)} AS r_sum,
+         |       ${chanSum(1)} AS g_sum,
+         |       ${chanSum(2)} AS b_sum
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "m03_multimodal_resize" -> {
+      val f = graft.operators.Multimodal.ResizeFactor
+      val w = graft.operators.Multimodal.ImgW
+      val ow = w / f
+      val oh = graft.operators.Multimodal.ImgH / f
+      // the oracle samples the same (x·f, y·f) lattice of the
+      // closed-form pixels the resize samples from the DECODED image
+      def chanSum(c: Int) =
+        s"""CAST(list_sum(flatten(list_transform(range(0, $oh), y ->
+           |  list_transform(range(0, $ow), x ->
+           |    (doc_id * 31 + (y * $f * $w + x * $f) * 7 + $c * 97)
+           |    % 256)))) AS BIGINT)""".stripMargin
+      s"""SELECT doc_id,
+         |       CAST($ow AS BIGINT) AS out_w, CAST($oh AS BIGINT) AS out_h,
          |       ${chanSum(0)} AS r_sum,
          |       ${chanSum(1)} AS g_sum,
          |       ${chanSum(2)} AS b_sum
