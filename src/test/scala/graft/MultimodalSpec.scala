@@ -39,4 +39,27 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getLong(5) == expectedSum(id, 2), s"b_sum mismatch doc $id")
     }
   }
+
+  private def expectedResizedSum(docId: Long, c: Int): Long = {
+    val f = Multimodal.ResizeFactor
+    val sums = for {
+      y <- 0 until Multimodal.ImgH / f
+      x <- 0 until Multimodal.ImgW / f
+    } yield (docId * 31 + (y * f * Multimodal.ImgW + x * f) * 7 + c * 97) % 256
+    sums.sum
+  }
+
+  test("m03 resize samples the decoded (x*f, y*f) lattice exactly") {
+    val got = SparkEntry.queries("m03_multimodal_resize")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val f = Multimodal.ResizeFactor
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == Multimodal.ImgW / f)
+      assert(r.getLong(2) == Multimodal.ImgH / f)
+      assert(r.getLong(3) == expectedResizedSum(id, 0), s"r_sum doc $id")
+      assert(r.getLong(4) == expectedResizedSum(id, 1), s"g_sum doc $id")
+      assert(r.getLong(5) == expectedResizedSum(id, 2), s"b_sum doc $id")
+    }
+  }
 }
