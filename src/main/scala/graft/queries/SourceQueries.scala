@@ -59,15 +59,42 @@ object SourceQueries {
       .orderBy("hour_start", "event_type")
   }
 
+  /** s03: ORC round-trip — lineitem staged as ORC (the second
+    * columnar format a lakehouse speaks; native Spark datasource,
+    * same pruning/pushdown machinery as parquet), read back and
+    * rolled up in integer cents. The oracle aggregates the ORIGINAL
+    * parquet, so a pass proves the numeric columns survived the
+    * format conversion exactly.
+    */
+  def s03(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val path = stage(s, dir, "orc")(p => li.write.orc(p + "/li"))
+    s.read.orc(path + "/li")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("price_cents"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_jsonl_ingest" -> (s01 _),
-    "s02_csv_ingest" -> (s02 _)
+    "s02_csv_ingest" -> (s02 _),
+    "s03_orc_ingest" -> (s03 _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "s01_jsonl_ingest" ->
       """SELECT doc_id, md5(text) AS text_hash, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "s02_csv_ingest" -> AnalyticsQueries.oracleSql("q31_stream_ingest")
+    "s02_csv_ingest" -> AnalyticsQueries.oracleSql("q31_stream_ingest"),
+    "s03_orc_ingest" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |         AS qty_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS price_cents
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
