@@ -97,6 +97,8 @@ object DocStream {
 
     val sink = s"graft_neardup_${nameCounter.incrementAndGet()}"
     val q = pairs.writeStream
+      .option("checkpointLocation",
+        Checkpoints.ephemeral("graft_chk_"))
       .outputMode("append")
       .format("memory")
       .queryName(sink)

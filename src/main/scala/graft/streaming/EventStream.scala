@@ -38,6 +38,8 @@ object EventStream {
         col("event_type"), col("n_events"), col("value_cents"))
     val sink = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = agg.writeStream
+      .option("checkpointLocation",
+        Checkpoints.ephemeral("graft_chk_"))
       .outputMode("complete")
       .format("memory")
       .queryName(sink)
@@ -104,6 +106,8 @@ object EventStream {
       .select("user_id", "event_type", "hour_start")
     val sink = s"graft_dedup_${nameCounter.incrementAndGet()}"
     val q = deduped.writeStream
+      .option("checkpointLocation",
+        Checkpoints.ephemeral("graft_chk_"))
       .outputMode("append")
       .format("memory")
       .queryName(sink)
@@ -154,6 +158,8 @@ object EventStream {
       .toDF("user_id", "ts_us", "event_id", "event_type", "value_cents")
     val sink = s"graft_upsert_${nameCounter.incrementAndGet()}"
     val q = merged.writeStream
+      .option("checkpointLocation",
+        Checkpoints.ephemeral("graft_chk_"))
       .outputMode("append")
       .format("memory")
       .queryName(sink)
@@ -205,6 +211,8 @@ object EventStream {
         col("c_mktsegment").as("segment"), col("n_events"), col("value_cents"))
     val sink = s"graft_enrich_${nameCounter.incrementAndGet()}"
     val q = agg.writeStream
+      .option("checkpointLocation",
+        Checkpoints.ephemeral("graft_chk_"))
       .outputMode("complete")
       .format("memory")
       .queryName(sink)
@@ -250,6 +258,8 @@ object EventStream {
         unix_micros(col("click_time")).as("click_us"))
     val sink = s"graft_ssjoin_${nameCounter.incrementAndGet()}"
     val q = joined.writeStream
+      .option("checkpointLocation",
+        Checkpoints.ephemeral("graft_chk_"))
       .outputMode("append")
       .format("memory")
       .queryName(sink)
@@ -282,6 +292,8 @@ object EventStream {
         col("user_id"), col("n_events"))
     val sink = s"graft_sessions_${nameCounter.incrementAndGet()}"
     val q = agg.writeStream
+      .option("checkpointLocation",
+        Checkpoints.ephemeral("graft_chk_"))
       .outputMode("append")
       .format("memory")
       .queryName(sink)
