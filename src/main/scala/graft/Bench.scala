@@ -1,6 +1,10 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 object Bench {
+  private def gcMillis(): Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create(appName = "graft-bench")
@@ -8,19 +12,37 @@ object Bench {
     // query multiple times, report the best — index builds (cached
     // after the first run) and JIT/codegen warm-up amortise out
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // --filter sub1,sub2 (or SPARK_GRAFT_BENCH_FILTER): run only the
+    // queries whose name contains a listed substring — the isolation
+    // tool for per-query diagnosis (regressions measured inside the
+    // full 60-query JVM confound the query with its neighbours'
+    // GC/page-cache pressure)
+    val filterArg = args.sliding(2).collectFirst {
+      case Array("--filter", f) => f
+    }.orElse(sys.env.get("SPARK_GRAFT_BENCH_FILTER"))
+    val keep: String => Boolean = filterArg match {
+      case Some(f) =>
+        val subs = f.split(",").map(_.trim).filter(_.nonEmpty)
+        name => subs.exists(name.contains)
+      case None => _ => true
+    }
     // sorted order: stable round-to-round comparisons; the first
     // query otherwise varies with Map hashing and silently absorbs
     // JVM/session warm-up
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => keep(name) }
+      .map { case (name, fn) =>
+        val samples = (1 to runs).map { _ =>
+          val gc0 = gcMillis()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0)
+        }
+        System.err.println(s"bench $name runs=" +
+          samples.map(s => f"${s._1}%.2f").mkString(",") +
+          " gcMs=" + samples.map(_._2).mkString(","))
+        name -> samples.map(_._1).min
       }
-      System.err.println(s"bench $name runs=" +
-        times.map(t => f"$t%.2f").mkString(","))
-      name -> times.min
-    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

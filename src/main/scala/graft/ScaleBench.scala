@@ -107,7 +107,8 @@ object ScaleBench {
     // stage filter selects none of them
     if (Seq("generate+cache", "exact_knn_100q", "ivf_build",
         "ivf_search_100q", "blocked_pairs_20k", "blocked_batch_knn_20k",
-        "packed_hamming_100q").exists(keep)) {
+        "packed_hamming_100q", "rp_project", "rp_two_stage_100q")
+        .exists(keep)) {
     val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     timed("generate+cache") { corpus.cache().count() }

@@ -96,15 +96,16 @@ object DocStream {
       .toDF("doc_a", "doc_b")
 
     val sink = s"graft_neardup_${nameCounter.incrementAndGet()}"
-    val q = pairs.writeStream
-      .option("checkpointLocation",
-        Checkpoints.ephemeral("graft_chk_"))
-      .outputMode("append")
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Checkpoints.withEphemeral("graft_chk_") { chk =>
+      val q = pairs.writeStream
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // a pair colliding in several bands is emitted once per bucket
     // group — exactly the batch LSH candidate multiplicity, resolved
     // the same way (distinct on the tiny pair set)

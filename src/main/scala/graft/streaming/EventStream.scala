@@ -37,15 +37,16 @@ object EventStream {
         unix_timestamp(col("w.start")).as("hour_start"),
         col("event_type"), col("n_events"), col("value_cents"))
     val sink = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = agg.writeStream
-      .option("checkpointLocation",
-        Checkpoints.ephemeral("graft_chk_"))
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Checkpoints.withEphemeral("graft_chk_") { chk =>
+      val q = agg.writeStream
+        .option("checkpointLocation", chk)
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("hour_start", "event_type")
   }
 
@@ -84,6 +85,10 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the data dir must outlive this call (the returned DataFrame scans
+    // it lazily); the commit-log/checkpoint side is done once the query
+    // terminates
+    Checkpoints.deleteRecursively(s"$out/chk")
     spark.read.parquet(s"$out/data").orderBy("hour_start", "event_type")
   }
 
@@ -105,15 +110,16 @@ object EventStream {
       .dropDuplicates("user_id", "event_type", "hour_start")
       .select("user_id", "event_type", "hour_start")
     val sink = s"graft_dedup_${nameCounter.incrementAndGet()}"
-    val q = deduped.writeStream
-      .option("checkpointLocation",
-        Checkpoints.ephemeral("graft_chk_"))
-      .outputMode("append")
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Checkpoints.withEphemeral("graft_chk_") { chk =>
+      val q = deduped.writeStream
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("user_id", "event_type", "hour_start")
   }
 
@@ -157,15 +163,16 @@ object EventStream {
       }
       .toDF("user_id", "ts_us", "event_id", "event_type", "value_cents")
     val sink = s"graft_upsert_${nameCounter.incrementAndGet()}"
-    val q = merged.writeStream
-      .option("checkpointLocation",
-        Checkpoints.ephemeral("graft_chk_"))
-      .outputMode("append")
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Checkpoints.withEphemeral("graft_chk_") { chk =>
+      val q = merged.writeStream
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // latest-wins across the per-batch emissions (struct max orders by
     // (ts_us, event_id) — unique, so deterministic); tombstoned keys
     // leave the collection
@@ -210,15 +217,16 @@ object EventStream {
         unix_timestamp(col("w.start")).as("hour_start"),
         col("c_mktsegment").as("segment"), col("n_events"), col("value_cents"))
     val sink = s"graft_enrich_${nameCounter.incrementAndGet()}"
-    val q = agg.writeStream
-      .option("checkpointLocation",
-        Checkpoints.ephemeral("graft_chk_"))
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Checkpoints.withEphemeral("graft_chk_") { chk =>
+      val q = agg.writeStream
+        .option("checkpointLocation", chk)
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("hour_start", "segment")
   }
 
@@ -257,15 +265,16 @@ object EventStream {
         unix_micros(col("error_time")).as("error_us"),
         unix_micros(col("click_time")).as("click_us"))
     val sink = s"graft_ssjoin_${nameCounter.incrementAndGet()}"
-    val q = joined.writeStream
-      .option("checkpointLocation",
-        Checkpoints.ephemeral("graft_chk_"))
-      .outputMode("append")
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Checkpoints.withEphemeral("graft_chk_") { chk =>
+      val q = joined.writeStream
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("error_id", "click_id")
   }
 
@@ -291,15 +300,16 @@ object EventStream {
         unix_micros(col("session_window.end")).as("end_us"),
         col("user_id"), col("n_events"))
     val sink = s"graft_sessions_${nameCounter.incrementAndGet()}"
-    val q = agg.writeStream
-      .option("checkpointLocation",
-        Checkpoints.ephemeral("graft_chk_"))
-      .outputMode("append")
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Checkpoints.withEphemeral("graft_chk_") { chk =>
+      val q = agg.writeStream
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("user_id", "start_us")
   }
 }

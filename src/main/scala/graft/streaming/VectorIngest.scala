@@ -46,6 +46,7 @@ object VectorIngest {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    Checkpoints.deleteRecursively(s"${idxPath}_chk")
     // post-ingest housekeeping: collapse any cell the micro-batch
     // appends fragmented (content-preserving, so the q35 gate is
     // unaffected)

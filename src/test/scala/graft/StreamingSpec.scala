@@ -49,22 +49,24 @@ class StreamingSpec extends AnyFunSuite {
     // pairs have adjacent ids, so pair members land in DIFFERENT
     // batches and a match requires state from an earlier trigger
     val tmp = Files.createTempDirectory("graft_q44_mb").toString
-    val docs = Tables.documents(spark, sf)
-    val nParts = 4
-    for (i <- 0 until nParts) {
-      val stage = s"$tmp/stage_$i"
-      docs.filter(pmod(col("doc_id"), lit(nParts)) === i)
-        .coalesce(1).write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head.toPath
-      val dest = if (i == 0) s"$tmp/documents.parquet"
-        else s"$tmp/documents_$i.parquet"
-      Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
-    }
-    val out = graft.streaming.DocStream.streamNearDedup(spark, tmp,
-      graft.queries.TextQueries.NgramTau, maxFilesPerTrigger = Some(1))
-    val batch = SparkEntry.queries("d03_dedup_minhash_lsh")(spark, sf)
-    assert(out.collect().toSeq == batch.collect().toSeq)
+    try {
+      val docs = Tables.documents(spark, sf)
+      val nParts = 4
+      for (i <- 0 until nParts) {
+        val stage = s"$tmp/stage_$i"
+        docs.filter(pmod(col("doc_id"), lit(nParts)) === i)
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dest = if (i == 0) s"$tmp/documents.parquet"
+          else s"$tmp/documents_$i.parquet"
+        Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+      }
+      val out = graft.streaming.DocStream.streamNearDedup(spark, tmp,
+        graft.queries.TextQueries.NgramTau, maxFilesPerTrigger = Some(1))
+      val batch = SparkEntry.queries("d03_dedup_minhash_lsh")(spark, sf)
+      assert(out.collect().toSeq == batch.collect().toSeq)
+    } finally graft.streaming.Checkpoints.deleteRecursively(tmp)
   }
 
   test("q40 stream-stream interval join equals the batch range join") {
