@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Batch beam search over a prebuilt kNN graph — the Spark-shaped
@@ -112,4 +112,125 @@ object GraphSearch {
         else col("n_visited"))
     (KnnSearch.topKOf(visited, k, metric.asc), visitedCounts)
   }
+
+  // ----- true multi-layer hierarchy (the HNSW layer stack) -----
+
+  /** HNSW-style level assignment, deterministic + SQL-replicable: the
+    * high bits of a bounded multiplicative hash of the id. A node
+    * belongs to layer l iff the low l bits of [[levelHash]] are zero,
+    * so expected layer sizes halve (N/2^l) and membership NESTS —
+    * layer l+1 ⊆ layer l — which is what lets a descent carry its
+    * best-so-far beam downward without re-entering the graph. The id
+    * is bounded mod 2^20 before multiplying so the product stays
+    * exact in int64 at any corpus size (and in the DuckDB oracle's
+    * BIGINT, which traps on overflow instead of wrapping).
+    */
+  def levelHash(id: Column): Column =
+    shiftright(pmod(id, lit(1048576L)) * lit(2654435761L) + lit(42L), 20)
+
+  /** True iff the node belongs to layer `l` (l = 0 is everyone). */
+  def inLayer(id: Column, l: Int): Column =
+    (levelHash(id).bitwiseAND(lit((1L << l) - 1))) === 0L
+
+  /** Build the layer stack's edge lists: (layer, id, neighbor_id).
+    * Layer 0 is the base kNN graph at `baseDeg`; each upper layer
+    * 1..levels-1 is the kNN graph AMONG that layer's members at the
+    * cheaper `upperDeg` (upper layers only aim the descent, they
+    * never produce answers). `symmetric` SYMMETRIZES each layer
+    * (id→nb plus nb→id, deduped) — HNSW's bidirectional links: a
+    * directed kNN graph strands walks in basins whose members point
+    * inward but are pointed at by few, and reverse edges are what let
+    * a walk climb back out. Exact per-layer builds here (the upper
+    * layers cost a vanishing (N/2^l)^2 ≤ N^2/3 extra relative to the
+    * base build); at 100 TB every layer takes the NN-descent path
+    * (q27) — the stack shape is identical.
+    */
+  def buildLayeredGraphs(
+      base: DataFrame,
+      levels: Int,
+      baseDeg: Int,
+      upperDeg: Int,
+      metric: VecMetric = VecMetric.Euclidean,
+      symmetric: Boolean = true): DataFrame =
+    (0 until levels).map { l =>
+      val members =
+        if (l == 0) base else base.filter(inLayer(col("id"), l))
+      val knn = KnnSearch.bruteForceBlocked(members,
+        members.select(col("id").as("query_id"), col("vec").as("qvec")),
+        if (l == 0) baseDeg else upperDeg, metric,
+        pairFilter = Some(col("id") =!= col("query_id")))
+        .select(col("query_id").as("id"), col("neighbor_id"))
+      val edges = if (symmetric)
+        knn.unionByName(knn.select(col("neighbor_id").as("id"),
+          col("id").as("neighbor_id"))).distinct()
+      else knn
+      edges.select(lit(l).as("layer"), col("id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+
+  /** Multi-layer descent over a [[buildLayeredGraphs]] stack. Entry =
+    * score ALL members of the TOP layer `levels` (expected N/2^levels
+    * rows — the stack's O(1)-ish entry scan, vs a fixed random seed
+    * set that covers less and less of the space as N grows). Then per
+    * layer levels-1..1: one beam step of width `upperBeam` through
+    * that layer's edges (membership nesting guarantees every visited
+    * node carries layer-l edges); finally `rounds` steps of width
+    * `beam` through the base graph. Every scored (query, node) pair
+    * is scored exactly once — scores are static, so the visited set
+    * doubles as the best-so-far heap at every step.
+    */
+  def hierarchicalSearchWithVisited(
+      base: DataFrame,
+      graphs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      levels: Int,
+      upperBeam: Int,
+      metric: VecMetric = VecMetric.Euclidean): (DataFrame, DataFrame) = {
+    val vecs = base.select(col("id"), col("vec"))
+
+    def score(cand: DataFrame): DataFrame =
+      vecs.join(broadcast(cand), "id")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("id"),
+          metric.score(col("qvec"), col("vec")).as("score"))
+
+    def step(visited: DataFrame, layer: Int, width: Int): DataFrame = {
+      val beamIds = KnnSearch.topKOf(visited, width, metric.asc)
+        .select(col("query_id"), col("neighbor_id").as("id"))
+      val cand = graphs.filter(col("layer") === layer)
+        .join(broadcast(beamIds), "id")
+        .select(col("query_id"), col("neighbor_id").as("id"))
+        .distinct()
+      val fresh = cand.join(visited.select("query_id", "id"),
+        Seq("query_id", "id"), "left_anti")
+      visited.unionByName(score(fresh)).localCheckpoint(true)
+    }
+
+    val entries = vecs.filter(inLayer(col("id"), levels)).select("id")
+    var visited = score(entries.crossJoin(queries.select("query_id")))
+      .localCheckpoint(true)
+    for (l <- (levels - 1) to 1 by -1)
+      visited = step(visited, l, upperBeam)
+    for (_ <- 1 to rounds)
+      visited = step(visited, 0, beam)
+
+    val visitedCounts = visited.groupBy("query_id")
+      .agg(count(lit(1)).as("n_visited"))
+    (KnnSearch.topKOf(visited, k, metric.asc), visitedCounts)
+  }
+
+  def hierarchicalSearch(
+      base: DataFrame,
+      graphs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      levels: Int,
+      upperBeam: Int,
+      metric: VecMetric = VecMetric.Euclidean): DataFrame =
+    hierarchicalSearchWithVisited(base, graphs, queries, k, beam, rounds,
+      levels, upperBeam, metric)._1
 }

@@ -164,32 +164,77 @@ class IndexSpec extends AnyFunSuite {
     assert(recallOf("q19_graph_search") >= 0.75)
   }
 
-  test("q19 layered entry: >= flat-entry recall, strictly fewer visited nodes") {
+  /** Compare the r8 hierarchy (gated q19 constants) against the r7
+    * champion (single 16-row coarse entry layer + beam-10 × 4-round
+    * walk on the directed base graph) on one corpus: recall@10 and
+    * average visited nodes.
+    */
+  private def hierVsFlat(base: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame)
+      : ((Double, Double), (Double, Double)) = {
     import graft.queries.{IndexQueries => IQ}
-    val emb = Tables.embeddings(spark, sf001)
-    val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val queries = emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val graph = KnnSearch.bruteForceBlocked(base,
+    val nEx = exact.count().toDouble
+    def eval(run: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)): (Double, Double) = {
+      val (topk, vis) = run
+      val r = topk.select("query_id", "neighbor_id")
+        .intersect(exact).count().toDouble / nEx
+      (r, vis.agg(avg("n_visited")).head().getDouble(0))
+    }
+    val flatGraph = KnnSearch.bruteForceBlocked(base,
       base.select(col("id").as("query_id"), col("vec").as("qvec")),
       IQ.GraphDeg, VecMetric.Euclidean,
       pairFilter = Some(col("id") =!= col("query_id")))
       .select(col("query_id").as("id"), col("neighbor_id"))
       .localCheckpoint(true)
+    val levels = IQ.levelsFor(base.count())
+    val stack = GraphSearch.buildLayeredGraphs(base, levels,
+      IQ.GraphDeg, IQ.UpperDeg, VecMetric.Euclidean).localCheckpoint(true)
+    val flat = eval(GraphSearch.beamSearchWithVisited(base, flatGraph,
+      queries, 10, IQ.Beam, IQ.BeamRounds, 16,
+      VecMetric.Euclidean, IQ.EntryBeam))
+    val hier = eval(GraphSearch.hierarchicalSearchWithVisited(base, stack,
+      queries, 10, IQ.HierBeam, IQ.HierRounds, levels, IQ.UpperBeam))
+    (flat, hier)
+  }
+
+  test("q19 hierarchy: equal-or-better recall, fewer visited (sf0.01)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .localCheckpoint(true)
+    val queries = emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val exact = exactTop10(sf001, VecMetric.Euclidean).localCheckpoint(true)
-    val nEx = exact.count().toDouble
-    def run(entryBeam: Int, rounds: Int): (Double, Double) = {
-      val (topk, vis) = GraphSearch.beamSearchWithVisited(base, graph,
-        queries, 10, IQ.Beam, rounds, 16, VecMetric.Euclidean, entryBeam)
-      val r = topk.select("query_id", "neighbor_id")
-        .intersect(exact).count().toDouble / nEx
-      (r, vis.agg(avg("n_visited")).head().getDouble(0))
-    }
-    val (flatR, flatV) = run(entryBeam = 0, rounds = 3)
-    val (layerR, layerV) = run(IQ.EntryBeam, IQ.BeamRounds)
-    assert(layerR >= flatR, s"layered recall $layerR below flat $flatR")
-    assert(layerV < flatV, s"layered visited $layerV not below flat $flatV")
+    val ((flatR, flatV), (hierR, hierV)) = hierVsFlat(base, queries, exact)
+    info(f"flat recall=$flatR%.3f visited=$flatV%.1f; " +
+      f"hier recall=$hierR%.3f visited=$hierV%.1f")
+    assert(hierR >= flatR, s"hierarchy recall $hierR below flat $flatR")
+    assert(hierV < flatV, s"hierarchy visited $hierV not below flat $flatV")
+  }
+
+  test("q19 hierarchy dominates at 4k rows: fixed flat entry stops covering") {
+    // the scale story: a FIXED 16-row entry set covers less and less
+    // of the space as N grows, while the stack's top layer tracks
+    // N/2^levels and the descent aims per query — measured .82 vs .41
+    // recall at FEWER visited nodes on this corpus
+    val corpus = graft.datagen.DataGen
+      .randomFloat(spark, 4000, 32, centers = 32, seed = 7)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val base = corpus.filter(graft.queries.Split.isTrain(col("id")))
+      .localCheckpoint(true)
+    val queries = corpus.filter(graft.queries.Split.isQuery(col("id"), 50))
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+      .localCheckpoint(true)
+    val exact = KnnSearch.bruteForce(base, queries, 10, VecMetric.Euclidean)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val ((flatR, flatV), (hierR, hierV)) = hierVsFlat(base, queries, exact)
+    info(f"flat recall=$flatR%.3f visited=$flatV%.1f; " +
+      f"hier recall=$hierR%.3f visited=$hierV%.1f")
+    assert(hierR > flatR + 0.2,
+      s"hierarchy recall $hierR does not dominate flat $flatR")
+    assert(hierV < flatV, s"hierarchy visited $hierV not below flat $flatV")
   }
 
   test("q36 ivf tree recall@10 >= 0.6 scanning ~p2/(l1*sub) of data (measured 0.70 held-out)") {
