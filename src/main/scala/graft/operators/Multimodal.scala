@@ -169,43 +169,98 @@ object Multimodal {
   }
 
   val BatchSize = 64
-  val FrameStride = 4
+  val FrameStride = 2
+  val MaxFrames = 8
 
-  /** m02: frame-sampling batch extraction — the video/audio leg of
-    * the pipeline. Payloads are range-partitioned (balanced by key,
-    * no hot executors), then mapPartitions processes rows in explicit
-    * batches of [[BatchSize]] — the exact batch shape a vectorised
-    * decoder (mapInPandas / mapInArrow in PySpark, a JNI codec here)
-    * consumes — and emits every [[FrameStride]]-th PatchBytes block
-    * ("frame") with its byte length and checksum. The decode is the
-    * deterministic stub; every emitted value is per-row deterministic,
-    * so the result is partitioning- and batching-independent (and
-    * oracle-checkable).
+  // per-frame per-pixel gray value — the i*i term keeps per-frame
+  // sums distinct (a pure i*const term is a permutation of 0..255
+  // over a 256-pixel frame, which would gate every frame at the same
+  // sum and let a permuted-pixel decode bug pass)
+  private def framePixel(docId: Long, f: Int, i: Int): Int =
+    ((docId * 31 + f * 13 + i.toLong * i + i * 7) % 256).toInt
+
+  /** Frames in doc `id`'s container: 2..MaxFrames, varying per doc so
+    * the sampler's stride logic is exercised against ragged lengths.
+    */
+  def frameCount(docId: Long): Int = (2 + docId % (MaxFrames - 1)).toInt
+
+  /** Render doc `docId`'s multi-frame container: a REAL animated GIF
+    * (the one multi-frame format the JDK codec both writes and reads)
+    * with [[frameCount]] frames of ImgW×ImgH pixels on a 256-level
+    * gray palette — 8-bit palette indexes make the encode lossless,
+    * so every decoded pixel is the closed-form [[framePixel]] value
+    * and the oracle can recompute frame statistics arithmetically.
+    */
+  def syntheticGif(docId: Long): Array[Byte] = {
+    val grays = Array.tabulate[Byte](256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until frameCount(docId)) {
+      val img = new java.awt.image.BufferedImage(ImgW, ImgH,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      var i = 0
+      while (i < ImgW * ImgH) {
+        raster.setSample(i % ImgW, i / ImgW, 0, framePixel(docId, f, i))
+        i += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** m02: frame-sampling batch extraction — the video leg of the
+    * pipeline, REAL decode. Payloads are range-partitioned (balanced
+    * by key, no hot executors), then mapPartitions processes rows in
+    * explicit batches of [[BatchSize]] — the batch shape a vectorised
+    * codec consumes. Per payload the codec's frame index
+    * (ImageReader.getNumImages / read(f)) decodes ONLY every
+    * [[FrameStride]]-th frame — skipped frames are never rasterised,
+    * the point of stride sampling — and emits frame dims + the gray
+    * pixel sum. One reader instance serves the whole partition.
     */
   def frameSample(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val payloads = docs
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticGif(id))))
+      .toDF("doc_id", "payload")
       .repartitionByRange(col("doc_id"))
       .as[(Long, Array[Byte])]
     payloads.mapPartitions { rows =>
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       rows.grouped(BatchSize).flatMap { batch =>
-        // a real decoder would hand `batch` to the codec as one
-        // vectorised call; the stub walks the same batch structure
         batch.iterator.flatMap { case (id, bytes) =>
-          val nPatches = (bytes.length + PatchBytes - 1) / PatchBytes
-          (0 until nPatches by FrameStride).map { p =>
-            val start = p * PatchBytes
-            val end = math.min(start + PatchBytes, bytes.length)
-            var acc = 0L
-            var i = start
-            while (i < end) { acc += bytes(i) & 0xff; i += 1 }
-            (id, p.toLong, (end - start).toLong, acc)
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          val n = reader.getNumImages(true)
+          (0 until n by FrameStride).map { f =>
+            val img = reader.read(f)
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += img.getRGB(x, y) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            (id, f.toLong, img.getWidth.toLong, img.getHeight.toLong, sum)
           }
         }
       }
-    }.toDF("doc_id", "frame_no", "frame_bytes", "frame_checksum")
+    }.toDF("doc_id", "frame_no", "width", "height", "gray_sum")
       .orderBy("doc_id", "frame_no")
   }
 }

@@ -719,21 +719,25 @@ object TextQueries {
         |                            ORDER BY score DESC, term) AS rank
         |  FROM scored)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-    // m02: frames = every 4th 256-byte patch; the corpus is ASCII so
-    // byte offsets == char offsets and byte-sum == codepoint-sum
-    "m02_multimodal_frames" ->
-      """WITH d AS (SELECT doc_id, text,
-        |                  CAST(octet_length(encode(text)) AS BIGINT) AS n
-        |           FROM documents),
-        |fr AS (SELECT doc_id, text, n, unnest(range(0, (n + 255) // 256)) AS p
-        |       FROM d)
-        |SELECT doc_id, CAST(p AS BIGINT) AS frame_no,
-        |       least(256, n - p * 256) AS frame_bytes,
-        |       CAST(list_sum(list_transform(
-        |         string_split(substring(text, CAST(p * 256 + 1 AS INT), 256), ''),
-        |         c -> unicode(c))) AS BIGINT) AS frame_checksum
-        |FROM fr WHERE p % 4 = 0
-        |ORDER BY doc_id, frame_no""".stripMargin,
+    // m02: the GIF container's frames recomputed from the closed-form
+    // pixel formula (Multimodal.framePixel) — the 8-bit gray palette
+    // makes the encode lossless, so the real frame-indexed decode
+    // must reproduce these sums exactly
+    "m02_multimodal_frames" -> {
+      val m = graft.operators.Multimodal
+      val nPix = m.ImgW * m.ImgH
+      s"""WITH fr AS (SELECT doc_id,
+         |              unnest(range(0, 2 + doc_id % ${m.MaxFrames - 1})) AS f
+         |            FROM documents)
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+         |       CAST(${m.ImgW} AS BIGINT) AS width,
+         |       CAST(${m.ImgH} AS BIGINT) AS height,
+         |       CAST(list_sum(list_transform(range(0, $nPix),
+         |         i -> (doc_id * 31 + f * 13 + i * i + i * 7) % 256))
+         |         AS BIGINT) AS gray_sum
+         |FROM fr WHERE f % ${m.FrameStride} = 0
+         |ORDER BY doc_id, frame_no""".stripMargin
+    },
     // m01: the image leg's decoded statistics are recomputed from the
     // closed-form pixel formula (Multimodal.pixelChannel) — PNG is
     // lossless, so the real javax.imageio decode must reproduce them

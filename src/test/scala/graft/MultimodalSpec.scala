@@ -49,6 +49,39 @@ class MultimodalSpec extends AnyFunSuite {
     sums.sum
   }
 
+  private def expectedFrameSum(docId: Long, f: Int): Long =
+    (0 until Multimodal.ImgW * Multimodal.ImgH)
+      .map(i => (docId * 31 + f * 13 + i.toLong * i + i * 7) % 256).sum
+
+  test("syntheticGif is a real animated GIF (magic + per-frame decodable)") {
+    val bytes = Multimodal.syntheticGif(7L)
+    assert(new String(bytes.take(6), "US-ASCII") == "GIF89a",
+      "missing GIF signature")
+    val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    assert(reader.getNumImages(true) == Multimodal.frameCount(7L))
+  }
+
+  test("m02 decoded frame sums equal the closed-form formula, stride-sampled") {
+    val got = SparkEntry.queries("m02_multimodal_frames")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val byDoc = got.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rows) =>
+      val wantFrames =
+        0 until Multimodal.frameCount(id) by Multimodal.FrameStride
+      assert(rows.map(_.getLong(1)).toSeq.sorted == wantFrames.map(_.toLong),
+        s"sampled frame set mismatch doc $id")
+      rows.foreach { r =>
+        val f = r.getLong(1).toInt
+        assert(r.getLong(2) == Multimodal.ImgW && r.getLong(3) == Multimodal.ImgH)
+        assert(r.getLong(4) == expectedFrameSum(id, f),
+          s"gray_sum mismatch doc $id frame $f")
+      }
+    }
+  }
+
   test("m03 resize samples the decoded (x*f, y*f) lattice exactly") {
     val got = SparkEntry.queries("m03_multimodal_resize")(spark, sf).collect()
     assert(got.nonEmpty)
