@@ -99,14 +99,31 @@ object KnnSearch {
       qvecCol: String = "qvec",
       preFilter: Option[Column] = None,
       pairFilter: Option[Column] = None,
-      blockRows: Int = 8192): DataFrame = {
+      blockRows: Int = 8192,
+      baseRows: Option[Long] = None,
+      queryRows: Option[Long] = None): DataFrame = {
     val filtered = preFilter.map(base.filter).getOrElse(base)
     val p = base.sparkSession.sessionState.conf.numShufflePartitions
-    def nBlocks(n: Long) = math.max(
-      ((n + blockRows - 1) / blockRows).toInt,
-      math.ceil(math.sqrt(p.toDouble)).toInt).max(1)
-    val nbQ = nBlocks(queries.count())
-    val nbB = nBlocks(filtered.count())
+    val minBlocks = math.ceil(math.sqrt(p.toDouble)).toInt
+    // Grid size from caller-supplied cardinality or plan STATISTICS —
+    // never a count() job (at 100 TB two extra full scans per query
+    // batch). Block counts shape the grid only; the scored set is
+    // identical for any grid, so an estimate is safe. When the stats
+    // carry no rowCount (no CBO), size blocks by bytes at the ~1 KiB/
+    // row of a 128-dim float64 vector — only the order matters.
+    def nBlocks(df: DataFrame, expected: Option[Long]): Int = {
+      val stats = df.queryExecution.optimizedPlan.stats
+      val byRows = expected.orElse(stats.rowCount.map(_.toLong))
+        .map(n => (n + blockRows - 1) / blockRows)
+      // clamp before toInt: an unknown-size relation reports
+      // sizeInBytes = Long.MaxValue and must not wrap negative
+      val byBytes =
+        (stats.sizeInBytes / (blockRows.toLong * 1024L)).min(1 << 24)
+      math.max(byRows.getOrElse(byBytes.toLong).min(1 << 24).toInt,
+        minBlocks).max(1)
+    }
+    val nbQ = nBlocks(queries, queryRows)
+    val nbB = nBlocks(filtered, baseRows)
     val qx = queries.select(col(qidCol).as("query_id"),
       col(qvecCol).as("qvec"),
       pmod(xxhash64(col(qidCol)), lit(nbQ)).cast("int").as("qb"),
