@@ -598,6 +598,108 @@ object IndexQueries {
       .orderBy("nprobe")
   }
 
+  val SweepTables: Seq[Int] = Seq(2, 4, 8)
+
+  /** q45: the reference runner's PER-ALGORITHM query-parameter GRID
+    * (query_args / query_arg_groups, definitions.py: each algorithm
+    * sweeps its own knob set; main.py runs every combination and
+    * stores (params, recall, qps)): ivf_flat and ivf_sq8 over the
+    * nprobe axis and lsh_rhp over the ntables axis, emitting
+    * (algo, param, value, avg_recall, scanned_frac) — recall vs the
+    * exact GT of each family's rerank metric, scanned_frac = scored
+    * candidate pairs / (NQ x Ntrain), the dominant cost at 100 TB
+    * (the recall-vs-scan trade-off curve IS the reference's core
+    * evaluation product). ONE pass serves each family's whole axis:
+    * IVF candidates carry their cell's probe rank and fan out only to
+    * the swept nprobes that would scan them (q17's device) scoring
+    * flat AND sq8 distances in the same scan; LSH pairs collapse to
+    * their MINIMUM colliding table (the t-table index's candidate set
+    * is exactly the pairs with min-table < t, since table t's planes
+    * are a prefix-slice of the trained model) and fan out to the
+    * swept table counts. No per-grid-point rescan anywhere.
+    */
+  def paramGrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (base, queries) = baseAndQueries(s, dir)
+    val cents = sampleCents(s, dir)
+    val sq = cached(dir, "sq8") { Sq8Index.train(base, "vec") }
+    val rhp = cached(dir, "rhp") {
+      LshRhp.trainFromData(base, "vec", NTables, NBits)
+    }
+    val denom = base.agg(count(lit(1)).as("n_train"))
+    val exL2 = KnnSearch.bruteForce(base, queries, K, VecMetric.Euclidean)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val exCos = KnnSearch.bruteForce(base, queries, K, VecMetric.Cosine)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+
+    // IVF axis: one probed scan, both quantization levels
+    val assigned = IvfIndex.assign(base, "vec", cents)
+      .withColumn("codes", Sq8Index.encode(col("vec"), sq))
+    val prr = IvfIndex.probesRanked(queries, cents, SweepNprobes.max)
+      .join(queries, "query_id")
+    val npLit = typedlit(SweepNprobes)
+    val ivfCand = assigned.join(broadcast(prr), "cluster")
+      .select(col("query_id"), col("id"),
+        graft.functions.vec_l2(col("qvec"), col("vec")).as("flat_score"),
+        graft.functions.sq8_l2(col("qvec"), col("codes"),
+          sq.mins, sq.scales).as("sq8_score"),
+        explode(filter(npLit, np => np >= col("rn"))).as("np"))
+      .localCheckpoint(true) // reused: scanned + two top-k legs
+    val ivfScan = ivfCand.groupBy("np").agg(count(lit(1)).as("scanned"))
+    def ivfHits(scoreCol: String) = ivfCand
+      .groupBy("query_id", "np")
+      .agg(graft.functions.collect_topk(col(scoreCol), col("id"), K,
+        asc = true).as("topk"))
+      .select(col("np"), col("query_id"),
+        explode(col("topk.id")).as("neighbor_id"))
+      .join(exL2, Seq("query_id", "neighbor_id"))
+      .groupBy("np").agg(count(lit(1)).as("hits"))
+
+    // LSH axis: pairs keyed by their minimum colliding table
+    val minT = LshRhp.buckets(base, "id", "vec", rhp)
+      .join(broadcast(LshRhp.buckets(queries, "query_id", "qvec", rhp)),
+        Seq("table", "bucket"))
+      .groupBy("query_id", "id").agg(min("table").as("mt"))
+    val ntLit = typedlit(SweepTables)
+    val lshCand = minT.select(col("query_id"), col("id"),
+        explode(filter(ntLit, t => t > col("mt"))).as("nt"))
+      .localCheckpoint(true)
+    val lshScan = lshCand.groupBy("nt").agg(count(lit(1)).as("scanned"))
+    val lshHits = lshCand.join(base, "id").join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("nt"),
+        graft.functions.vec_cosine_sim(col("qvec"), col("vec")).as("score"),
+        col("id"))
+      .groupBy("query_id", "nt")
+      .agg(graft.functions.collect_topk(col("score"), col("id"), K,
+        asc = false).as("topk"))
+      .select(col("nt"), col("query_id"),
+        explode(col("topk.id")).as("neighbor_id"))
+      .join(exCos, Seq("query_id", "neighbor_id"))
+      .groupBy("nt").agg(count(lit(1)).as("hits"))
+
+    def leg(algo: String, param: String, values: Seq[Int],
+        keyCol: String, hits: DataFrame, scan: DataFrame): DataFrame =
+      values.toDF("value")
+        .join(hits.withColumnRenamed(keyCol, "value"), Seq("value"), "left")
+        .join(scan.withColumnRenamed(keyCol, "value"), Seq("value"), "left")
+        .crossJoin(broadcast(denom))
+        .select(lit(algo).as("algo"), lit(param).as("param"),
+          col("value").cast("long").as("value"),
+          (coalesce(col("hits"), lit(0L)).cast("double") /
+            lit((NQ * K).toDouble)).as("avg_recall"),
+          (coalesce(col("scanned"), lit(0L)).cast("double") /
+            (col("n_train") * lit(NQ.toLong)).cast("double"))
+            .as("scanned_frac"))
+
+    leg("ivf_flat", "nprobe", SweepNprobes, "np",
+      ivfHits("flat_score"), ivfScan)
+      .unionByName(leg("ivf_sq8", "nprobe", SweepNprobes, "np",
+        ivfHits("sq8_score"), ivfScan))
+      .unionByName(leg("lsh_rhp", "ntables", SweepTables, "nt",
+        lshHits, lshScan))
+      .orderBy("algo", "value")
+  }
+
   /** q12: recall@k of the IVF index against the exact kNN. */
   def recallAtK(s: SparkSession, dir: String): DataFrame = {
     val approx = ivfFlat(s, dir).select(col("query_id"), col("neighbor_id"))
@@ -616,6 +718,7 @@ object IndexQueries {
     "q12_recall_at_k" -> (recallAtK _),
     "q16_bin_ivf" -> (binIvfFlat _),
     "q17_nprobe_sweep" -> (nprobeSweep _),
+    "q45_param_grid" -> (paramGrid _),
     "q20_ivf_flat" -> (ivfFlat _),
     "q39_ivf_filtered" -> (ivfFiltered _),
     "q42_sq8_persisted" -> (ivfSq8Persisted _),
@@ -1154,10 +1257,129 @@ object IndexQueries {
        |) ORDER BY nprobe""".stripMargin
   }
 
+  /** q45 oracle: the shared IVF CTEs + the SQ8 code CTEs + the LSH
+    * bucket CTEs built ONCE, then one (algo, value) block per grid
+    * point — recall as integer hit counts over the per-family exact
+    * GT, scanned_frac as integer candidate-pair counts over
+    * NQ x Ntrain. Mirrors paramGrid exactly: IVF candidates are the
+    * rows of cells with probe rank <= nprobe; LSH candidates the
+    * DISTINCT bucket-collision pairs in tables < ntables.
+    */
+  private val q45Sql: String = {
+    val sqBody = // st/prm/cod from ivfSqSql at maxCode 255 (q22's math)
+      s"""st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+         |       FROM b, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+         |       GROUP BY i),
+         |prm AS (SELECT list(mn ORDER BY i) AS mns,
+         |               list(CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+         |                         ELSE (mx - mn) / 255.0 END ORDER BY i) AS scs
+         |        FROM st),
+         |cod AS (SELECT a.id, a.cluster,
+         |               list_transform(range(1, len(a.v) + 1),
+         |                 i -> least(255, greatest(0,
+         |                   CAST(round((a.v[i] - prm.mns[i]) / prm.scs[i]) AS INT))))
+         |                 AS codes
+         |        FROM asg a CROSS JOIN prm)""".stripMargin
+    val sq8Dist =
+      """sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |  list_transform(range(1, len(q.qv) + 1),
+        |    i -> (q.qv[i] - (prm.mns[i] + cand.codes[i] * prm.scs[i])) *
+        |         (q.qv[i] - (prm.mns[i] + cand.codes[i] * prm.scs[i])))),
+        |  (acc, x) -> acc + x))""".stripMargin
+    val lshBody = // bk/qbk from lshRhpSql (all NTables tables)
+      s"""sv AS (SELECT row_number() OVER (ORDER BY id) - 1 AS rn, v
+         |       FROM (SELECT id, v FROM b ORDER BY id LIMIT ${2 * NTables * NBits})),
+         |pl AS (SELECT a.rn // 2 AS j,
+         |              list_transform(range(1, len(a.v) + 1),
+         |                i -> a.v[i] - c.v[i]) AS h
+         |       FROM sv a JOIN sv c ON c.rn = a.rn + 1 WHERE a.rn % 2 = 0),
+         |bk AS (SELECT x.id, pl.j // $NBits AS tbl,
+         |              CAST(sum(CASE WHEN list_inner_product(x.v, pl.h) > 0
+         |                   THEN (CAST(1 AS BIGINT) << CAST(pl.j % $NBits AS INT))
+         |                   ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM b x CROSS JOIN pl GROUP BY x.id, pl.j // $NBits),
+         |qbk AS (SELECT y.query_id, pl.j // $NBits AS tbl,
+         |              CAST(sum(CASE WHEN list_inner_product(y.qv, pl.h) > 0
+         |                   THEN (CAST(1 AS BIGINT) << CAST(pl.j % $NBits AS INT))
+         |                   ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM q y CROSS JOIN pl GROUP BY y.query_id, pl.j // $NBits)""".stripMargin
+    val denomSql = s"(SELECT count(*) FROM b) * $NQ"
+    def ivfBlock(algo: String, np: Int, dist: String, extra: String) =
+      s"""SELECT '$algo' AS algo, 'nprobe' AS param,
+         |       CAST($np AS BIGINT) AS value,
+         |       CAST((SELECT count(*) FROM (
+         |          SELECT query_id, neighbor_id FROM (
+         |            SELECT q.query_id, cand.id AS neighbor_id,
+         |                   row_number() OVER (PARTITION BY q.query_id
+         |                     ORDER BY $dist, cand.id) AS rank
+         |            FROM q JOIN prr ON prr.query_id = q.query_id
+         |                               AND prr.rn <= $np
+         |                   JOIN $extra cand ON cand.cluster = prr.cluster
+         |                   ${if (algo == "ivf_sq8") "CROSS JOIN prm" else ""})
+         |          WHERE rank <= $K) ap
+         |          JOIN ex USING (query_id, neighbor_id)) AS DOUBLE) /
+         |       CAST(${NQ * K} AS DOUBLE) AS avg_recall,
+         |       CAST((SELECT count(*)
+         |             FROM q JOIN prr ON prr.query_id = q.query_id
+         |                                AND prr.rn <= $np
+         |                    JOIN asg a ON a.cluster = prr.cluster) AS DOUBLE) /
+         |       CAST($denomSql AS DOUBLE) AS scanned_frac""".stripMargin
+    def lshBlock(nt: Int) =
+      s"""SELECT 'lsh_rhp' AS algo, 'ntables' AS param,
+         |       CAST($nt AS BIGINT) AS value,
+         |       CAST((SELECT count(*) FROM (
+         |          SELECT query_id, neighbor_id FROM (
+         |            SELECT cand.query_id, cand.id AS neighbor_id,
+         |                   row_number() OVER (PARTITION BY cand.query_id
+         |                     ORDER BY ${cosSql("q.qv", "bb.v")} DESC, cand.id) AS rank
+         |            FROM (SELECT DISTINCT qb.query_id, xb.id
+         |                  FROM bk xb JOIN qbk qb
+         |                       ON qb.tbl = xb.tbl AND qb.bucket = xb.bucket
+         |                  WHERE qb.tbl < $nt) cand
+         |                 JOIN q ON q.query_id = cand.query_id
+         |                 JOIN b bb ON bb.id = cand.id)
+         |          WHERE rank <= $K) ap
+         |          JOIN exc USING (query_id, neighbor_id)) AS DOUBLE) /
+         |       CAST(${NQ * K} AS DOUBLE) AS avg_recall,
+         |       CAST((SELECT count(*) FROM (
+         |          SELECT DISTINCT qb.query_id, xb.id
+         |          FROM bk xb JOIN qbk qb
+         |               ON qb.tbl = xb.tbl AND qb.bucket = xb.bucket
+         |          WHERE qb.tbl < $nt)) AS DOUBLE) /
+         |       CAST($denomSql AS DOUBLE) AS scanned_frac""".stripMargin
+    val blocks =
+      (SweepNprobes.map(np =>
+        ivfBlock("ivf_flat", np, "list_distance(q.qv, cand.v)", "asg")) ++
+        SweepNprobes.map(np => ivfBlock("ivf_sq8", np, sq8Dist, "cod")) ++
+        SweepTables.map(lshBlock)).mkString("\nUNION ALL\n")
+    s"""WITH $ivfCte,
+       |prr AS (SELECT query_id, cluster, rn FROM (
+       |   SELECT q.query_id, c.cluster,
+       |          row_number() OVER (PARTITION BY q.query_id
+       |            ORDER BY list_distance(q.qv, c.cv), c.cluster) AS rn
+       |   FROM q CROSS JOIN c) WHERE rn <= $NList),
+       |$sqBody,
+       |$lshBody,
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT q.query_id, b.id AS neighbor_id,
+       |          row_number() OVER (PARTITION BY q.query_id
+       |            ORDER BY list_distance(q.qv, b.v), b.id) AS rank
+       |   FROM q CROSS JOIN b) WHERE rank <= $K),
+       |exc AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT q.query_id, b.id AS neighbor_id,
+       |          row_number() OVER (PARTITION BY q.query_id
+       |            ORDER BY ${cosSql("q.qv", "b.v")} DESC, b.id) AS rank
+       |   FROM q CROSS JOIN b) WHERE rank <= $K)
+       |SELECT algo, param, value, avg_recall, scanned_frac FROM (
+       |$blocks
+       |) ORDER BY algo, value""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "a06_index_build_metrics" -> a06Sql,
     "q16_bin_ivf" -> q16Sql,
     "q17_nprobe_sweep" -> q17Sql,
+    "q45_param_grid" -> q45Sql,
     "q28_ivf_upsert" -> q28Sql,
     // identical semantics to q28 — only the storage differs
     "q29_ivf_upsert_persisted" -> q28Sql,

@@ -395,6 +395,28 @@ class IndexSpec extends AnyFunSuite {
     assert(cB * 2 < fB, s"codes $cB bytes vs floats $fB bytes")
   }
 
+  test("q45 param grid: full axes, recall and scan monotone, exact endpoints") {
+    import graft.queries.{IndexQueries => IQ}
+    val got = SparkEntry.queries("q45_param_grid")(spark, sf001).collect()
+    assert(got.length ==
+      2 * IQ.SweepNprobes.length + IQ.SweepTables.length)
+    val byAlgo = got.groupBy(_.getString(0))
+      .map { case (a, rs) => a -> rs.sortBy(_.getLong(2)) }
+    assert(byAlgo.keySet == Set("ivf_flat", "ivf_sq8", "lsh_rhp"))
+    byAlgo.values.foreach { rs =>
+      val recalls = rs.map(_.getDouble(3)).toSeq
+      val scans = rs.map(_.getDouble(4)).toSeq
+      assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+      assert(scans == scans.sorted, s"scan not monotone: $scans")
+      assert(scans.last <= 1.0 + 1e-12)
+    }
+    // nprobe = nlist scans every cell: flat recall exactly 1, and the
+    // quantized index pays a (bounded) recall cost for its 4x bytes
+    val flat = byAlgo("ivf_flat").last
+    assert(flat.getDouble(3) == 1.0 && flat.getDouble(4) == 1.0)
+    assert(byAlgo("ivf_sq8").last.getDouble(3) >= 0.9)
+  }
+
   test("q39 filtered IVF: hits satisfy their predicate, decent recall") {
     val got = SparkEntry.queries("q39_ivf_filtered")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
