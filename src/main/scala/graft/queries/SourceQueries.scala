@@ -78,10 +78,28 @@ object SourceQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** s04: raw image FILES through the binaryFile source — the
+    * from-real-files loop: a directory of genuine PNG files (staged
+    * once), a glob-pruned distributed listing, doc keys parsed from
+    * paths, and the REAL codec decode over the content column. The
+    * oracle recomputes the decoded statistics from the closed-form
+    * pixel formula, so a pass proves file bytes → binary column →
+    * decode end-to-end.
+    */
+  def s04(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val path = stage(s, dir, "imgdir")(p =>
+      graft.sources.BinarySources.writeImageFiles(docs, p))
+    graft.operators.Multimodal.decodeImageStats(
+      graft.sources.BinarySources.readImageDir(s, path))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_jsonl_ingest" -> (s01 _),
     "s02_csv_ingest" -> (s02 _),
-    "s03_orc_ingest" -> (s03 _)
+    "s03_orc_ingest" -> (s03 _),
+    "s04_binaryfile_ingest" -> (s04 _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -95,6 +113,21 @@ object SourceQueries {
         |         AS qty_cents,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
         |         AS price_cents
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // s04: m01's image-stat recomputation — decoded width/height and
+    // per-channel sums from the closed-form pixel formula
+    "s04_binaryfile_ingest" -> {
+      val m = graft.operators.Multimodal
+      val nPix = m.ImgW * m.ImgH
+      def chanSum(c: Int) =
+        s"""CAST(list_sum(list_transform(range(0, $nPix),
+           |         i -> (doc_id * 31 + i * 7 + $c * 97) % 256)) AS BIGINT)""".stripMargin
+      s"""SELECT doc_id, CAST(${m.ImgW} AS BIGINT) AS width,
+         |       CAST(${m.ImgH} AS BIGINT) AS height,
+         |       ${chanSum(0)} AS r_sum,
+         |       ${chanSum(1)} AS g_sum,
+         |       ${chanSum(2)} AS b_sum
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -37,6 +37,28 @@ class SourcesSpec extends AnyFunSuite {
     assertThrows[org.apache.spark.SparkException](strict.collect())
   }
 
+  test("s04 binaryFile ingest: real files on disk, glob-pruned, decoded") {
+    val docs = Tables.documents(spark, sf).limit(20)
+    val p = java.nio.file.Files.createTempDirectory("graft_imgdir").toString
+    try {
+      graft.sources.BinarySources.writeImageFiles(docs, p)
+      // a non-matching file the glob must prune at listing time
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p, "README.txt"), "not an image")
+      val files = new java.io.File(p).listFiles()
+      assert(files.count(_.getName.endsWith(".png")) == 20)
+      val back = graft.sources.BinarySources.readImageDir(spark, p)
+      assert(back.count() == 20)
+      val stats = graft.operators.Multimodal.decodeImageStats(back).collect()
+      stats.foreach { r =>
+        val id = r.getLong(0)
+        val want = (0 until 256).map(i => (id * 31 + i * 7) % 256).sum
+        assert(r.getLong(3) == want, s"r_sum mismatch doc $id")
+      }
+    } finally
+      graft.streaming.Checkpoints.deleteRecursively(p)
+  }
+
   test("csv round-trip preserves longs and doubles exactly") {
     val ev = Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
