@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Mutations
+import graft.operators.{MutationLog, Mutations}
 import graft.streaming.EventStream
 
 /** Mutations, streaming ingest, and benchmark-harness analytics
@@ -261,7 +261,63 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"), sum("k").as("k_sum"))
       .orderBy("event_type")
 
+  /** a12: the reference runner's per-op mutation LATENCY series
+    * (runner.py run_individual_insert/update/delete → results.py
+    * store_insert_update_delete_latencies): nOps individual inserts,
+    * updates and deletes applied one at a time to the op LOG
+    * (MutationLog — the per-op path of a log-structured index; the
+    * batch compaction twin is q30), each append timed, percentiles
+    * per op class. Latencies are wall-clock (no SQL oracle by
+    * nature — the reference stores, not recomputes, them); the
+    * DETERMINISTIC effect of the op stream is gated instead: the
+    * merged post-state's row count and id checksum ride along in
+    * every row and are asserted exactly in AnalyticsSpec.
+    */
+  def mutationLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nOps = 32
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // deterministic op streams: inserts = first nOps held-out rows
+    // (new ids), updates/deletes = first 2*nOps base ids, disjoint
+    val fresh = emb.filter(!Split.isTrain(col("vec_id")))
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .limit(nOps).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val targets = base.select("id").orderBy("id").limit(2 * nOps)
+      .collect().map(_.getLong(0))
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft_mutlog").toString
+    val w = new MutationLog.Writer(logDir)
+    def series(op: String, ops: Seq[(Long, Array[Float])]): Array[Long] =
+      ops.map { case (id, vec) => w.append(op, id, vec) }.toArray
+    val insertNs = series("insert", fresh.toSeq)
+    val updateNs = series("update",
+      targets.take(nOps).toSeq.map(id => (id, fresh(0)._2)))
+    val deleteNs = series("delete",
+      targets.slice(nOps, 2 * nOps).toSeq
+        .map(id => (id, Array.empty[Float])))
+    w.close()
+    val state = MutationLog.replay(base, logDir)
+      .agg(count(lit(1)).as("n"), sum("id").as("ck")).head()
+    val (finalRows, idChecksum) = (state.getLong(0), state.getLong(1))
+    def pct(ns: Array[Long], q: Double): Long = {
+      val s = ns.sorted
+      s(math.min(s.length - 1, math.ceil(q * s.length).toInt - 1).max(0)) / 1000
+    }
+    Seq(("delete", deleteNs), ("insert", insertNs), ("update", updateNs))
+      .map { case (op, ns) =>
+        (op, ns.length.toLong, pct(ns, 0.5), pct(ns, 0.95), pct(ns, 0.99),
+          ns.max / 1000, finalRows, idChecksum)
+      }
+      .toDF("op", "n_ops", "p50_us", "p95_us", "p99_us", "max_us",
+        "final_rows", "id_checksum")
+      .orderBy("op")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a12_mutation_latency" -> (mutationLatency _),
     "a04_join_agg" -> (joinAgg _),
     "a05_json_extract" -> (jsonExtract _),
     "q30_upsert_batch" -> (upsertBatch _),

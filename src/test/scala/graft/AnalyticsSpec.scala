@@ -113,4 +113,34 @@ class AnalyticsSpec extends AnyFunSuite {
       .filter(col("k") === 1).groupBy("__salt").count().collect()
     assert(spread.length == 8, spread.mkString(","))
   }
+
+  test("a12 per-op mutation latencies: exact post-state, sane percentiles") {
+    import graft.queries.Split
+    val got = SparkEntry.queries("a12_mutation_latency")(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("delete", "insert", "update"))
+    // deterministic effect of the op stream, recomputed independently:
+    // +32 held-out inserts, -32 lowest base ids deleted (the delete
+    // targets are base ids ranked 32..63), updates keep their ids
+    val emb = Tables.embeddings(spark, sf)
+    val baseIds = emb.filter(Split.isTrain(col("vec_id")))
+      .select(col("vec_id")).orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    val insIds = emb.filter(!Split.isTrain(col("vec_id")))
+      .select(col("vec_id")).orderBy("vec_id").limit(32)
+      .collect().map(_.getLong(0))
+    val delIds = baseIds.sorted.slice(32, 64)
+    val wantRows = baseIds.length + 32 - 32
+    val wantCk = baseIds.sum + insIds.sum - delIds.sum
+    got.foreach { r =>
+      assert(r.getLong(1) == 32)
+      assert(r.getLong(6) == wantRows, s"final_rows ${r.getLong(6)}")
+      assert(r.getLong(7) == wantCk, s"id_checksum ${r.getLong(7)}")
+      val (p50, p95, p99, mx) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(p50 <= p95 && p95 <= p99 && p99 <= mx,
+        s"percentiles not ordered: $p50 $p95 $p99 $mx")
+      // a log append is NOT a Spark job: single-digit-millis budget
+      assert(p99 < 100000, s"p99 ${p99}us — append is not O(op bytes)")
+    }
+  }
 }
