@@ -64,25 +64,29 @@ object ScaleBench {
       graft.operators.TextAnalysis.stratifiedSample(docs, "lang").count()
     }
 
-    // --- dedup pipeline at generated-doc scale (pure projections —
-    // any n): 32-token docs over a 50k vocab, every 10th doc a
-    // planted near-dup of its predecessor (first 30 tokens shared ⇒
-    // 3-gram shingle jaccard 28/32 = 0.875 ≥ τ=0.8; unrelated docs
-    // share ~nothing at this vocab). Planted pair count = n/10, so
-    // candidate volume and output are linear in n by construction —
-    // the property the d02 df-cap and d03 banding must preserve.
-    if (Seq("dedup_shingles", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_clusters").exists(keep)) {
+    // planted-near-dup corpus (pure projections — any n): 32-token
+    // docs over a 50k vocab, every 10th doc a near-dup of its
+    // predecessor (first 30 tokens shared ⇒ 3-gram shingle jaccard
+    // 28/32 = 0.875 ≥ τ=0.8; unrelated docs share ~nothing at this
+    // vocab). Planted pair count = n/10, so candidate volume and
+    // output are linear in n by construction — the property the d02
+    // df-cap, d03 banding and q44's streaming state must preserve.
+    def plantedDocs = {
       val docLen = 32
       val shared = 30
-      val docs = spark.range(n).select(col("id").as("doc_id"))
+      spark.range(n).select(col("id").as("doc_id"))
         .withColumn("text", concat_ws(" ", expr(
           s"""transform(sequence(0, ${docLen - 1}), j -> concat('w',
              |  pmod(xxhash64(CASE WHEN j < $shared AND doc_id % 10 = 9
              |                     THEN (doc_id - 1) * 131 + j
              |                     ELSE doc_id * 131 + j END), 50000)))
              |""".stripMargin.replace('\n', ' '))))
-      val sh = operators.Dedup.shingles(docs)
+    }
+
+    // --- dedup pipeline at generated-doc scale ---
+    if (Seq("dedup_shingles", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_clusters").exists(keep)) {
+      val sh = operators.Dedup.shingles(plantedDocs)
       timed("dedup_shingles") { sh.cache().count() }
       timed("dedup_ngram_jaccard") {
         operators.Dedup.ngramJaccardPairsOf(sh, 0.8).count()
@@ -100,6 +104,47 @@ object ScaleBench {
         }
       }
       sh.unpersist()
+    }
+
+    // --- q44 streaming near-dedup at generated scale: the planted
+    // corpus laid out as many single-file slices (doc_id mod nSlices,
+    // so a planted pair's members land in DIFFERENT micro-batches and
+    // every match crosses trigger boundaries through the
+    // (band,bucket) state store), streamed with maxFilesPerTrigger=1.
+    // stream_near_dedup's row count must equal the batch d03 count on
+    // the same corpus (stream_near_dedup_batch_ref) — both n/10.
+    if (Seq("stream_near_dedup_layout", "stream_near_dedup",
+        "stream_near_dedup_batch_ref").exists(keep)) {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = Files.createTempDirectory("graft_q44_scale_").toString
+      try {
+        val nSlices = 16
+        def layout(): Long = {
+          for (i <- 0 until nSlices) {
+            val stage = s"$tmp/stage_$i"
+            plantedDocs.filter(pmod(col("doc_id"), lit(nSlices)) === i)
+              .coalesce(1).write.parquet(stage)
+            val part = new java.io.File(stage).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head.toPath
+            val dest = if (i == 0) s"$tmp/documents.parquet"
+              else s"$tmp/documents_$i.parquet"
+            Files.move(part, Paths.get(dest),
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+          n
+        }
+        if (keep("stream_near_dedup_layout")) timed("stream_near_dedup_layout")(layout())
+        else if (keep("stream_near_dedup")) layout() // stream needs the files
+        timed("stream_near_dedup") {
+          graft.streaming.DocStream.streamNearDedup(spark, tmp, 0.8,
+            maxFilesPerTrigger = Some(1)).count()
+        }
+        timed("stream_near_dedup_batch_ref") {
+          operators.Dedup
+            .minhashLshOf(operators.Dedup.shingles(plantedDocs), 0.8)
+            .count()
+        }
+      } finally graft.streaming.Checkpoints.deleteRecursively(tmp)
     }
 
     // vector stages share the generated corpus; skip the whole block

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -93,6 +94,133 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "pq_encode"
+}
+
+/** SCANN-family anisotropic PQ encode (Guo et al. 2020, "Accelerating
+  * Large-Scale Inference with Anisotropic Vector Quantization" — the
+  * reference's milvus-scann index family, README.md:84). Per subspace
+  * the codeword minimises the SCORE-AWARE loss instead of plain L2:
+  * the quantization residual r = x - c is split against the datapoint
+  * direction, and the parallel component — the part that perturbs
+  * inner products with queries near x — is weighted eta > 1:
+  *
+  *   loss(x, c) = |r|^2 + (eta - 1) * (r . x)^2 / |x|^2
+  *
+  * (equal to eta*|r_par|^2 + |r_orth|^2). eta = 1 degrades to plain
+  * L2 PQ. |x| = 0 falls back to |r|^2 = |c|^2. First-min tie-break,
+  * matching PqEncode. Summation order is ascending i — the DuckDB
+  * oracle folds the same order, so the argmin replicates exactly.
+  */
+case class PqEncodeAniso(child: Expression,
+    codebook: Array[Array[Array[Double]]], eta: Double)
+    extends UnaryExpression with Serializable {
+
+  private val m = codebook.length
+  private val kStar = codebook(0).length
+  private val subDim = codebook(0)(0).length
+  @transient private lazy val flat: Array[Double] = codebook.flatMap(_.flatten)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode_aniso requires array<float|double>, got ${t.simpleString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      // subvector norm^2, once per subspace
+      var n2 = 0.0
+      var i = 0
+      while (i < subDim) {
+        val x = if (fl) arr.getFloat(s * subDim + i).toDouble
+                else arr.getDouble(s * subDim + i)
+        n2 += x * x
+        i += 1
+      }
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < kStar) {
+        val off = (s * kStar + c) * subDim
+        var d = 0.0
+        var rx = 0.0
+        i = 0
+        while (i < subDim) {
+          val x = if (fl) arr.getFloat(s * subDim + i).toDouble
+                  else arr.getDouble(s * subDim + i)
+          val r = x - flat(off + i)
+          d += r * r
+          rx += r * x
+          i += 1
+        }
+        val loss = if (n2 > 0.0) d + (eta - 1.0) * rx * rx / n2 else d
+        if (loss < bestD) { bestD = loss; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("anisoCb", flat, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val s0 = ctx.freshName("s")
+      val n2 = ctx.freshName("n2")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cc = ctx.freshName("cc")
+      val off = ctx.freshName("off")
+      val d = ctx.freshName("d")
+      val rx = ctx.freshName("rx")
+      val loss = ctx.freshName("loss")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val r = ctx.freshName("r")
+      s"""
+       |int[] $out = new int[$m];
+       |for (int $s0 = 0; $s0 < $m; $s0++) {
+       |  double $n2 = 0.0;
+       |  for (int $i = 0; $i < $subDim; $i++) {
+       |    double $x = (double) $c.$get($s0 * $subDim + $i);
+       |    $n2 += $x * $x;
+       |  }
+       |  int $best = 0; double $bestD = Double.MAX_VALUE;
+       |  for (int $cc = 0; $cc < $kStar; $cc++) {
+       |    int $off = ($s0 * $kStar + $cc) * $subDim;
+       |    double $d = 0.0;
+       |    double $rx = 0.0;
+       |    for (int $i = 0; $i < $subDim; $i++) {
+       |      double $x = (double) $c.$get($s0 * $subDim + $i);
+       |      double $r = $x - $cbRef[$off + $i];
+       |      $d += $r * $r;
+       |      $rx += $r * $x;
+       |    }
+       |    double $loss = $n2 > 0.0 ? $d + ($eta - 1.0) * $rx * $rx / $n2 : $d;
+       |    if ($loss < $bestD) { $bestD = $loss; $best = $cc; }
+       |  }
+       |  $out[$s0] = $best;
+       |}
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "pq_encode_aniso"
 }
 
 /** ADC distance: m table lookups summed. left = codes (array<int>),

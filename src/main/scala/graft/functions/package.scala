@@ -35,6 +35,12 @@ package object functions {
   def pq_adc(codes: Column, table: Column): Column =
     Shim.column(PqAdc(Shim.expression(codes), Shim.expression(table)))
 
+  /** SCANN-style score-aware PQ encode: codeword argmin under the
+    * anisotropic loss |r|^2 + (eta-1)(r.x)^2/|x|^2. */
+  def pq_encode_aniso(vec: Column, codebook: Array[Array[Array[Double]]],
+      eta: Double): Column =
+    Shim.column(PqEncodeAniso(Shim.expression(vec), codebook, eta))
+
   def sq8_l2(qvec: Column, codes: Column,
       mins: Array[Double], scales: Array[Double]): Column =
     Shim.column(Sq8L2(Shim.expression(qvec), Shim.expression(codes),

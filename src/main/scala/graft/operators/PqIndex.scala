@@ -62,6 +62,30 @@ object PqIndex {
   def encode(vec: Column, model: Model): Column =
     pq_encode(vec, model.codebook)
 
+  /** SCANN-family score-aware codes (reference milvus-scann,
+    * README.md:84): per subspace, argmin of the ANISOTROPIC loss
+    * eta*|r_par|^2 + |r_orth|^2 — residual error along the datapoint
+    * direction (which perturbs inner products with queries that score
+    * the point highly) costs eta > 1 times the orthogonal error. The
+    * compressed scan is byte-identical in shape to [[encode]]'s; only
+    * the assignment objective changes, trading a little L2 fidelity
+    * for dot-product fidelity where it matters.
+    */
+  def encodeAniso(vec: Column, model: Model, eta: Double): Column =
+    pq_encode_aniso(vec, model.codebook, eta)
+
+  /** Column: the query's inner-product ADC table — per subspace, dot
+    * of the query subvector with every codeword. [[pq_adc]] over it
+    * sums to the approximate full inner product.
+    */
+  def dotTable(qvec: Column, model: Model): Column = {
+    val cb = typedlit(model.codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    transform(sequence(lit(0), lit(model.m - 1)), s => {
+      val sub = slice(qvec, s * model.subDim + 1, lit(model.subDim))
+      transform(element_at(cb, s + 1), c => vec_dot(sub, c))
+    })
+  }
+
   /** Column: the query's ADC table — per subspace, squared L2 to every
     * codebook centroid (array<array<double>>).
     */

@@ -28,6 +28,8 @@ object IndexQueries {
   val SubDim = 8
   val KStar = 16
   val Rerank = 10
+  /** q46 anisotropic weight on the parallel residual (eta). */
+  val Eta = 4.0
   // RHP-LSH: 8 tables x 6 bits from 96 data-derived hyperplanes
   val NTables = 8
   val NBits = 6
@@ -141,6 +143,43 @@ object IndexQueries {
       .select(col("query_id"),
         graft.functions.vec_l2(col("qvec"), col("vec")).as("score"), col("id"))
     ranked(KnnSearch.topKOf(exact, K, asc = true))
+  }
+
+  /** q46: SCANN-family anisotropic quantization (the reference's
+    * milvus-scann index, README.md:84; Guo et al. 2020). Identical
+    * sample-init codebook to q21, but codes argmin the SCORE-AWARE
+    * anisotropic loss ([[PqIndex.encodeAniso]], eta=4): residual
+    * along the datapoint direction — the component that perturbs
+    * inner products with queries scoring the point highly — costs
+    * eta times the orthogonal component. The scan is the MIPS ADC
+    * form: per-query dot tables, approximate inner product = m
+    * lookups summed, top K*Rerank by approximate dot DESC, exact
+    * max-inner-product rerank. Flat scan (the compressed-scan leg is
+    * the object under test); IVF pruning composes as in q21.
+    */
+  def scannAniso(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    val pq = cached(dir, "pq-sample") {
+      PqIndex.sampleModel(base, "vec", M, KStar)
+    }
+    val encoded = base
+      .withColumn("codes", PqIndex.encodeAniso(col("vec"), pq, Eta))
+    val q = queries.withColumn("tbl", PqIndex.dotTable(col("qvec"), pq))
+      .select("query_id", "tbl")
+    val adc = encoded.crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"),
+        graft.functions.pq_adc(col("codes"), col("tbl")).as("adc"))
+    val cands = adc.groupBy("query_id")
+      .agg(graft.functions.collect_topk(col("adc"), col("id"), K * Rerank,
+        asc = false).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("id"))
+    val exact = cands
+      .join(base, "id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"),
+        graft.functions.vec_dot(col("qvec"), col("vec")).as("score"),
+        col("id"))
+    ranked(KnnSearch.topKOf(exact, K, asc = false))
   }
 
   /** IVF pruning + SQ8 quantized scan. */
@@ -415,6 +454,15 @@ object IndexQueries {
     * LSH bucket entry = 8B id + 4B table + 8B bucket; models are
     * double-precision (8B) per element.
     */
+  /** a06 side channel: last run's per-build wall/memory readings, for
+    * spec assertions (the gated DataFrame carries only hash-stable
+    * columns; memory and wall-time live here).
+    */
+  final case class BuildReading(buildTimeS: Double, peakTaskMemBytes: Long,
+      jvmHeapPeakBytes: Long, tasksSeen: Long)
+  val lastBuildReadings =
+    new scala.collection.concurrent.TrieMap[String, BuildReading]
+
   def indexBuildMetrics(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (base, _) = baseAndQueries(s, dir)
@@ -435,10 +483,12 @@ object IndexQueries {
         .filter(_.getType == java.lang.management.MemoryType.HEAP)
       heapPools.foreach(_.resetPeakUsage())
       val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+      val tasks = new java.util.concurrent.atomic.AtomicLong(0L)
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
+          tasks.incrementAndGet()
           if (m != null)
             peak.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
         }
@@ -459,7 +509,10 @@ object IndexQueries {
           s.sparkContext.removeSparkListener(listener)
         }
       val heapPeak = heapPools.map(_.getPeakUsage.getUsed).sum
-      println(f"[a06] $name build_time_s=${(System.nanoTime() - t0) / 1e9}%.3f "
+      val wallS = (System.nanoTime() - t0) / 1e9
+      lastBuildReadings(name) =
+        BuildReading(wallS, peak.get(), heapPeak, tasks.get())
+      println(f"[a06] $name build_time_s=$wallS%.3f "
         + f"peak_task_mem_mb=${peak.get() / 1048576.0}%.1f "
         + f"jvm_heap_peak_mb=${heapPeak / 1048576.0}%.1f")
       r

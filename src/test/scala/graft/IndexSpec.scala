@@ -434,4 +434,19 @@ class IndexSpec extends AnyFunSuite {
     assert(hits.toDouble / exact.size >= 0.6,
       s"filtered-IVF recall ${hits.toDouble / exact.size}")
   }
+
+  test("a06 memory leg: every float-vector build records a positive heap peak") {
+    import graft.queries.{IndexQueries => IQ}
+    IQ.lastBuildReadings.clear()
+    IQ.indexBuildMetrics(spark, sf001).collect()
+    Seq("ivf_flat", "ivf_pq", "ivf_sq8", "lsh_rhp").foreach { n =>
+      val r = IQ.lastBuildReadings.get(n)
+      assert(r.isDefined, s"no build reading recorded for $n")
+      assert(r.get.jvmHeapPeakBytes > 0,
+        s"$n heap peak ${r.get.jvmHeapPeakBytes}")
+      assert(r.get.buildTimeS > 0, s"$n wall ${r.get.buildTimeS}")
+      assert(r.get.tasksSeen > 0, s"$n saw no task-end events")
+      assert(r.get.peakTaskMemBytes >= 0)
+    }
+  }
 }
