@@ -32,21 +32,38 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => keep(name) }
       .map { case (name, fn) =>
+        // a query that throws must surface as an explicit "err", never
+        // as its (near-zero) failure wall — a broken query once
+        // "benched" at 0.076 s for two rounds because a catch-all here
+        // turned the analysis-exception wall into a min-of-2 sample
         val samples = (1 to runs).map { _ =>
           val gc0 = gcMillis()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0)
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"bench $name FAILED: " +
+                s"${e.getClass.getName}: ${e.getMessage}")
+              false
+            }
+          (ok, (System.nanoTime() - t0) / 1e9, gcMillis() - gc0)
         }
         System.err.println(s"bench $name runs=" +
-          samples.map(s => f"${s._1}%.2f").mkString(",") +
-          " gcMs=" + samples.map(_._2).mkString(","))
-        name -> samples.map(_._1).min
+          samples.map(s => f"${s._2}%.2f").mkString(",") +
+          " gcMs=" + samples.map(_._3).mkString(","))
+        name -> (if (samples.forall(_._1)) Right(samples.map(_._2).min)
+                 else Left("err"))
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(_))  => s"\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
+    val good = results.collect { case (_, Right(v)) => v }
+    val failed = results.count(_._2.isLeft)
+    val total = if (good.nonEmpty) good.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    // a nonzero failure count is a broken engine, not a fast one
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -28,7 +28,7 @@ object ProfStream {
       val stream = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sfDir)
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withColumn("event_time", EventTime.eventTime(schema))
       val agg = stream
         .withWatermark("event_time", "1 hour")
         .groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{EventTime, Tables}
 import graft.operators.{MutationLog, Mutations}
 import graft.streaming.EventStream
 
@@ -67,10 +67,9 @@ object AnalyticsQueries {
     * the batch shape of stateful stream processing.
     */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
-    // ts arrives as Long nanoseconds (nanosAsLong); ns→us by integer
-    // division, matching DuckDB's TIMESTAMP_NS→TIMESTAMP truncation
-    val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+    val evRaw = Tables.events(s, dir)
+    val ev = evRaw
+      .select(col("user_id"), col("event_id"), EventTime.tsUs(evRaw).as("us"))
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
     ev.withColumn("prev_us", lag("us", 1).over(w))
       .withColumn("new_session",
@@ -198,9 +197,11 @@ object AnalyticsQueries {
       .orderBy("o_orderstatus")
   }
 
-  private def eventsUs(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(col("user_id"), col("event_id"),
-      expr("ts div 1000").as("us"), col("event_type"))
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    val evRaw = Tables.events(s, dir)
+    evRaw.select(col("user_id"), col("event_id"),
+      EventTime.tsUs(evRaw).as("us"), col("event_type"))
+  }
 
   /** a08: as-of join — each error event picks up the user's most
     * recent click at-or-before it (last-touch attribution, the

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{EventTime, Tables}
 import graft.sources.TextSources
 
 /** Source-format ingest gates (SURVEY.md §2 s01/s02): the driver's
@@ -40,19 +40,22 @@ object SourceQueries {
       .orderBy("doc_id")
   }
 
-  /** s02: CSV log ingest — events staged as headered CSV (ts kept as
-    * integer nanoseconds; doubles round-trip via shortest-repr), read
-    * back and rolled up hourly. The oracle is q31's: the CSV path
-    * must feed the same pipeline to the same answer.
+  /** s02: CSV log ingest — events staged as headered CSV (ts staged
+    * as integer epoch-microseconds: the CSV timestamp format truncates
+    * to millis, an integer column round-trips exactly; doubles
+    * round-trip via shortest-repr), read back and rolled up hourly.
+    * The oracle is q31's: the CSV path must feed the same pipeline to
+    * the same answer.
     */
   def s02(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
+    val evRaw = Tables.events(s, dir)
+    val ev = evRaw.select(col("event_id"), EventTime.tsUs(evRaw).as("ts_us"),
+      col("user_id"), col("event_type"), col("value"))
     val path = stage(s, dir, "csv")(p => TextSources.writeCsv(ev, p))
     TextSources.readCsv(s, path, ev.schema)
       .groupBy(
         unix_timestamp(date_trunc("hour",
-          timestamp_micros(expr("ts div 1000")))).as("hour_start"),
+          timestamp_micros(col("ts_us")))).as("hour_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))

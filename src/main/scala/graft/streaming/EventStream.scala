@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
+import graft.EventTime
+
 /** Structured Streaming ingest path — the continuous-insert side of
   * the reference's mutation workload run as micro-batches with event-
   * time windows + watermark (bounded state at any corpus size).
@@ -25,8 +27,8 @@ object EventStream {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      // ts is Long ns (nanosAsLong): derive a proper event-time col
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      // schema-adaptive: ts has shipped as both ns-Long and µs-NTZ
+      .withColumn("event_time", EventTime.eventTime(schema))
     val agg = stream
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
@@ -65,7 +67,7 @@ object EventStream {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", EventTime.eventTime(schema))
     val agg = stream
       .withWatermark("event_time", "0 seconds")
       .groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
@@ -102,7 +104,7 @@ object EventStream {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", EventTime.eventTime(schema))
       .withColumn("hour_start",
         unix_timestamp(date_trunc("hour", col("event_time"))))
     val deduped = stream
@@ -140,7 +142,7 @@ object EventStream {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("user_id"), EventTime.tsUs(schema).as("ts_us"),
         col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"))
       .as[(Long, Long, Long, String, Long)]
@@ -204,7 +206,7 @@ object EventStream {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", EventTime.eventTime(schema))
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
     val agg = stream
       .withWatermark("event_time", "1 hour")
@@ -248,7 +250,7 @@ object EventStream {
     def src() = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", EventTime.eventTime(schema))
     val errors = src().filter(col("event_type") === "error")
       .select(col("user_id"), col("event_id").as("error_id"),
         col("event_time").as("error_time"))
@@ -290,7 +292,7 @@ object EventStream {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", EventTime.eventTime(schema))
     val agg = stream
       .withWatermark("event_time", "0 seconds")
       .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))

@@ -44,8 +44,9 @@ class AnalyticsSpec extends AnyFunSuite {
   test("a08 asof join equals the brute-force latest-preceding-click") {
     val got = SparkEntry.queries("a08_asof_join")(spark, sf)
     // brute force: max (click us, click id) over all clicks <= error
-    val ev = Tables.events(spark, sf).select(col("user_id"),
-      col("event_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val evRaw = Tables.events(spark, sf)
+    val ev = evRaw.select(col("user_id"),
+      col("event_id"), EventTime.tsUs(evRaw).as("us"), col("event_type"))
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id").as("cu"), col("us").as("cus"))
       .agg(max("event_id").as("cid"))
@@ -67,8 +68,9 @@ class AnalyticsSpec extends AnyFunSuite {
 
   test("a09 bucketed range join: correct counts, equi-join only") {
     val got = SparkEntry.queries("a09_range_join")(spark, sf)
-    val ev = Tables.events(spark, sf).select(col("user_id"),
-      col("event_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val evRaw = Tables.events(spark, sf)
+    val ev = evRaw.select(col("user_id"),
+      col("event_id"), EventTime.tsUs(evRaw).as("us"), col("event_type"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("us").as("cus"))
     val want = ev.filter(col("event_type") === "error")

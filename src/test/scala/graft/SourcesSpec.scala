@@ -60,14 +60,16 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("csv round-trip preserves longs and doubles exactly") {
-    val ev = Tables.events(spark, sf)
-      .select("event_id", "ts", "user_id", "event_type", "value")
+    val evRaw = Tables.events(spark, sf)
+    val ev = evRaw
+      .select(col("event_id"), EventTime.tsUs(evRaw).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
     val p = java.nio.file.Files.createTempDirectory("graft_csv_t").toString
     TextSources.writeCsv(ev, p)
     val back = TextSources.readCsv(spark, p, ev.schema)
-    // ts is epoch NANOSECONDS — summing overflows long; min/max +
-    // cent-sum pin the round-trip just as tightly
-    val fid = Seq(min(col("ts")), max(col("ts")),
+    // summing epoch-µs can overflow long; min/max + cent-sum pin the
+    // round-trip just as tightly
+    val fid = Seq(min(col("ts_us")), max(col("ts_us")),
       sum(round(col("value") * 100).cast("long")))
     val a = ev.agg(fid.head, fid.tail: _*).head()
     val b = back.agg(fid.head, fid.tail: _*).head()

@@ -12,8 +12,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stream upsert-merge equals batch latest-wins minus tombstones") {
     val out = SparkEntry.queries("q34_stream_upsert")(spark, sf)
-    val ev = Tables.events(spark, sf)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+    val evRaw = Tables.events(spark, sf)
+    val ev = evRaw
+      .select(col("user_id"), EventTime.tsUs(evRaw).as("ts_us"),
         col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"))
     val batch = ev.groupBy("user_id")
@@ -72,8 +73,9 @@ class StreamingSpec extends AnyFunSuite {
   test("q40 stream-stream interval join equals the batch range join") {
     val out = SparkEntry.queries("q40_stream_stream_join")(spark, sf)
       .collect()
-    val ev = Tables.events(spark, sf).select(col("user_id"),
-      col("event_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val evRaw = Tables.events(spark, sf)
+    val ev = evRaw.select(col("user_id"),
+      col("event_id"), EventTime.tsUs(evRaw).as("us"), col("event_type"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("event_id").as("click_id"),
         col("us").as("cus"))
@@ -92,8 +94,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("q38 stream-static enrichment equals the batch join rollup") {
     val out = SparkEntry.queries("q38_stream_enrich")(spark, sf)
-    val batch = Tables.events(spark, sf)
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    val evRaw = Tables.events(spark, sf)
+    val batch = evRaw
+      .withColumn("event_time", EventTime.eventTime(evRaw))
       .join(Tables.customer(spark, sf)
         .select(col("c_custkey"), col("c_mktsegment")),
         col("user_id") === col("c_custkey"))
