@@ -776,6 +776,7 @@ object IndexQueries {
     "q39_ivf_filtered" -> (ivfFiltered _),
     "q42_sq8_persisted" -> (ivfSq8Persisted _),
     "q21_ivf_pq" -> (ivfPq _),
+    "q46_scann_aniso" -> (scannAniso _),
     "q22_ivf_sq8" -> (ivfSq8 _),
     "q23_lsh_rhp" -> (lshRhp _),
     "q26_ivf_persisted" -> (ivfPersisted _),
@@ -907,6 +908,63 @@ object IndexQueries {
        |           ORDER BY list_distance(q.qv, b.v), t.id) AS rank
        |  FROM top t JOIN q ON q.query_id = t.query_id JOIN b ON b.id = t.id)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** q46 oracle: rebuild the anisotropic encode exactly —
+    * per (vector, subspace) the codeword argmins
+    * d + (eta-1)*rx^2/n2 (n2=0 → d), where n2/d/rx are each
+    * left-folded from 0.0 in ascending index order, the same three
+    * accumulators in the same order as PqEncodeAniso's loop; then the
+    * MIPS ADC scan (per-subspace query·codeword dot table, m lookups
+    * summed in s order), top K*Rerank by approximate dot DESC, exact
+    * inner-product rerank.
+    */
+  private val q46Sql: String = {
+    def fold(term: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, ${SubDim + 1}), i -> $term)),
+         |  (acc, x) -> acc + x)""".stripMargin
+    val xi = s"a.v[cb.s * $SubDim + i]"
+    s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings WHERE $bPred),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE $qPred),
+       |sv AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cent, v
+       |       FROM (SELECT id, v FROM b ORDER BY id LIMIT $KStar)),
+       |cb AS (SELECT sv.cent, ss.s,
+       |              list_slice(sv.v, ss.s * $SubDim + 1, (ss.s + 1) * $SubDim) AS cv
+       |       FROM sv CROSS JOIN (SELECT unnest(range(0, $M)) AS s) ss),
+       |encl AS (SELECT a.id, cb.s, cb.cent,
+       |                ${fold(s"$xi * $xi")} AS n2,
+       |                ${fold(s"($xi - cb.cv[i]) * ($xi - cb.cv[i])")} AS d,
+       |                ${fold(s"($xi - cb.cv[i]) * $xi")} AS rx
+       |         FROM b a CROSS JOIN cb),
+       |enc AS (SELECT id, s, cent FROM (
+       |   SELECT id, s, cent,
+       |          row_number() OVER (PARTITION BY id, s
+       |            ORDER BY CASE WHEN n2 > 0.0
+       |                          THEN d + ($Eta - 1.0) * rx * rx / n2
+       |                          ELSE d END, cent) AS rn
+       |   FROM encl) WHERE rn = 1),
+       |term AS (SELECT q.query_id, enc.id, enc.s,
+       |                ${fold(s"q.qv[enc.s * $SubDim + i] * cb.cv[i]")} AS t
+       |         FROM q CROSS JOIN enc
+       |              JOIN cb ON cb.s = enc.s AND cb.cent = enc.cent),
+       |adc AS (SELECT query_id, id,
+       |               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                 list(t ORDER BY s)), (acc, x) -> acc + x) AS adc
+       |        FROM term GROUP BY query_id, id),
+       |top AS (SELECT query_id, id FROM (
+       |   SELECT query_id, id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY adc DESC, id) AS rn
+       |   FROM adc) WHERE rn <= ${K * Rerank})
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT t.query_id, t.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY t.query_id
+       |           ORDER BY list_inner_product(q.qv, b.v) DESC, t.id) AS rank
+       |  FROM top t JOIN q ON q.query_id = t.query_id JOIN b ON b.id = t.id)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Shared SQ oracle body: affine per-dim quantization at `maxCode`
     * levels (255 = SQ8 / q22, 15 = packed SQ4 / q37 — packing is
@@ -1441,6 +1499,7 @@ object IndexQueries {
     "q20_ivf_flat" -> ivfFlatSql,
     "q39_ivf_filtered" -> ivfFilteredSql,
     "q21_ivf_pq" -> ivfPqSql,
+    "q46_scann_aniso" -> q46Sql,
     "q22_ivf_sq8" -> ivfSqSql(255),
     // persistence is lossless over the codes — same math as q22
     "q42_sq8_persisted" -> ivfSqSql(255),
