@@ -54,14 +54,17 @@ object Bench {
         name -> (if (samples.forall(_._1)) Right(samples.map(_._2).min)
                  else Left("err"))
       }
+    // 3-decimal (ms) precision keeps the one-line JSON short enough to
+    // survive the driver's output-tail capture intact
+    def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map {
-      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Right(v)) => s"\"" + k + "\":" + fmt(v)
       case (k, Left(_))  => s"\"" + k + "\":\"err\""
     }.mkString("{", ",", "}")
     val good = results.collect { case (_, Right(v)) => v }
     val failed = results.count(_._2.isLeft)
     val total = if (good.nonEmpty) good.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     // a nonzero failure count is a broken engine, not a fast one
     if (failed > 0) sys.exit(1)
