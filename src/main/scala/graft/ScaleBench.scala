@@ -152,7 +152,8 @@ object ScaleBench {
     // stage filter selects none of them
     if (Seq("generate+cache", "exact_knn_100q", "ivf_build",
         "ivf_search_100q", "blocked_pairs_20k", "blocked_batch_knn_20k",
-        "packed_hamming_100q", "rp_project", "rp_two_stage_100q")
+        "packed_hamming_100q", "rp_project", "rp_two_stage_100q",
+        "pq_encode", "pq_aniso_encode", "pq_adc_100q")
         .exists(keep)) {
     val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -201,6 +202,37 @@ object ScaleBench {
         IvfIndex.search(assigned, queries, cents, 10, nprobe,
           VecMetric.Euclidean).count()
       }
+    }
+
+    // q21/q46 quantized-scan leg at scale: the encode (index build) is
+    // one codegen'd scan — plain vs anisotropic at identical bytes —
+    // and the MIPS ADC answers a 100-query batch reading m code bytes
+    // per row instead of dims floats
+    if (Seq("pq_encode", "pq_aniso_encode", "pq_adc_100q").exists(keep)) {
+      val pqm = graft.operators.PqIndex.sampleModel(corpus, "vec", 8, 16)
+      timed("pq_encode") {
+        // aggregate over the codes so column pruning can't skip the
+        // encode (count() alone would prune the projection away)
+        corpus.select(
+          graft.operators.PqIndex.encode(col("vec"), pqm).as("codes"))
+          .agg(sum(element_at(col("codes"), 1))).head()
+        n
+      }
+      val coded = corpus.select(col("id"),
+        graft.operators.PqIndex.encodeAniso(col("vec"), pqm, 4.0)
+          .as("codes"))
+      timed("pq_aniso_encode") { coded.cache().count() }
+      timed("pq_adc_100q") {
+        val qt = queries.withColumn("tbl",
+          graft.operators.PqIndex.dotTable(col("qvec"), pqm))
+          .select("query_id", "tbl")
+        val scored = coded.crossJoin(broadcast(qt))
+          .select(col("query_id"),
+            graft.functions.pq_adc(col("codes"), col("tbl")).as("score"),
+            col("id"))
+        KnnSearch.topKOf(scored, 10, asc = false).count()
+      }
+      coded.unpersist()
     }
 
     // the blocked grid join (d05/q10 shape) on a 20k slice: 400M pair
