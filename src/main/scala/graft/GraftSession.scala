@@ -63,5 +63,7 @@ object GraftSession {
     Shim.registerFunction(spark, "pack_bits", PackBits.fromArgs)
     Shim.registerFunction(spark, "packed_hamming",
       es => PackedHamming(es(0), es(1)))
+    Shim.registerFunction(spark, "pq_adc",
+      es => PqAdc(es(0), es(1)))
   }
 }

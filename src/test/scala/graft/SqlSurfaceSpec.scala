@@ -20,6 +20,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getLong(3) == -1L) // all 64 bits set
   }
 
+  test("pq_adc SQL surface: m table lookups summed") {
+    GraftSession.registerFunctions(spark)
+    val row = spark.sql(
+      """SELECT pq_adc(array(0, 1),
+        |              array(array(0.5D, 1.5D), array(2.5D, 3.5D))) AS adc
+        |""".stripMargin).head()
+    assert(row.getDouble(0) == 0.5 + 3.5)
+  }
+
   test("pack_bits / packed_hamming / poly_hash SQL surface") {
     GraftSession.registerFunctions(spark)
     val row = spark.sql(
