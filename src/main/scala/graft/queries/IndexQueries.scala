@@ -528,6 +528,13 @@ object IndexQueries {
       IvfIndex.assign(base, "vec", cents)
         .withColumn("codes", PqIndex.encode(col("vec"), pq)).count()
     }
+    // q46's build: same codebook, same stored bytes — only the
+    // assignment objective (the anisotropic loss) differs
+    val nPqA = timed("ivf_pq_aniso") {
+      IvfIndex.assign(base, "vec", cents)
+        .withColumn("codes", PqIndex.encodeAniso(col("vec"), pq, Eta))
+        .count()
+    }
     val nSq = timed("ivf_sq8") {
       IvfIndex.assign(base, "vec", cents)
         .withColumn("codes", Sq8Index.encode(col("vec"), sq)).count()
@@ -540,6 +547,8 @@ object IndexQueries {
         nFlat * (12L + 4L * dim), NList * dim * 8L),
       ("ivf_pq", nPq, (M * KStar).toLong,
         nPq * (12L + M), KStar * dim * 8L),
+      ("ivf_pq_aniso", nPqA, (M * KStar).toLong,
+        nPqA * (12L + M), KStar * dim * 8L),
       ("ivf_sq8", nSq, 2L * dim,
         nSq * (12L + dim), 2L * dim * 8L),
       ("lsh_rhp", nLsh, (NTables * NBits).toLong,
@@ -1249,6 +1258,9 @@ object IndexQueries {
        |         $NList * dim * 8 AS bytes_model FROM nn, dd
        |  UNION ALL
        |  SELECT 'ivf_pq', n, CAST(${M * KStar} AS BIGINT),
+       |         n * (12 + $M), $KStar * dim * 8 FROM nn, dd
+       |  UNION ALL
+       |  SELECT 'ivf_pq_aniso', n, CAST(${M * KStar} AS BIGINT),
        |         n * (12 + $M), $KStar * dim * 8 FROM nn, dd
        |  UNION ALL
        |  SELECT 'ivf_sq8', n, 2 * dim, n * (12 + dim), 2 * dim * 8 FROM nn, dd

@@ -474,7 +474,7 @@ class IndexSpec extends AnyFunSuite {
     import graft.queries.{IndexQueries => IQ}
     IQ.lastBuildReadings.clear()
     IQ.indexBuildMetrics(spark, sf001).collect()
-    Seq("ivf_flat", "ivf_pq", "ivf_sq8", "lsh_rhp").foreach { n =>
+    Seq("ivf_flat", "ivf_pq", "ivf_pq_aniso", "ivf_sq8", "lsh_rhp").foreach { n =>
       val r = IQ.lastBuildReadings.get(n)
       assert(r.isDefined, s"no build reading recorded for $n")
       assert(r.get.jvmHeapPeakBytes > 0,
