@@ -615,6 +615,10 @@ object IndexQueries {
   }
 
   val SweepNprobes: Seq[Int] = Seq(1, 2, 4, 8, 16)
+  /** q45's eta axis (q46's loss; eta=1 IS plain PQ — the loss
+    * degrades to L2, so the axis embeds the plain-vs-aniso
+    * comparison as its first point). */
+  val SweepEtas: Seq[Int] = Seq(1, 2, 4, 8)
 
   /** q17: the reference runner's query-argument sweep
     * (query_argument_groups, runner.py — nprobe is THE IVF tuning
@@ -753,12 +757,45 @@ object IndexQueries {
             (col("n_train") * lit(NQ.toLong)).cast("double"))
             .as("scanned_frac"))
 
-    leg("ivf_flat", "nprobe", SweepNprobes, "np",
+    // PQ eta axis (q46's family): the score-aware loss swept at
+    // IDENTICAL code bytes — recall moves while the (full) ADC scan
+    // cost is pinned at 1.0, the inverse of the nprobe/ntables axes
+    // where cost buys recall. ADC-only top-k against the exact-MIPS
+    // truth: the codes' own quality is the object under test (a
+    // rerank would mask the axis).
+    val pqm = cached(dir, "pq-sample") {
+      PqIndex.sampleModel(base, "vec", M, KStar)
+    }
+    val exDot = KnnSearch.bruteForce(base, queries, K, VecMetric.InnerProduct)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val qTbl = queries.withColumn("tbl", PqIndex.dotTable(col("qvec"), pqm))
+      .select("query_id", "tbl")
+    val etaLegs = SweepEtas.map { eta =>
+      base.select(col("id"),
+          PqIndex.encodeAniso(col("vec"), pqm, eta.toDouble).as("codes"))
+        .crossJoin(broadcast(qTbl))
+        .select(col("query_id"), col("id"),
+          graft.functions.pq_adc(col("codes"), col("tbl")).as("score"))
+        .groupBy("query_id")
+        .agg(graft.functions.collect_topk(col("score"), col("id"), K,
+          asc = false).as("topk"))
+        .select(col("query_id"), explode(col("topk.id")).as("neighbor_id"))
+        .join(exDot, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit("pq_aniso").as("algo"), lit("eta").as("param"),
+          lit(eta.toLong).as("value"),
+          (col("hits").cast("double") / lit((NQ * K).toDouble))
+            .as("avg_recall"),
+          lit(1.0).as("scanned_frac"))
+    }
+
+    (leg("ivf_flat", "nprobe", SweepNprobes, "np",
       ivfHits("flat_score"), ivfScan)
       .unionByName(leg("ivf_sq8", "nprobe", SweepNprobes, "np",
         ivfHits("sq8_score"), ivfScan))
       .unionByName(leg("lsh_rhp", "ntables", SweepTables, "nt",
-        lshHits, lshScan))
+        lshHits, lshScan)) +: etaLegs)
+      .reduce(_ unionByName _)
       .orderBy("algo", "value")
   }
 
@@ -1470,11 +1507,67 @@ object IndexQueries {
          |               ON qb.tbl = xb.tbl AND qb.bucket = xb.bucket
          |          WHERE qb.tbl < $nt)) AS DOUBLE) /
          |       CAST($denomSql AS DOUBLE) AS scanned_frac""".stripMargin
+    // PQ eta axis: q46's encode CTEs (n2/d/rx folds over the shared
+    // codebook) specialised per eta, ADC-only top-K vs the exact-MIPS
+    // truth, scanned_frac pinned at 1.0 (full scan by construction)
+    def fold(term: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, ${SubDim + 1}), i -> $term)),
+         |  (acc, x) -> acc + x)""".stripMargin
+    val pxi = s"a.v[pqcb.s * $SubDim + i]"
+    val pqBody =
+      s"""pqsv AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cent, v
+         |         FROM (SELECT id, v FROM b ORDER BY id LIMIT $KStar)),
+         |pqcb AS (SELECT pqsv.cent, ss.s,
+         |           list_slice(pqsv.v, ss.s * $SubDim + 1,
+         |                      (ss.s + 1) * $SubDim) AS cv
+         |         FROM pqsv CROSS JOIN (SELECT unnest(range(0, $M)) AS s) ss),
+         |pqel AS (SELECT a.id, pqcb.s, pqcb.cent,
+         |           ${fold(s"$pxi * $pxi")} AS n2,
+         |           ${fold(s"($pxi - pqcb.cv[i]) * ($pxi - pqcb.cv[i])")} AS d,
+         |           ${fold(s"($pxi - pqcb.cv[i]) * $pxi")} AS rx
+         |         FROM b a CROSS JOIN pqcb),
+         |exd AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT q.query_id, b.id AS neighbor_id,
+         |          row_number() OVER (PARTITION BY q.query_id
+         |            ORDER BY list_inner_product(q.qv, b.v) DESC, b.id) AS rank
+         |   FROM q CROSS JOIN b) WHERE rank <= $K)""".stripMargin
+    def etaEnc(eta: Int): String =
+      s"""enc$eta AS (SELECT id, s, cent FROM (
+         |   SELECT id, s, cent,
+         |          row_number() OVER (PARTITION BY id, s
+         |            ORDER BY CASE WHEN n2 > 0.0
+         |                          THEN d + ($eta.0 - 1.0) * rx * rx / n2
+         |                          ELSE d END, cent) AS rn
+         |   FROM pqel) WHERE rn = 1)""".stripMargin
+    def etaBlock(eta: Int): String =
+      s"""SELECT 'pq_aniso' AS algo, 'eta' AS param,
+         |       CAST($eta AS BIGINT) AS value,
+         |       CAST((SELECT count(*) FROM (
+         |          SELECT query_id, neighbor_id FROM (
+         |            SELECT t.query_id, t.id AS neighbor_id,
+         |                   row_number() OVER (PARTITION BY t.query_id
+         |                     ORDER BY t.adc DESC, t.id) AS rank
+         |            FROM (SELECT tm.query_id, tm.id,
+         |                         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                           list(tm.t ORDER BY tm.s)),
+         |                           (acc, x) -> acc + x) AS adc
+         |                  FROM (SELECT q.query_id, e.id, e.s,
+         |                               ${fold(s"q.qv[e.s * $SubDim + i] * pqcb.cv[i]")} AS t
+         |                        FROM q CROSS JOIN enc$eta e
+         |                             JOIN pqcb ON pqcb.s = e.s
+         |                                      AND pqcb.cent = e.cent) tm
+         |                  GROUP BY tm.query_id, tm.id) t)
+         |          WHERE rank <= $K) ap
+         |          JOIN exd USING (query_id, neighbor_id)) AS DOUBLE) /
+         |       CAST(${NQ * K} AS DOUBLE) AS avg_recall,
+         |       CAST(1.0 AS DOUBLE) AS scanned_frac""".stripMargin
     val blocks =
       (SweepNprobes.map(np =>
         ivfBlock("ivf_flat", np, "list_distance(q.qv, cand.v)", "asg")) ++
         SweepNprobes.map(np => ivfBlock("ivf_sq8", np, sq8Dist, "cod")) ++
-        SweepTables.map(lshBlock)).mkString("\nUNION ALL\n")
+        SweepTables.map(lshBlock) ++
+        SweepEtas.map(etaBlock)).mkString("\nUNION ALL\n")
     s"""WITH $ivfCte,
        |prr AS (SELECT query_id, cluster, rn FROM (
        |   SELECT q.query_id, c.cluster,
@@ -1483,6 +1576,8 @@ object IndexQueries {
        |   FROM q CROSS JOIN c) WHERE rn <= $NList),
        |$sqBody,
        |$lshBody,
+       |$pqBody,
+       |${SweepEtas.map(etaEnc).mkString(",\n")},
        |ex AS (SELECT query_id, neighbor_id FROM (
        |   SELECT q.query_id, b.id AS neighbor_id,
        |          row_number() OVER (PARTITION BY q.query_id

@@ -434,16 +434,28 @@ class IndexSpec extends AnyFunSuite {
     import graft.queries.{IndexQueries => IQ}
     val got = SparkEntry.queries("q45_param_grid")(spark, sf001).collect()
     assert(got.length ==
-      2 * IQ.SweepNprobes.length + IQ.SweepTables.length)
+      2 * IQ.SweepNprobes.length + IQ.SweepTables.length +
+        IQ.SweepEtas.length)
     val byAlgo = got.groupBy(_.getString(0))
       .map { case (a, rs) => a -> rs.sortBy(_.getLong(2)) }
-    assert(byAlgo.keySet == Set("ivf_flat", "ivf_sq8", "lsh_rhp"))
-    byAlgo.values.foreach { rs =>
+    assert(byAlgo.keySet ==
+      Set("ivf_flat", "ivf_sq8", "lsh_rhp", "pq_aniso"))
+    // cost-buys-recall axes: recall and scan monotone in the param
+    Seq("ivf_flat", "ivf_sq8", "lsh_rhp").map(byAlgo).foreach { rs =>
       val recalls = rs.map(_.getDouble(3)).toSeq
       val scans = rs.map(_.getDouble(4)).toSeq
       assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
       assert(scans == scans.sorted, s"scan not monotone: $scans")
       assert(scans.last <= 1.0 + 1e-12)
+    }
+    // the eta axis is the inverse shape: scan pinned at exactly 1.0
+    // (full ADC scan at every point, identical code bytes), recall
+    // positive everywhere but NOT asserted monotone — eta trades
+    // overall-L2 for top-pair dot fidelity, which recall@K need not
+    // reward pointwise
+    byAlgo("pq_aniso").foreach { r =>
+      assert(r.getDouble(4) == 1.0, s"eta scan ${r.getDouble(4)}")
+      assert(r.getDouble(3) > 0.0, s"eta recall ${r.getDouble(3)}")
     }
     // nprobe = nlist scans every cell: flat recall exactly 1, and the
     // quantized index pays a (bounded) recall cost for its 4x bytes
