@@ -670,7 +670,9 @@ object IndexQueries {
     * (query_args / query_arg_groups, definitions.py: each algorithm
     * sweeps its own knob set; main.py runs every combination and
     * stores (params, recall, qps)): ivf_flat and ivf_sq8 over the
-    * nprobe axis and lsh_rhp over the ntables axis, emitting
+    * nprobe axis, lsh_rhp over the ntables axis, and pq_aniso over
+    * the eta axis (q46's loss at identical code bytes — scan pinned,
+    * recall moves), emitting
     * (algo, param, value, avg_recall, scanned_frac) — recall vs the
     * exact GT of each family's rerank metric, scanned_frac = scored
     * candidate pairs / (NQ x Ntrain), the dominant cost at 100 TB
