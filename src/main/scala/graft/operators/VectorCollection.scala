@@ -18,30 +18,75 @@ import org.apache.spark.sql.functions._
   *    path. Both accept the reference's filter expression as a
   *    Column predicate.
   *
+  * `quantization` picks the in-cell scan the reference selects by
+  * index type (milvus-ivfflat / ivfsq8 / ivfpq / scann):
+  *
+  *  - `"none"`   — exact vectors (IVF_FLAT); any metric.
+  *  - `"sq8"`    — int8 affine codes, distance fused over codes
+  *                 (IVF_SQ8); Euclidean.
+  *  - `"pq"`     — product-quantization ADC scan + exact re-rank
+  *                 (IVF_PQ); Euclidean.
+  *  - `"pq_aniso"` — SCANN-family score-aware codes, MIPS ADC +
+  *                 exact re-rank; InnerProduct.
+  *
+  * Quantization models are trained once in `createIndex` and FROZEN,
+  * like the centroids: every mutation batch is encoded against the
+  * existing models (O(batch), no rebuild — q28's contract).
+  *
   * State is a checkpointed (id, vec) DataFrame + broadcastable
-  * centroids; every mutation re-assigns ONLY its batch (O(batch)),
-  * exactly like q28.
+  * centroids/models; every mutation re-assigns ONLY its batch
+  * (O(batch)), exactly like q28.
   */
 class VectorCollection(
     spark: SparkSession,
     initial: DataFrame, // (id, vec, ...)
     nlist: Int = 16,
     nprobe: Int = 6,
-    metric: VecMetric = VecMetric.Euclidean) {
+    metric: VecMetric = VecMetric.Euclidean,
+    quantization: String = "none",
+    pqM: Int = 8,
+    pqKStar: Int = 16,
+    pqEta: Double = 4.0,
+    rerank: Int = 10) {
+
+  require(Set("none", "sq8", "pq", "pq_aniso")(quantization),
+    s"unknown quantization '$quantization'")
+  require(quantization != "sq8" && quantization != "pq" ||
+    metric == VecMetric.Euclidean,
+    s"$quantization serves Euclidean scans")
+  require(quantization != "pq_aniso" || metric == VecMetric.InnerProduct,
+    "pq_aniso is the score-aware MIPS index: use InnerProduct")
 
   private var assigned: DataFrame = _
   private var cents: Array[Array[Double]] = _
+  private var sq: Sq8Index.Model = _
+  private var pq: PqIndex.Model = _
   private var data: DataFrame = initial.localCheckpoint(true)
 
   def numEntities: Long = data.count()
 
-  /** Build the IVF index over the current collection (reference
-    * create_index). Idempotent; mutations keep it maintained
-    * incrementally afterwards.
+  /** Build the IVF index (+ quantization model) over the current
+    * collection (reference create_index). Idempotent; mutations keep
+    * it maintained incrementally afterwards.
     */
   def createIndex(): Unit = {
     cents = IvfIndex.sampleCentroids(data, "vec", nlist)
-    assigned = IvfIndex.assign(data, "vec", cents).localCheckpoint(true)
+    quantization match {
+      case "none"            => ()
+      case "sq8"             => sq = Sq8Index.train(data, "vec")
+      case "pq" | "pq_aniso" => pq = PqIndex.sampleModel(data, "vec", pqM, pqKStar)
+    }
+    assigned = withCodes(IvfIndex.assign(data, "vec", cents))
+      .localCheckpoint(true)
+  }
+
+  /** Encode a batch against the FROZEN quantization model. */
+  private def withCodes(df: DataFrame): DataFrame = quantization match {
+    case "none"     => df
+    case "sq8"      => df.withColumn("codes", Sq8Index.encode(col("vec"), sq))
+    case "pq"       => df.withColumn("codes", PqIndex.encode(col("vec"), pq))
+    case "pq_aniso" =>
+      df.withColumn("codes", PqIndex.encodeAniso(col("vec"), pq, pqEta))
   }
 
   private def requireIndex(): Unit =
@@ -53,8 +98,7 @@ class VectorCollection(
     requireIndex()
     import spark.implicits._
     val q = Seq((0L, v)).toDF("query_id", "qvec")
-    val base = filterExpr.map(assigned.filter).getOrElse(assigned)
-    IvfIndex.search(base, q, cents, n, nprobe, metric)
+    batchQuery(q, n, filterExpr)
       .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
   }
 
@@ -65,7 +109,9 @@ class VectorCollection(
       filterExpr: Option[Column] = None): DataFrame = {
     requireIndex()
     val base = filterExpr.map(assigned.filter).getOrElse(assigned)
-    IvfIndex.search(base, queries, cents, n, nprobe, metric)
+    if (quantization == "none")
+      IvfIndex.search(base, queries, cents, n, nprobe, metric)
+    else quantSearch(base, queries, n, None)
   }
 
   /** The reference's filtered-query module shape: `queries` carries
@@ -77,8 +123,48 @@ class VectorCollection(
   def batchQueryFiltered(queries: DataFrame, n: Int,
       pairFilter: Column): DataFrame = {
     requireIndex()
-    IvfIndex.search(assigned, queries, cents, n, nprobe, metric,
-      pairFilter = Some(pairFilter))
+    if (quantization == "none")
+      IvfIndex.search(assigned, queries, cents, n, nprobe, metric,
+        pairFilter = Some(pairFilter))
+    else quantSearch(assigned, queries, n, Some(pairFilter))
+  }
+
+  /** Quantized in-cell scan: probe cells, score CODES (never the
+    * floats) inside probed cells, and for PQ recover recall with an
+    * exact re-rank over the top n*rerank ADC candidates only.
+    */
+  private def quantSearch(base: DataFrame, queries: DataFrame, n: Int,
+      pairFilter: Option[Column]): DataFrame = {
+    val probed = IvfIndex.probedQueries(queries, cents, nprobe)
+    quantization match {
+      case "sq8" =>
+        val joined = base.join(broadcast(probed), "cluster")
+        val kept = pairFilter.map(joined.filter).getOrElse(joined)
+        val scored = kept.select(col("query_id"),
+          graft.functions.sq8_l2(col("qvec"), col("codes"),
+            sq.mins, sq.scales).as("score"),
+          col("id"))
+        KnnSearch.topKOf(scored, n, asc = true)
+      case _ => // pq | pq_aniso
+        val adcAsc = metric.asc // L2 table ascends, dot table descends
+        val tbl =
+          if (metric == VecMetric.Euclidean) PqIndex.distTable(col("qvec"), pq)
+          else PqIndex.dotTable(col("qvec"), pq)
+        val joined = base.join(broadcast(probed.withColumn("tbl", tbl)), "cluster")
+        val kept = pairFilter.map(joined.filter).getOrElse(joined)
+        val cands = kept.select(col("query_id"), col("id"),
+            graft.functions.pq_adc(col("codes"), col("tbl")).as("adc"))
+          .groupBy("query_id")
+          .agg(graft.functions.collect_topk(col("adc"), col("id"),
+            n * rerank, adcAsc).as("topk"))
+          .select(col("query_id"), explode(col("topk.id")).as("id"))
+        val exact = cands
+          .join(base.select(col("id"), col("vec")), "id")
+          .join(broadcast(queries.select("query_id", "qvec")), "query_id")
+          .select(col("query_id"),
+            metric.score(col("qvec"), col("vec")).as("score"), col("id"))
+        KnnSearch.topKOf(exact, n, metric.asc)
+    }
   }
 
   private def applyMutation(upserts: DataFrame, deletes: DataFrame): Unit = {
@@ -86,7 +172,7 @@ class VectorCollection(
       .localCheckpoint(true)
     if (assigned != null) {
       assigned = Mutations.applyBatch(assigned,
-        IvfIndex.assign(upserts, "vec", cents), deletes, "id")
+        withCodes(IvfIndex.assign(upserts, "vec", cents)), deletes, "id")
         .localCheckpoint(true)
     }
   }

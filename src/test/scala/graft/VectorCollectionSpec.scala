@@ -3,16 +3,16 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.VectorCollection
+import graft.operators.{KnnSearch, VecMetric, VectorCollection}
 
 class VectorCollectionSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def freshCollection(): VectorCollection = {
-    val emb = Tables.embeddings(spark, sf)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    new VectorCollection(spark, emb)
-  }
+  private def embBase = Tables.embeddings(spark, sf)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def freshCollection(): VectorCollection =
+    new VectorCollection(spark, embBase)
 
   test("reference serving surface: index, query, CRUD, num_entities") {
     import spark.implicits._
@@ -61,6 +61,61 @@ class VectorCollectionSpec extends AnyFunSuite {
     fres.foreach { r =>
       val (q, n) = (r.getLong(0), r.getLong(2))
       assert(n < (q + 1) * 200, s"($q,$n) violates its per-query bound")
+    }
+  }
+
+  test("quantized serving: sq8 and pq collections keep the CRUD surface") {
+    import spark.implicits._
+    for (quant <- Seq("sq8", "pq")) {
+      val coll = new VectorCollection(spark, embBase, quantization = quant)
+      coll.createIndex()
+      val v0 = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      // sq8 scans dequantized codes (self wins by quantization-error
+      // margin); pq reranks the ADC candidates exactly (self at 0)
+      val res = coll.query(v0, 5)
+      assert(res.head == 0L, s"$quant: $res")
+      // a duplicate insert is encoded against the FROZEN model, so it
+      // lands with identical codes and ties its twin at the top
+      coll.insert(Seq((999999L, v0)).toDF("id", "vec"))
+      val res2 = coll.query(v0, 5)
+      assert(res2.take(2).toSet == Set(0L, 999999L), s"$quant: $res2")
+      coll.delete(Seq(0L).toDF("id"))
+      val res3 = coll.query(v0, 5)
+      assert(res3.head == 999999L && !res3.contains(0L), s"$quant: $res3")
+    }
+  }
+
+  test("pq_aniso collection: score-aware MIPS serving, decent recall") {
+    import spark.implicits._
+    val coll = new VectorCollection(spark, embBase,
+      metric = VecMetric.InnerProduct, quantization = "pq_aniso")
+    coll.createIndex()
+    val queries = embBase.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val got = coll.batchQuery(queries, 10)
+      .select("query_id", "neighbor_id")
+    val exact = KnnSearch.bruteForce(embBase, queries, 10,
+      VecMetric.InnerProduct).select("query_id", "neighbor_id")
+    val recall = got.intersect(exact).count().toDouble / exact.count()
+    assert(recall >= 0.5, s"MIPS recall $recall")
+    // deletes leave the MIPS results too
+    val victim = got.head().getLong(1)
+    coll.delete(Seq(victim).toDF("id"))
+    assert(coll.batchQuery(queries, 10)
+      .filter(col("neighbor_id") === victim).count() == 0)
+  }
+
+  test("quantization/metric contracts are constructor-enforced") {
+    intercept[IllegalArgumentException] {
+      new VectorCollection(spark, embBase, quantization = "bogus")
+    }
+    intercept[IllegalArgumentException] {
+      new VectorCollection(spark, embBase, quantization = "pq_aniso")
+    }
+    intercept[IllegalArgumentException] {
+      new VectorCollection(spark, embBase,
+        metric = VecMetric.InnerProduct, quantization = "sq8")
     }
   }
 }
