@@ -66,6 +66,14 @@ class TestdataContractSpec extends AnyFunSuite {
     assertTypes("orders",
       "o_orderkey" -> LongType, "o_custkey" -> LongType,
       "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType)
+    // date-ish columns only need to stay in the family Spark coerces
+    // against timestamp/date literals (a01's shipdate predicate)
+    Seq("lineitem" -> "l_shipdate", "orders" -> "o_orderdate").foreach {
+      case (t, c) =>
+        val dt = fieldType(t, c)
+        assert(Seq(TimestampNTZType, TimestampType, DateType).contains(dt),
+          s"$t.$c is $dt — outside the timestamp/date family")
+    }
     assertTypes("customer",
       "c_custkey" -> LongType, "c_nationkey" -> IntegerType,
       "c_acctbal" -> DoubleType, "c_mktsegment" -> StringType)
