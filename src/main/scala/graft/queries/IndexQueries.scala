@@ -155,7 +155,9 @@ object IndexQueries {
     * form: per-query dot tables, approximate inner product = m
     * lookups summed, top K*Rerank by approximate dot DESC, exact
     * max-inner-product rerank. Flat scan (the compressed-scan leg is
-    * the object under test); IVF pruning composes as in q21.
+    * the object under test); IVF pruning composes as in q21 — the
+    * composed probed-cell path is served (and recall-gated) by
+    * VectorCollection's quantization="pq_aniso" mode.
     */
   def scannAniso(s: SparkSession, dir: String): DataFrame = {
     val (base, queries) = baseAndQueries(s, dir)
