@@ -203,4 +203,87 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"))
   }
+
+  /** t11: sequence packing — the GPT-style concat-and-chunk pass that
+    * turns a curated corpus into fixed-length training sequences:
+    * documents are concatenated in doc_id order and split into
+    * `seqLen`-token blocks; each doc learns its global token offset
+    * and the [seq_first, seq_last] block span it lands in.
+    *
+    * The global offset is an ordered prefix sum, which a naive
+    * `Window.orderBy(doc_id)` would funnel through ONE task. Here it
+    * is the classic two-level distributed scan: contiguous id-range
+    * buckets (order-preserving by construction), per-bucket token
+    * totals aggregated once (<= nBuckets rows, collected and
+    * prefix-summed on the driver), then a per-bucket window adds the
+    * broadcast bucket offset — every bucket scans in parallel and no
+    * task ever sees more than one bucket. At 100 TB the bucket count
+    * scales with the cluster, the driver state stays O(nBuckets).
+    *
+    * Token counts are t02's whitespace tokens, so the oracle shares
+    * the definition. All columns are BIGINT — hash-exact.
+    */
+  def sequencePack(docs: DataFrame, seqLen: Long = 256L,
+      nBuckets: Int = 64, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tc = docs.select(col(idCol),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // contiguous id-range buckets: one tiny max() job fixes the span
+    val maxId = tc.agg(max(col(idCol))).head().getLong(0)
+    val span = math.max(1L, (maxId + nBuckets) / nBuckets)
+    val bucketed = tc.withColumn("bucket", expr(s"$idCol div $span"))
+    val totals = bucketed.groupBy("bucket").agg(sum("n_tok").as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0L, 0L)) { case ((_, acc), (b, t)) =>
+      (b, acc + t)
+    }.tail.zip(totals).map { case ((b, cum), (_, t)) => (b, cum - t) }
+    val offDf = broadcast(offsets.toSeq.toDF("bucket", "bucket_off"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(offDf, "bucket")
+      .withColumn("tok_start",
+        col("bucket_off") + coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col(idCol), col("n_tok"), col("tok_start"),
+        expr(s"tok_start div $seqLen").as("seq_first"),
+        expr(s"(tok_start + n_tok - 1) div $seqLen").as("seq_last"))
+  }
+
+  /** t12: temperature-flattened domain mixing — the data-mixing pass
+    * that reweights strata toward a target distribution before
+    * training (the multilingual-sampling shape). With temperature 0.5
+    * the target per stratum is t_s = floor(sqrt(n_s * n_max)): the
+    * geometric mean of the stratum's own size and the largest
+    * stratum's, i.e. every stratum moves halfway (in log space)
+    * toward the head — pure UPsampling, the complement of t10's
+    * downsample-to-min. sqrt on integer products this size is
+    * correctly rounded IEEE on both engines, so the integer targets
+    * (and therefore the output) are engine-exact; no pow(), no
+    * unordered double sums.
+    *
+    * Materialisation: copies = t_s div n_s per row, plus one extra
+    * where the t10 affine id-hash bucket falls under the fractional
+    * remainder (in basis points). Scan-local explode against a
+    * broadcast rate table — no shuffle, no skew: a hot stratum costs
+    * the same per row as any other.
+    */
+  def domainMix(docs: DataFrame, stratumCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(stratumCol).agg(count(lit(1)).as("n_s"))
+    val nMax = counts.agg(max("n_s").as("n_max"))
+    val rates = counts.crossJoin(broadcast(nMax))
+      .withColumn("t_s",
+        floor(sqrt(col("n_s").cast("double") * col("n_max").cast("double")))
+          .cast("long"))
+      .withColumn("base_copies", expr("t_s div n_s"))
+      .withColumn("rem_bp", expr("(10000 * (t_s % n_s)) div n_s"))
+    val bucket = pmod(col(idCol) * lit(2654435761L) + lit(1013904223L),
+      lit(1000000007L)) % lit(10000L)
+    docs.join(broadcast(rates), stratumCol)
+      .withColumn("copies",
+        col("base_copies") + when(bucket < col("rem_bp"), 1L).otherwise(0L))
+      .select(col(idCol), col(stratumCol),
+        explode(sequence(lit(0L), col("copies") - 1L)).as("copy"))
+  }
 }

@@ -211,6 +211,26 @@ object TextQueries {
     TextAnalysis.stratifiedSample(Tables.documents(s, dir), "lang")
       .orderBy("doc_id")
 
+  val SeqLen = 256L
+
+  /** t11: sequence packing — concat-and-chunk into [[SeqLen]]-token
+    * training blocks via the two-level distributed prefix sum
+    * (TextAnalysis.sequencePack); the oracle is a plain ordered
+    * window cumsum, which is exactly what the two-level scan must
+    * reproduce.
+    */
+  def t11(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sequencePack(Tables.documents(s, dir), SeqLen)
+      .orderBy("doc_id")
+
+  /** t12: temperature-0.5 domain mixing over `lang` — every stratum
+    * upsampled to floor(sqrt(n_s * n_max)) rows in expectation, the
+    * data-mixing complement of t10's downsample-to-min.
+    */
+  def t12(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.domainMix(Tables.documents(s, dir), "lang")
+      .orderBy("doc_id", "copy")
+
   val HybridK = 5
 
   /** q41: hybrid retrieval — BM25 (t06, sparse lexical) and TF-IDF
@@ -340,6 +360,8 @@ object TextQueries {
     "t08_decontaminate" -> (t08 _),
     "t09_repetition" -> (t09 _),
     "t10_stratified_sample" -> (t10 _),
+    "t11_sequence_pack" -> (t11 _),
+    "t12_domain_mix" -> (t12 _),
     "m01_multimodal_pipeline" -> (m01 _),
     "m02_multimodal_frames" -> (m02 _),
     "m03_multimodal_resize" -> ((s: SparkSession, dir: String) =>
@@ -692,6 +714,38 @@ object TextQueries {
         |WHERE (d.doc_id * 2654435761 + 1013904223) % 1000000007 % 10000
         |      < 10000 * m.n_min // c.n_s
         |ORDER BY doc_id""".stripMargin,
+    "t11_sequence_pack" ->
+      s"""WITH tc AS (SELECT doc_id,
+         |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |            FROM documents),
+         |     c AS (SELECT doc_id, n_tok,
+         |             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |               0) AS BIGINT) AS tok_start
+         |           FROM tc)
+         |SELECT doc_id, n_tok, tok_start,
+         |       tok_start // $SeqLen AS seq_first,
+         |       (tok_start + n_tok - 1) // $SeqLen AS seq_last
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "t12_domain_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+        |m AS (SELECT max(n_s) AS n_max FROM c),
+        |r AS (SELECT lang, n_s,
+        |        CAST(FLOOR(SQRT(CAST(n_s AS DOUBLE) * CAST(n_max AS DOUBLE)))
+        |             AS BIGINT) AS t_s
+        |      FROM c CROSS JOIN m),
+        |p AS (SELECT lang, n_s, t_s // n_s AS base_copies,
+        |        (10000 * (t_s % n_s)) // n_s AS rem_bp
+        |      FROM r),
+        |d AS (SELECT doc_id, documents.lang,
+        |        base_copies + CASE WHEN
+        |          (doc_id * 2654435761 + 1013904223) % 1000000007 % 10000
+        |            < rem_bp THEN 1 ELSE 0 END AS copies
+        |      FROM documents JOIN p USING (lang))
+        |SELECT doc_id, lang, copy FROM (
+        |  SELECT doc_id, lang,
+        |         UNNEST(generate_series(0, copies - 1)) AS copy FROM d)
+        |ORDER BY doc_id, copy""".stripMargin,
     "t04_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

@@ -113,6 +113,30 @@ object VectorQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
+  val GroupG = 5
+
+  /** q47: grouping search (the Milvus grouping_search API surface) —
+    * per query, rank the label GROUPS by their best member and return
+    * the top-[[GroupG]] groups with each group's champion. The
+    * production use is diversity-constrained retrieval: one hit per
+    * domain / near-dup cluster instead of k copies of one thing. The
+    * champion reduce is a map-side-combinable aggregate, so the
+    * shuffle carries O(parts x Q x G) rows however large the base is.
+    */
+  def groupedSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").cast("long").as("grp"))
+    val queries = emb.filter(Split.isQuery(col("vec_id"), NQ))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    graft.operators.GroupedSearch
+      .search(base, queries, GroupG, VecMetric.Euclidean, "grp")
+      .select(col("query_id"), col("rank"), col("grp").as("label"),
+        col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   private def mvParts(vecCol: String, n: Int = 4, dim: Int = 16): Seq[String] =
     (0 until n).map(i => s"slice($vecCol, ${i * dim + 1}, $dim)")
 
@@ -268,7 +292,8 @@ object VectorQueries {
     "q09_knn_jaccard" -> (knnJaccard _),
     "q10_batch_query" -> (batchQuery _),
     "q11_gt_top100" -> (gtTop100 _),
-    "q13_big_query" -> (bigQuery _)
+    "q13_big_query" -> (bigQuery _),
+    "q47_grouped_search" -> (groupedSearch _)
   )
 
   /** cosine pinned to our exact formula (dot / sqrt(na*nb)) so fused
@@ -426,6 +451,25 @@ object VectorQueries {
          |         row_number() OVER (PARTITION BY q.query_id
          |                            ORDER BY list_distance(q.qv, b.v), b.id) AS rank
          |  FROM q CROSS JOIN b)
-         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "q47_grouped_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE $qPred),
+         |     b AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+         |                  embedding::DOUBLE[] AS v
+         |           FROM embeddings WHERE $bPred),
+         |     scored AS (SELECT q.query_id, b.id, b.label,
+         |                       list_distance(q.qv, b.v) AS score
+         |                FROM q CROSS JOIN b),
+         |     champ AS (SELECT query_id, label, id, score,
+         |                      row_number() OVER (PARTITION BY query_id, label
+         |                                         ORDER BY score, id) AS mr
+         |               FROM scored)
+         |SELECT query_id, rank, label, neighbor_id FROM (
+         |  SELECT query_id, label, id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score, label) AS rank
+         |  FROM champ WHERE mr = 1)
+         |WHERE rank <= $GroupG ORDER BY query_id, rank""".stripMargin
   )
 }

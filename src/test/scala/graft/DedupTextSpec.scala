@@ -285,4 +285,56 @@ class DedupTextSpec extends AnyFunSuite {
     byDoc.foreach(r =>
       assert(r.getSeq[Long](0).sorted == Seq(1L, 2L, 3L)))
   }
+
+  test("t11 two-level prefix sum equals the single-window cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    // force MANY buckets so the distributed path (per-bucket windows +
+    // driver prefix over bucket totals) is genuinely exercised
+    val packed = TextAnalysis.sequencePack(docs, seqLen = 64L, nBuckets = 7)
+    // test-only global window — the thing the operator must NEVER do
+    val tc = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = tc
+      .withColumn("tok_start", coalesce(sum("n_tok").over(w), lit(0L)))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val got = packed.collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nTok, tokStart) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tok") == nTok)
+      assert(r.getAs[Long]("tok_start") == tokStart)
+      assert(r.getAs[Long]("seq_first") == tokStart / 64L)
+      assert(r.getAs[Long]("seq_last") == (tokStart + nTok - 1) / 64L)
+    }
+  }
+
+  test("t12 domain mix: sqrt targets hit exactly, copy indexes dense") {
+    val docs = Tables.documents(spark, sf)
+    val mixed = TextAnalysis.domainMix(docs, "lang")
+    val nS = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMax = nS.values.max
+    // expected copies per doc, computed independently of the operator
+    val perDoc = docs.select("doc_id", "lang").collect().map { r =>
+      val (id, lang) = (r.getLong(0), r.getString(1))
+      val ts = math.floor(math.sqrt(nS(lang).toDouble * nMax.toDouble)).toLong
+      val base = ts / nS(lang)
+      val remBp = 10000L * (ts % nS(lang)) / nS(lang)
+      val bucket = ((id * 2654435761L + 1013904223L) % 1000000007L) % 10000L
+      (id, base + (if (bucket < remBp) 1L else 0L))
+    }.toMap
+    val got = mixed.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), collect_list("copy").as("cs")).collect()
+    assert(got.map(_.getAs[Long]("n")).sum == perDoc.values.sum)
+    got.foreach { r =>
+      val copies = perDoc(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n") == copies)
+      assert(r.getSeq[Long](2).sorted == (0L until copies))
+    }
+    // mixing only ever UPsamples: every stratum at least its own size
+    assert(perDoc.values.sum >= docs.count())
+  }
 }

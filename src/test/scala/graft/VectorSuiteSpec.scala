@@ -171,4 +171,38 @@ class VectorSuiteSpec extends AnyFunSuite {
   test("every oracleSql key has a queries entry") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("q47 grouped search: distinct groups per query, champions exact") {
+    val res = graft.queries.VectorQueries.groupedSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("label"), r.getAs[Long]("neighbor_id")))
+    val byQ = res.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rows =>
+      // ranks dense 1..G, one row per group
+      assert(rows.map(_._2).sorted.toSeq == (1L to 5L))
+      assert(rows.map(_._3).distinct.length == rows.length)
+    }
+    // the rank-1 group's champion must be the GLOBAL nearest neighbor
+    // (the best group is by definition the one holding it)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").cast("long").as("grp"))
+    val queries = emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top1 = KnnSearch.bruteForce(base, queries, 1, VecMetric.Euclidean)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    res.filter(_._2 == 1L).foreach { case (q, _, _, champion) =>
+      assert(champion == top1(q))
+    }
+    // and each emitted champion's group matches the base row's group
+    val grpOf = base.select("id", "grp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.foreach { case (_, _, grp, champion) =>
+      assert(grpOf(champion) == grp)
+    }
+  }
 }
