@@ -55,13 +55,27 @@ object ScaleBench {
         "user_id", "us", 1800L * 1000000L,
         Seq("event_id", "user_id", "us")).count()
     }
+    def langDocs = spark.range(n).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(10)) < 6, lit("en"))
+        .when(pmod(col("id"), lit(10)) < 8, lit("zh"))
+        .when(pmod(col("id"), lit(10)) < 9, lit("es"))
+        .otherwise(lit("fr")).as("lang"))
     timed("stratified_sample") {
+      graft.operators.TextAnalysis.stratifiedSample(langDocs, "lang").count()
+    }
+    // t12 at generated scale: same skewed strata, sqrt-upsampled —
+    // scan-local explode, so the wall should track the output row
+    // count (~1.2x input here), not the stratum skew
+    timed("domain_mix") {
+      graft.operators.TextAnalysis.domainMix(langDocs, "lang").count()
+    }
+    // t11 at generated scale: two-level prefix sum over variable-width
+    // docs; 256 buckets ⇒ no task ever windows more than n/256 rows
+    timed("sequence_pack") {
       val docs = spark.range(n).select(col("id").as("doc_id"),
-        when(pmod(col("id"), lit(10)) < 6, lit("en"))
-          .when(pmod(col("id"), lit(10)) < 8, lit("zh"))
-          .when(pmod(col("id"), lit(10)) < 9, lit("es"))
-          .otherwise(lit("fr")).as("lang"))
-      graft.operators.TextAnalysis.stratifiedSample(docs, "lang").count()
+        expr("repeat('w ', cast(id % 50 + 1 as int))").as("text"))
+      graft.operators.TextAnalysis
+        .sequencePack(docs, 2048L, nBuckets = 256).count()
     }
 
     // planted-near-dup corpus (pure projections — any n): 32-token
@@ -153,7 +167,8 @@ object ScaleBench {
     if (Seq("generate+cache", "exact_knn_100q", "ivf_build",
         "ivf_search_100q", "blocked_pairs_20k", "blocked_batch_knn_20k",
         "packed_hamming_100q", "rp_project", "rp_two_stage_100q",
-        "pq_encode", "pq_aniso_encode", "pq_adc_100q")
+        "pq_encode", "pq_aniso_encode", "pq_adc_100q",
+        "grouped_search_100q")
         .exists(keep)) {
     val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -163,6 +178,15 @@ object ScaleBench {
 
     timed("exact_knn_100q") {
       KnnSearch.bruteForce(corpus, queries, 10, VecMetric.Euclidean).count()
+    }
+
+    // q47 at scale: same scan as exact_knn, but the reduce is the
+    // per-(query, group) champion — shuffle rows are Q x 1000 groups
+    // x partials, never N; compare wall against exact_knn_100q
+    timed("grouped_search_100q") {
+      val grouped = corpus.withColumn("grp", pmod(col("id"), lit(1000L)))
+      graft.operators.GroupedSearch
+        .search(grouped, queries, 10, VecMetric.Euclidean, "grp").count()
     }
 
     // e04/e05 shape at scale: project once (scan-local), candidate-gen

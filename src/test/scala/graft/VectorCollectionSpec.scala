@@ -106,6 +106,38 @@ class VectorCollectionSpec extends AnyFunSuite {
       .filter(col("neighbor_id") === victim).count() == 0)
   }
 
+  test("grouped query: full-probe collection equals the exact operator") {
+    val labeled = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").cast("long").as("grp"))
+    // nprobe == nlist: the probed scan covers every cell, so the
+    // served grouping search must equal the exact operator bit-for-bit
+    val coll = new VectorCollection(spark, labeled, nlist = 8, nprobe = 8)
+    coll.createIndex()
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val served = coll.groupedQuery(queries, 4, "grp").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("grp"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = graft.operators.GroupedSearch
+      .search(labeled, queries, 4, VecMetric.Euclidean, "grp").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("grp"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(served == exact)
+    assert(served.groupBy(_._1).forall(_._2.size == 4))
+
+    // partial probe: still well-formed (distinct groups, dense ranks)
+    val coll2 = new VectorCollection(spark, labeled, nlist = 8, nprobe = 3)
+    coll2.createIndex()
+    val part = coll2.groupedQuery(queries, 4, "grp").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("grp")))
+    part.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.size))
+      assert(rows.map(_._3).distinct.size == rows.size)
+    }
+  }
+
   test("quantization/metric contracts are constructor-enforced") {
     intercept[IllegalArgumentException] {
       new VectorCollection(spark, embBase, quantization = "bogus")
