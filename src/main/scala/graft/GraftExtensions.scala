@@ -33,5 +33,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64")(es => SimHash64(es(0)))
     inject("pack_bits")(PackBits.fromArgs)
     inject("packed_hamming")(es => PackedHamming(es(0), es(1)))
+    inject("rolling_hash_windows")(RollingHashWindows.fromArgs)
   }
 }

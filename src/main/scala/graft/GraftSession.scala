@@ -65,5 +65,7 @@ object GraftSession {
       es => PackedHamming(es(0), es(1)))
     Shim.registerFunction(spark, "pq_adc",
       es => PqAdc(es(0), es(1)))
+    Shim.registerFunction(spark, "rolling_hash_windows",
+      RollingHashWindows.fromArgs)
   }
 }

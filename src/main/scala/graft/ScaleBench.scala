@@ -120,6 +120,28 @@ object ScaleBench {
       sh.unpersist()
     }
 
+    // d09 at generated scale: the planted near-dup pairs make their
+    // shared-prefix segments repeat (minOcc=2 flags them), so
+    // boilerplate volume is n/10-linear; the wall must track the ONE
+    // segment-count shuffle + per-doc rebuild, nothing pairwise
+    timed("segment_dedup") {
+      operators.Dedup.segmentBoilerplate(plantedDocs, 3, 2L).count()
+    }
+    // t13 at generated scale: a FIXED 200-doc eval slice against the
+    // n-doc corpus — eval windows broadcast (bounded by construction),
+    // corpus cost = scan-local rolling hashes + rare candidate
+    // verification; planted pair partners (30 shared leading tokens ≈
+    // 240 shared chars) are the expected ~200 matches at every n
+    timed("exact_substring") {
+      val step = math.max(10L, n / 200 / 10 * 10)
+      val docs = plantedDocs
+      val ev = docs.filter(col("doc_id") % step === 8)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      val corpus = docs.join(ev.select(col("eval_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      operators.Dedup.exactSubstringOverlap(corpus, ev, 50).count()
+    }
+
     // --- q44 streaming near-dedup at generated scale: the planted
     // corpus laid out as many single-file slices (doc_id mod nSlices,
     // so a planted pair's members land in DIFFERENT micro-batches and

@@ -191,6 +191,115 @@ case class TokenHashes(child: Expression)
   override def prettyName: String = "token_hashes"
 }
 
+object RollingHashWindows {
+  /** SQL-registration builder: winLen/base parameterise the generated
+    * code, so they must be foldable literals.
+    */
+  def fromArgs(es: Seq[Expression]): RollingHashWindows = {
+    require(es.length == 3,
+      s"rolling_hash_windows expects 3 arguments, got ${es.length}")
+    def lit(e: Expression, name: String): Long = {
+      require(e.foldable,
+        s"rolling_hash_windows $name must be a foldable literal, got: ${e.sql}")
+      e.eval() match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"rolling_hash_windows $name must be integral, got: $other")
+      }
+    }
+    RollingHashWindows(es.head, lit(es(1), "winLen").toInt, lit(es(2), "base"))
+  }
+}
+
+/** All `winLen`-codepoint window hashes of a string in ONE scan-local
+  * pass: h(window) = fold(h * base + cp) in 64-bit OVERFLOW
+  * arithmetic, maintained across positions by the rolling recurrence
+  * h' = (h - cp_out * base^(winLen-1)) * base + cp_in — O(n) total
+  * instead of O(n * winLen) per-window refolds, and 8 output bytes
+  * per position instead of a winLen-char substring. Built for
+  * character-level exact-substring decontamination (SURVEY.md §2
+  * t13): this is a candidate PREFILTER only — mod-2^64 values are
+  * deliberately NOT oracle-replicable (DuckDB BIGINT errors on
+  * overflow), so correctness must come from substring-equality
+  * verification joined behind the hash match, never from the hash.
+  */
+case class RollingHashWindows(child: Expression, winLen: Int, base: Long)
+    extends UnaryExpression with Serializable {
+  require(winLen >= 1, s"winLen must be >= 1, got $winLen")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  /** base^(winLen-1) mod 2^64 — the roll-out multiplier. */
+  private lazy val pow: Long = {
+    var p = 1L; var i = 0
+    while (i < winLen - 1) { p *= base; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val cps = new Array[Int](s.length)
+    var n = 0; var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(n) = cp; n += 1
+      i += Character.charCount(cp)
+    }
+    if (n < winLen)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val out = new Array[Long](n - winLen + 1)
+    var h = 0L; var j = 0
+    while (j < winLen) { h = h * base + cps(j); j += 1 }
+    out(0) = h
+    var w = 1
+    while (w <= n - winLen) {
+      h = (h - cps(w - 1) * pow) * base + cps(w + winLen - 1)
+      out(w) = h
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s0 = ctx.freshName("s")
+      val cps = ctx.freshName("cps")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val out = ctx.freshName("out")
+      val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      val w = ctx.freshName("w")
+      s"""
+       |String $s0 = $c.toString();
+       |int[] $cps = new int[$s0.length()];
+       |int $n = 0;
+       |int $i = 0;
+       |while ($i < $s0.length()) {
+       |  int $cp = $s0.codePointAt($i);
+       |  $cps[$n++] = $cp;
+       |  $i += Character.charCount($cp);
+       |}
+       |long[] $out = ($n < $winLen) ? new long[0] : new long[$n - $winLen + 1];
+       |if ($n >= $winLen) {
+       |  long $h = 0L;
+       |  for (int $j = 0; $j < $winLen; $j++) { $h = $h * ${base}L + $cps[$j]; }
+       |  $out[0] = $h;
+       |  for (int $w = 1; $w <= $n - $winLen; $w++) {
+       |    $h = ($h - $cps[$w - 1] * ${pow}L) * ${base}L + $cps[$w + $winLen - 1];
+       |    $out[$w] = $h;
+       |  }
+       |}
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "rolling_hash_windows"
+}
+
 /** Sum of byte values of a binary payload — the checksum leg of the
   * multimodal decode stub (SURVEY.md §2 m01); codegen over BinaryType
   * shows the pattern any real byte-level feature extractor would use.

@@ -91,6 +91,11 @@ package object functions {
   def byte_sum(c: Column): Column =
     Shim.column(ByteSum(Shim.expression(c)))
 
+  /** All winLen-codepoint window hashes of a string, one rolling pass
+    * (prefilter-grade: mod 2^64, not oracle-replicable by design). */
+  def rolling_hash_windows(c: Column, winLen: Int, base: Long): Column =
+    Shim.column(RollingHashWindows(Shim.expression(c), winLen, base))
+
   /** Bounded top-k per group: array<struct<id,score>> best-first.
     * asc=true keeps smallest scores (distances), asc=false largest
     * (similarities). Partial-aggregates map-side (see CollectTopK).

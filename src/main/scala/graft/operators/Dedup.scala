@@ -377,6 +377,88 @@ object Dedup {
     labels.select(col("src").as("doc_id"), col("comp").as("cluster_id"))
   }
 
+  /** t13: character-level EXACT-substring decontamination (the GPT-3
+    * appendix-C rule: an eval example leaks if any `winLen`-char
+    * substring of it appears verbatim in a training document) — the
+    * char-granularity twin of [[crossOverlap]]'s word n-grams, needed
+    * because token-level checks miss matches across whitespace/
+    * punctuation drift while raw characters don't.
+    *
+    * corpus: (doc_id, text); evalDocs: (eval_id, text). Returns
+    * (doc_id, eval_id, n_windows) = distinct winLen-char eval windows
+    * appearing verbatim anywhere in the corpus doc.
+    *
+    * Shape at 100 TB: the eval side is bounded (a benchmark suite),
+    * so its distinct window set broadcasts; the corpus side computes
+    * per-position rolling hashes SCAN-LOCALLY (rolling_hash_windows —
+    * 8 bytes per position, never a winLen-char substring copy) and
+    * only candidate hits — rare by construction — rejoin the corpus
+    * text on doc_id for EXACT substring verification, so the hash is
+    * a pure prefilter and its width affects candidate volume, never
+    * the result.
+    */
+  def exactSubstringOverlap(corpus: DataFrame, evalDocs: DataFrame,
+      winLen: Int): DataFrame = {
+    val b = 1000003L
+    val evalW = evalDocs
+      .select(col("eval_id"), col("text"),
+        posexplode(rolling_hash_windows(col("text"), winLen, b)))
+      .select(col("eval_id"), col("col").as("h"),
+        col("text").substr(col("pos") + 1, lit(winLen)).as("w"))
+      .distinct()
+    val ch = corpus
+      .select(col("doc_id"),
+        posexplode(rolling_hash_windows(col("text"), winLen, b)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    ch.join(broadcast(evalW), "h")
+      .join(corpus.select(col("doc_id"), col("text")), "doc_id")
+      .filter(col("text").substr(col("pos") + 1, lit(winLen)) === col("w"))
+      .groupBy("doc_id", "eval_id")
+      .agg(countDistinct(col("w")).as("n_windows"))
+  }
+
+  /** d09: SEGMENT-level boilerplate dedup — the within-document leg
+    * of production curation (C4 drops any line occurring ≥ 3 times in
+    * the corpus; CCNet/RefinedWeb dedup at paragraph granularity).
+    * Documents are cut into non-overlapping `segTokens`-token
+    * segments scan-locally; a segment whose exact text occurs at
+    * least `minOcc` times corpus-wide is boilerplate and is stripped.
+    * Returns per doc: segment counts and the md5 of the kept segments
+    * rejoined in order — the cleaned document's identity.
+    *
+    * Shape at 100 TB: segmenting is scan-local (one `transform` over
+    * the token array, no shuffle); the occurrence count is ONE
+    * shuffle on the segment text; the boilerplate SET (count ≥
+    * minOcc) is a vanishing fraction of the corpus — frequent strings
+    * are by definition few distinct values — so it broadcasts and the
+    * flagging join is map-side; the rebuild agg shuffles doc-keyed
+    * rows once. Nothing is ever quadratic and no full text travels
+    * except doc-keyed segments.
+    */
+  def segmentBoilerplate(docs: DataFrame, segTokens: Int = 3,
+      minOcc: Long = 3L): DataFrame = {
+    val seg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= segTokens)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(t) div $segTokens - 1),
+           |  i -> concat_ws(' ', slice(t, i * $segTokens + 1, $segTokens)))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("seg"))
+    val bp = seg.groupBy("seg").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minOcc)
+      .select(col("seg"), lit(true).as("bp"))
+    seg.join(broadcast(bp), Seq("seg"), "left")
+      .withColumn("bp", coalesce(col("bp"), lit(false)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("bp"), 1L).otherwise(0L)).as("n_boilerplate"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(!col("bp"),
+            struct(col("idx"), col("seg"))))),
+          s => s.getField("seg")), " ")).as("kept_hash"))
+  }
+
   def embeddingNearDups(emb: DataFrame, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       blockRows: Int = 8192): DataFrame = {

@@ -151,6 +151,75 @@ object KnnSearch {
         col("col.id").as("neighbor_id"),
         col("col.score").as("score"))
 
+  /** Paginated search via DISTANCE CONTINUATION — the batch shape of
+    * the reference ecosystem's search_iterator / offset+limit API
+    * (Milvus search pagination; the reference harness pages ground
+    * truth the same way, datasets.py write_output's top-100 slices).
+    *
+    * Page p+1 re-scans the base keeping only pairs strictly AFTER
+    * page p's per-query boundary in the total order (score, id) —
+    * exactly how a production iterator resumes without recomputing or
+    * buffering the first offset rows. The naive alternative (top
+    * (offset+limit) then drop offset) grows the per-partition heap
+    * linearly with page depth; the continuation keeps every page's
+    * heap at `pageSize` regardless of how deep the iterator walks,
+    * which is what makes deep pagination viable over an unbounded
+    * base. Each page is Q x pageSize rows, materialised (tiny) so its
+    * boundary feeds the next page without re-running the scan chain.
+    *
+    * A query whose page came back short is exhausted: it has no
+    * rank == pageSize boundary row, so the inner join drops it from
+    * every later page — the iterator's natural end-of-stream.
+    *
+    * Returns (query_id, page, rank, neighbor_id, score) with `rank`
+    * GLOBAL across pages; a correct iterator reproduces the one-shot
+    * top-(nPages x pageSize) ranking exactly (the oracle gate — any
+    * row dropped or duplicated at a page boundary breaks it).
+    */
+  def searchIterator(
+      base: DataFrame,
+      queries: DataFrame,
+      pageSize: Int,
+      nPages: Int,
+      metric: VecMetric): DataFrame = {
+    var boundary: Option[DataFrame] = None
+    val pages = (1 to nPages).map { p =>
+      val q = boundary match {
+        case None => queries
+        case Some(b) => queries.join(b, "query_id")
+      }
+      val joined = base.crossJoin(broadcast(q))
+      val cols = Seq(col("query_id"),
+        metric.score(col("qvec"), col("vec")).as("score"), col("id")) ++
+        (if (boundary.isDefined) Seq(col("b_score"), col("b_id")) else Nil)
+      val scored = joined.select(cols: _*)
+      // keep only pairs strictly after the boundary in the ranking's
+      // total order: (score asc|desc, id asc) — the same order
+      // CollectTopK ranks by, so pages tile the global ranking
+      val kept = boundary match {
+        case None => scored
+        case Some(_) =>
+          val after =
+            if (metric.asc) col("score") > col("b_score")
+            else col("score") < col("b_score")
+          scored.filter(after ||
+            (col("score") === col("b_score") && col("id") > col("b_id")))
+      }
+      val page =
+        topKOf(kept.select("query_id", "score", "id"), pageSize, metric.asc)
+          .withColumn("page", lit(p))
+          .localCheckpoint(true) // Q x pageSize rows; boundary feeds page p+1
+      boundary = Some(page.filter(col("rank") === pageSize)
+        .select(col("query_id"), col("score").as("b_score"),
+          col("neighbor_id").as("b_id")))
+      page
+    }
+    pages.reduce(_ unionByName _)
+      .select(col("query_id"), col("page"),
+        ((col("page") - 1) * pageSize + col("rank")).as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+
   /** Range query: every base row within `radius` of each query
     * (ascending metrics) — the ε-neighborhood variant.
     */

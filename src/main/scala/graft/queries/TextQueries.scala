@@ -114,6 +114,58 @@ object TextQueries {
       .orderBy("cluster_id")
   }
 
+  val SegTokens = 3
+  val SegMinOcc = 3L
+
+  /** d09: segment-level boilerplate dedup (C4's "discard any line
+    * occurring ≥ 3 times in the corpus", at [[SegTokens]]-token
+    * segment granularity since this corpus has no newlines) — the
+    * WITHIN-document dedup leg the doc-level d-suite doesn't cover.
+    * Output is per-doc counts + the md5 identity of the cleaned text
+    * (kept segments rejoined in order), so a wrong flag or a
+    * reordered rebuild hash-mismatches.
+    */
+  def d09(s: SparkSession, dir: String): DataFrame =
+    Dedup.segmentBoilerplate(Tables.documents(s, dir), SegTokens, SegMinOcc)
+      .orderBy("doc_id")
+
+  val SubstrWinLen = 50
+  val PlantPos = 11
+  val PlantLen = 80
+
+  /** t13: character-level exact-substring decontamination (GPT-3
+    * appendix C: 50-char verbatim overlap with an eval example) —
+    * t08's char-granularity sibling; token n-grams miss matches
+    * across whitespace drift, raw characters don't. The corpus draws
+    * from a 25-word vocabulary, so ~10-consecutive-word (50-char)
+    * natural overlaps don't exist — the gate PLANTS contamination
+    * (t07's device): every corpus doc ≡ 3 (mod 7) appends an
+    * [[PlantLen]]-char slice of a deterministically-chosen eval doc,
+    * and the detector must recover exactly those (doc, eval) pairs
+    * with exactly the planted windows' counts. Detection = scan-local
+    * rolling-hash prefilter + exact substring verify in-join
+    * (Dedup.exactSubstringOverlap); the oracle is pure substring
+    * containment, independent of the hash.
+    */
+  def t13(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val plantSrc = evalDocs
+      .select(col("eval_id").as("p_eval"), col("text").as("p_text"))
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      .withColumn("p_eval", when(col("doc_id") % 7 === 3,
+        (col("doc_id") % 10) * 50))
+      .join(broadcast(plantSrc), Seq("p_eval"), "left")
+      .select(col("doc_id"),
+        when(col("p_text").isNotNull,
+          concat(col("text"), lit(" "),
+            substring(col("p_text"), PlantPos, PlantLen)))
+          .otherwise(col("text")).as("text"))
+    Dedup.exactSubstringOverlap(corpus, evalDocs, SubstrWinLen)
+      .orderBy("doc_id", "eval_id")
+  }
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25NQ = 5
@@ -349,6 +401,8 @@ object TextQueries {
     "d08_dedup_embedding_lsh" -> (d08 _),
     "d06_dedup_clusters" -> (d06 _),
     "d07_dedup_survivors" -> (d07 _),
+    "d09_segment_dedup" -> (d09 _),
+    "t13_exact_substring" -> (t13 _),
     "t01_quality_score" -> (t01 _),
     "t02_token_count" -> (t02 _),
     "t03_lang_id" -> (t03 _),
@@ -626,6 +680,48 @@ object TextQueries {
          |           ORDER BY qual.quality DESC, qual.doc_id DESC) AS rn
          |  FROM cl JOIN qual ON qual.doc_id = cl.doc_id)
          |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "d09_segment_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sg0 AS (SELECT doc_id, t,
+         |          unnest(range(0, len(t) // $SegTokens)) AS idx
+         |        FROM d WHERE len(t) >= $SegTokens),
+         |sg AS (SELECT doc_id, idx,
+         |         ${(0 until SegTokens).map(j =>
+                      s"t[CAST($SegTokens * idx + ${j + 1} AS INT)]")
+                      .mkString(" || ' ' || ")} AS seg
+         |       FROM sg0),
+         |bp AS (SELECT seg FROM sg GROUP BY seg
+         |       HAVING count(*) >= $SegMinOcc),
+         |f AS (SELECT doc_id, idx, seg,
+         |        seg IN (SELECT seg FROM bp) AS is_bp
+         |      FROM sg)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_segments,
+         |       CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_boilerplate,
+         |       md5(coalesce(string_agg(seg, ' ' ORDER BY idx)
+         |             FILTER (WHERE NOT is_bp), '')) AS kept_hash
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t13_exact_substring" ->
+      s"""WITH ev AS (SELECT doc_id AS eval_id, text FROM documents
+         |            WHERE doc_id % 50 = 0),
+         |c0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+         |cp AS (SELECT c0.doc_id,
+         |         CASE WHEN c0.doc_id % 7 = 3 AND ev.text IS NOT NULL
+         |              THEN c0.text || ' ' ||
+         |                   substr(ev.text, $PlantPos, $PlantLen)
+         |              ELSE c0.text END AS text
+         |       FROM c0 LEFT JOIN ev
+         |         ON ev.eval_id = (c0.doc_id % 10) * 50),
+         |wp AS (SELECT eval_id, text,
+         |         unnest(range(1, len(text) - ${SubstrWinLen - 2})) AS i
+         |       FROM ev),
+         |w AS (SELECT DISTINCT eval_id, substr(text, i, $SubstrWinLen) AS w
+         |      FROM wp)
+         |SELECT cp.doc_id, w.eval_id,
+         |       CAST(count(DISTINCT w.w) AS BIGINT) AS n_windows
+         |FROM cp JOIN w ON contains(cp.text, w.w)
+         |GROUP BY 1, 2 ORDER BY doc_id, eval_id""".stripMargin,
     "t02_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

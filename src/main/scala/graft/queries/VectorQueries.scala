@@ -137,6 +137,28 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  val PageSize = 5
+  val NPages = 3
+
+  /** q48: search-iterator pagination (the Milvus search_iterator /
+    * offset+limit API family) — [[NPages]] pages of [[PageSize]]
+    * fetched by DISTANCE CONTINUATION: each page's (score, id)
+    * boundary seeds the next page's scan filter, so no page ever
+    * recomputes or buffers the rows before its offset and the
+    * per-partition heap stays [[PageSize]] at any depth (see
+    * KnnSearch.searchIterator). The oracle is the ONE-SHOT global
+    * ranking sliced into pages — a row dropped or duplicated at any
+    * page boundary hash-mismatches.
+    */
+  def searchIterator(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    KnnSearch.searchIterator(base, queries, PageSize, NPages,
+      VecMetric.Euclidean)
+      .select(col("query_id"), col("page").cast("long").as("page"),
+        col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   private def mvParts(vecCol: String, n: Int = 4, dim: Int = 16): Seq[String] =
     (0 until n).map(i => s"slice($vecCol, ${i * dim + 1}, $dim)")
 
@@ -293,7 +315,8 @@ object VectorQueries {
     "q10_batch_query" -> (batchQuery _),
     "q11_gt_top100" -> (gtTop100 _),
     "q13_big_query" -> (bigQuery _),
-    "q47_grouped_search" -> (groupedSearch _)
+    "q47_grouped_search" -> (groupedSearch _),
+    "q48_search_iterator" -> (searchIterator _)
   )
 
   /** cosine pinned to our exact formula (dot / sqrt(na*nb)) so fused
@@ -452,6 +475,18 @@ object VectorQueries {
          |                            ORDER BY list_distance(q.qv, b.v), b.id) AS rank
          |  FROM q CROSS JOIN b)
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "q48_search_iterator" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE $qPred),
+         |     b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |           FROM embeddings WHERE $bPred)
+         |SELECT query_id, (rank - 1) // $PageSize + 1 AS page, rank, neighbor_id
+         |FROM (
+         |  SELECT q.query_id, b.id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |                            ORDER BY list_distance(q.qv, b.v), b.id) AS rank
+         |  FROM q CROSS JOIN b)
+         |WHERE rank <= ${PageSize * NPages} ORDER BY query_id, rank""".stripMargin,
     "q47_grouped_search" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
          |           FROM embeddings WHERE $qPred),

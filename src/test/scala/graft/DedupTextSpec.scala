@@ -338,3 +338,64 @@ class DedupTextSpec extends AnyFunSuite {
     assert(perDoc.values.sum >= docs.count())
   }
 }
+
+class SegmentDedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("d09 flags corpus-frequent segments and rebuilds cleaned text") {
+    import spark.implicits._
+    // segment "a b c" occurs 3x corpus-wide (docs 1,2,3) => boilerplate;
+    // "x y z" occurs twice => kept; doc 4's "r r r" repeats 3x WITHIN
+    // one doc => boilerplate too (C4 counts occurrences, not documents)
+    val docs = Seq(
+      (1L, "a b c x y z"),
+      (2L, "a b c p q r"),
+      (3L, "u v w a b c extra"), // 7 tokens -> 2 segments, trailing token dropped
+      (4L, "r r r r r r r r r")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentBoilerplate(docs, segTokens = 3, minOcc = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5s(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L) == ((2L, 1L, md5s("x y z"))))
+    assert(out(2L) == ((2L, 1L, md5s("p q r"))))
+    assert(out(3L) == ((2L, 1L, md5s("u v w"))))
+    assert(out(4L) == ((3L, 3L, md5s(""))))
+  }
+}
+
+class ExactSubstringSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("t13 finds planted char-level overlaps with exact window counts") {
+    import spark.implicits._
+    val evalText = ('a' to 'z').mkString(" ") // 51 chars
+    // doc 10 embeds a 60-char window-rich overlap? eval is 51 chars ->
+    // windows = 2 (positions 1..2); doc 10 contains the FULL eval text
+    // so both windows match; doc 11 shares only 49 chars -> no match
+    val corpus = Seq(
+      (10L, s"prefix $evalText suffix"),
+      (11L, "prefix " + evalText.substring(0, 49)),
+      (12L, "unrelated text entirely without overlap at all....")
+    ).toDF("doc_id", "text")
+    val ev = Seq((50L, evalText)).toDF("eval_id", "text")
+    val out = Dedup.exactSubstringOverlap(corpus, ev, winLen = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, 50L, 2L)))
+  }
+
+  test("rolling_hash_windows equals per-window refold hashes") {
+    import spark.implicits._
+    val df = Seq(("abcdefghij", 0), ("abc", 1), ("", 2)).toDF("text", "i")
+    val rolled = df.select(col("i"),
+      rolling_hash_windows(col("text"), 4, 1000003L).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    def fold(s: String): Long =
+      s.foldLeft(0L)((h, c) => h * 1000003L + c.toInt)
+    val expect0 = (0 to 6).map(i => fold("abcdefghij".substring(i, i + 4)))
+    assert(rolled(0) == expect0)
+    assert(rolled(1).isEmpty && rolled(2).isEmpty)
+  }
+}

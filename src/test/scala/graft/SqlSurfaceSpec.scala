@@ -39,6 +39,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getLong(0) == 2L)
     assert(row.getLong(1) ==
       "abc".foldLeft(0L)((h, ch) => (h * 31 + ch.toInt) % 1000000007L))
+    val rh = spark.sql(
+      "SELECT rolling_hash_windows('abcd', 3, 131) AS h").head()
+      .getSeq[Long](0)
+    def fold(s: String) = s.foldLeft(0L)((h, c) => h * 131L + c.toInt)
+    assert(rh == Seq(fold("abc"), fold("bcd")))
     // non-literal params are an analysis-time error, not a runtime NPE
     val err = intercept[Exception] {
       spark.sql("SELECT poly_hash('a', vec_id, 7) FROM range(1)").collect()

@@ -206,3 +206,42 @@ class VectorSuiteSpec extends AnyFunSuite {
     }
   }
 }
+
+class SearchIteratorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q48 iterator pages tile the one-shot global ranking exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(queries.Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = emb.filter(queries.Split.isQuery(col("vec_id"), 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val paged = KnnSearch
+      .searchIterator(base, qs, pageSize = 5, nPages = 3, VecMetric.Euclidean)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val oneShot = KnnSearch.bruteForce(base, qs, 15, VecMetric.Euclidean)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(paged.toSeq == oneShot.toSeq,
+      "continuation pages must reproduce the one-shot top-15 verbatim")
+  }
+
+  test("q48 iterator exhausts naturally after a short page") {
+    import spark.implicits._
+    // 7-row base, pageSize 5: page 1 full, page 2 short (2 rows, so
+    // no rank==5 boundary), page 3 empty — the iterator's end-of-stream
+    val base = (1 to 7).map(i => (i.toLong, Array(i.toFloat)))
+      .toDF("id", "vec")
+    val qs = Seq((100L, Array(0.0f))).toDF("query_id", "qvec")
+    val out = KnnSearch
+      .searchIterator(base, qs, pageSize = 5, nPages = 3, VecMetric.Euclidean)
+      .select("page", "rank", "neighbor_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._2)
+    assert(out.map(_._3).toSeq == (1L to 7L))
+    assert(out.count(_._1 == 1) == 5 && out.count(_._1 == 2) == 2)
+  }
+}
