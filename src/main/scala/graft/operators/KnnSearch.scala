@@ -181,34 +181,39 @@ object KnnSearch {
       queries: DataFrame,
       pageSize: Int,
       nPages: Int,
-      metric: VecMetric): DataFrame = {
+      metric: VecMetric): DataFrame =
+    iteratorPages(
+      base.crossJoin(broadcast(queries)).select(col("query_id"),
+        metric.score(col("qvec"), col("vec")).as("score"), col("id")),
+      pageSize, nPages, metric.asc)
+
+  /** The continuation loop behind [[searchIterator]], reusable over
+    * ANY (query_id, score, id) candidate producer (the IVF-served
+    * path feeds it probed-cell scans): each page keeps only rows
+    * strictly after the previous page's per-query (score, id)
+    * boundary in the ranking's total order — (score asc|desc, id
+    * asc), the same order CollectTopK ranks by — so pages tile the
+    * producer's global ranking. The boundary join is broadcast (Q
+    * rows) and the filter runs map-side with the scan.
+    */
+  def iteratorPages(scored: => DataFrame, pageSize: Int, nPages: Int,
+      asc: Boolean): DataFrame = {
     var boundary: Option[DataFrame] = None
     val pages = (1 to nPages).map { p =>
-      val q = boundary match {
-        case None => queries
-        case Some(b) => queries.join(b, "query_id")
-      }
-      val joined = base.crossJoin(broadcast(q))
-      val cols = Seq(col("query_id"),
-        metric.score(col("qvec"), col("vec")).as("score"), col("id")) ++
-        (if (boundary.isDefined) Seq(col("b_score"), col("b_id")) else Nil)
-      val scored = joined.select(cols: _*)
-      // keep only pairs strictly after the boundary in the ranking's
-      // total order: (score asc|desc, id asc) — the same order
-      // CollectTopK ranks by, so pages tile the global ranking
       val kept = boundary match {
         case None => scored
-        case Some(_) =>
+        case Some(b) =>
           val after =
-            if (metric.asc) col("score") > col("b_score")
+            if (asc) col("score") > col("b_score")
             else col("score") < col("b_score")
-          scored.filter(after ||
-            (col("score") === col("b_score") && col("id") > col("b_id")))
+          scored.join(broadcast(b), "query_id")
+            .filter(after ||
+              (col("score") === col("b_score") && col("id") > col("b_id")))
+            .select("query_id", "score", "id")
       }
-      val page =
-        topKOf(kept.select("query_id", "score", "id"), pageSize, metric.asc)
-          .withColumn("page", lit(p))
-          .localCheckpoint(true) // Q x pageSize rows; boundary feeds page p+1
+      val page = topKOf(kept, pageSize, asc)
+        .withColumn("page", lit(p))
+        .localCheckpoint(true) // Q x pageSize rows; boundary feeds page p+1
       boundary = Some(page.filter(col("rank") === pageSize)
         .select(col("query_id"), col("score").as("b_score"),
           col("neighbor_id").as("b_id")))

@@ -188,6 +188,29 @@ class VectorCollection(
     GroupedSearch.championsOf(scored, g)
   }
 
+  /** Paginated search over the collection (q48's operator served
+    * from the IVF index — the Milvus search_iterator API works over
+    * an index, not a full scan): distance-continuation pages over the
+    * probed-cell candidate set. The probe set is FIXED across pages
+    * (probedQueries is deterministic), so pages tile the probed-cell
+    * ranking exactly — at nprobe == nlist that's the full-scan
+    * iterator bit-for-bit (the spec gate); at nprobe < nlist recall
+    * is the IVF contract, unchanged by pagination depth. Runs on the
+    * exact vectors inside probed cells for every quantization mode:
+    * a page boundary is a total-order (score, id) cut, and ADC scores
+    * are not stable under re-rank across page boundaries.
+    */
+  def pagedQuery(queries: DataFrame, pageSize: Int,
+      nPages: Int): DataFrame = {
+    requireIndex()
+    val probed = IvfIndex.probedQueries(queries, cents, nprobe)
+    KnnSearch.iteratorPages(
+      assigned.join(broadcast(probed), "cluster")
+        .select(col("query_id"),
+          metric.score(col("qvec"), col("vec")).as("score"), col("id")),
+      pageSize, nPages, metric.asc)
+  }
+
   private def applyMutation(upserts: DataFrame, deletes: DataFrame): Unit = {
     data = Mutations.applyBatch(data, upserts, deletes, "id")
       .localCheckpoint(true)

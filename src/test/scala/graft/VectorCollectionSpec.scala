@@ -151,3 +151,25 @@ class VectorCollectionSpec extends AnyFunSuite {
     }
   }
 }
+
+class PagedQuerySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("pagedQuery at nprobe == nlist equals the full-scan iterator") {
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val coll = new VectorCollection(spark, base, nlist = 8, nprobe = 8)
+    coll.createIndex()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "page", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getLong(3))).sortBy(t => (t._1, t._3)).toSeq
+    val served = rows(coll.pagedQuery(queries, pageSize = 4, nPages = 3))
+    val exact = rows(KnnSearch.searchIterator(base, queries,
+      pageSize = 4, nPages = 3, VecMetric.Euclidean))
+    assert(served == exact,
+      "probing every cell must reproduce the full-scan pages verbatim")
+  }
+}
