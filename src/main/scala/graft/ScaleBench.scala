@@ -190,7 +190,7 @@ object ScaleBench {
         "ivf_search_100q", "blocked_pairs_20k", "blocked_batch_knn_20k",
         "packed_hamming_100q", "rp_project", "rp_two_stage_100q",
         "pq_encode", "pq_aniso_encode", "pq_adc_100q",
-        "grouped_search_100q")
+        "grouped_search_100q", "semdedup")
         .exists(keep)) {
     val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -209,6 +209,28 @@ object ScaleBench {
       val grouped = corpus.withColumn("grp", pmod(col("id"), lit(1000L)))
       graft.operators.GroupedSearch
         .search(grouped, queries, 10, VecMetric.Euclidean, "grp").count()
+    }
+
+    // d10 at scale: SemDeDup over the generated blobs + every 100th
+    // id's 0.5x twin. Total cost = assignment n x nlist + in-cluster
+    // pairs n x (n/nlist); nlist = sqrt(n) balances the two at
+    // n^1.5 — the method's intrinsic curve (the paper pays the same
+    // shape on GPUs); the knob trades the two scans, it cannot beat
+    // their product.
+    timed("semdedup") {
+      val twins = corpus.filter(col("id") % 100 === 0)
+        .select((col("id") + n).as("id"),
+          transform(col("vec"), x => x * lit(0.5f)).as("vec"))
+      val aug = corpus.unionByName(twins)
+      val nlist = math.max(64, math.sqrt(n.toDouble).toInt)
+      val cents = graft.operators.IvfIndex
+        .sampleCentroids(aug, "vec", nlist)
+      // tau above the blobs' natural in-cluster cosine (~0.97 for
+      // shared-center gaussians): the planted cos-1.0 twins are the
+      // duplicate set; the measured cost is the real one regardless —
+      // every in-cell pair is scored before tau filters it
+      graft.operators.Dedup
+        .semDedup(aug, cents, 0.999, idCol = "id", vecCol = "vec").count()
     }
 
     // e04/e05 shape at scale: project once (scan-local), candidate-gen

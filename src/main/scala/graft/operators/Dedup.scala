@@ -459,6 +459,69 @@ object Dedup {
           s => s.getField("seg")), " ")).as("kept_hash"))
   }
 
+  /** d10: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * dedup via CLUSTER-bucketed embedding similarity: spherical
+    * k-means buckets (assignment by max cosine — scale-invariant, so
+    * a rescaled copy provably lands in its original's cluster),
+    * within-cluster cosine-≥-tau pair graph, connected components,
+    * and the paper's keep rule: from each duplicate group keep the
+    * member with the LOWEST cosine to its cluster centroid (the
+    * "outlier" — the paper's diversity-preserving choice), ties by
+    * id. The published method's bucket structure is the k-means
+    * cell — d08's LSH bands are the hash-bucket alternative.
+    *
+    * Returns (component, survivor_id, n_members) per duplicate group
+    * (component = min reachable id, like d06).
+    *
+    * Shape at 100 TB: centroids broadcast; assignment scan-local;
+    * the pair scan is an equi-join on cluster — in-cluster all-pairs
+    * is SemDeDup's own O(sum n_c^2) design, bounded by choosing
+    * nlist so cells stay task-sized (the paper uses 50k clusters for
+    * LAION); a skew-heavy cell can additionally take d05's blocked
+    * grid WITHIN the cell. Components converge in diameter rounds
+    * (dense near-dup groups: 2-3).
+    */
+  def semDedup(emb: DataFrame, cents: Array[Array[Double]], tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // assignment = broadcast centroid join + per-row argmax, not a
+    // centroid literal in the expression tree: nlist is a SCALE knob
+    // here (the paper uses 50k clusters — cells must stay task-sized
+    // for the pair scan), and a 50k-array literal would sink codegen.
+    // min(struct(-cos, cluster)) == (cos DESC, cluster ASC), the
+    // oracle's tie-break; the partial min collapses the n x nlist
+    // scored rows map-side, so the shuffle carries n rows.
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cluster", "cv")
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centsDf))
+      .select(col("id"), col("v"),
+        struct(negate(vec_cosine_sim(col("v"), col("cv"))).as("ncs"),
+          col("cluster")).as("w"))
+      .groupBy("id")
+      .agg(min(col("w")).as("w"), first(col("v")).as("v"))
+      .select(col("id"), col("v"), col("w.cluster").as("cluster"),
+        negate(col("w.ncs")).as("cent_sim"))
+      .localCheckpoint(true) // consumed 3x: both pair sides + keep rule
+    val a = assigned.select(col("cluster"), col("id").as("doc_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cluster"), col("id").as("doc_b"),
+      col("v").as("vb"))
+    val pairs = a.join(b, "cluster")
+      .filter(col("doc_a") < col("doc_b") &&
+        vec_cosine_sim(col("va"), col("vb")) >= tau)
+      .select("doc_a", "doc_b")
+    val comps = connectedComponents(pairs)
+      .select(col("doc_id").as("id"), col("cluster_id").as("component"))
+    comps.join(assigned.select(col("id"), col("cent_sim")), "id")
+      .groupBy("component")
+      .agg(min(struct(col("cent_sim"), col("id"))).as("w"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), col("w.id").as("survivor_id"),
+        col("n_members"))
+  }
+
   def embeddingNearDups(emb: DataFrame, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       blockRows: Int = 8192): DataFrame = {

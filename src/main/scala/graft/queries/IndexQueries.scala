@@ -696,25 +696,44 @@ object IndexQueries {
     val rhp = cached(dir, "rhp") {
       LshRhp.trainFromData(base, "vec", NTables, NBits)
     }
+    val pqm = cached(dir, "pq-sample") {
+      PqIndex.sampleModel(base, "vec", M, KStar)
+    }
     val denom = base.agg(count(lit(1)).as("n_train"))
-    val exL2 = KnnSearch.bruteForce(base, queries, K, VecMetric.Euclidean)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
-    val exCos = KnnSearch.bruteForce(base, queries, K, VecMetric.Cosine)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    // the five materialised frames below (three exact GTs + the two
+    // candidate fan-outs) are independent given the frozen models —
+    // race their jobs concurrently and Await in use order; each axis
+    // still computes exactly what it did sequentially
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val exL2F = Future(KnnSearch.bruteForce(base, queries, K,
+        VecMetric.Euclidean)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true))
+    val exCosF = Future(KnnSearch.bruteForce(base, queries, K,
+        VecMetric.Cosine)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true))
+    val exDotF = Future(KnnSearch.bruteForce(base, queries, K,
+        VecMetric.InnerProduct)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true))
 
     // IVF axis: one probed scan, both quantization levels
-    val assigned = IvfIndex.assign(base, "vec", cents)
-      .withColumn("codes", Sq8Index.encode(col("vec"), sq))
-    val prr = IvfIndex.probesRanked(queries, cents, SweepNprobes.max)
-      .join(queries, "query_id")
     val npLit = typedlit(SweepNprobes)
-    val ivfCand = assigned.join(broadcast(prr), "cluster")
-      .select(col("query_id"), col("id"),
-        graft.functions.vec_l2(col("qvec"), col("vec")).as("flat_score"),
-        graft.functions.sq8_l2(col("qvec"), col("codes"),
-          sq.mins, sq.scales).as("sq8_score"),
-        explode(filter(npLit, np => np >= col("rn"))).as("np"))
-      .localCheckpoint(true) // reused: scanned + two top-k legs
+    val ivfCandF = Future {
+      val assigned = IvfIndex.assign(base, "vec", cents)
+        .withColumn("codes", Sq8Index.encode(col("vec"), sq))
+      val prr = IvfIndex.probesRanked(queries, cents, SweepNprobes.max)
+        .join(queries, "query_id")
+      assigned.join(broadcast(prr), "cluster")
+        .select(col("query_id"), col("id"),
+          graft.functions.vec_l2(col("qvec"), col("vec")).as("flat_score"),
+          graft.functions.sq8_l2(col("qvec"), col("codes"),
+            sq.mins, sq.scales).as("sq8_score"),
+          explode(filter(npLit, np => np >= col("rn"))).as("np"))
+        .localCheckpoint(true) // reused: scanned + two top-k legs
+    }
+    val exL2 = Await.result(exL2F, Duration.Inf)
+    val ivfCand = Await.result(ivfCandF, Duration.Inf)
     val ivfScan = ivfCand.groupBy("np").agg(count(lit(1)).as("scanned"))
     def ivfHits(scoreCol: String) = ivfCand
       .groupBy("query_id", "np")
@@ -726,14 +745,18 @@ object IndexQueries {
       .groupBy("np").agg(count(lit(1)).as("hits"))
 
     // LSH axis: pairs keyed by their minimum colliding table
-    val minT = LshRhp.buckets(base, "id", "vec", rhp)
-      .join(broadcast(LshRhp.buckets(queries, "query_id", "qvec", rhp)),
-        Seq("table", "bucket"))
-      .groupBy("query_id", "id").agg(min("table").as("mt"))
     val ntLit = typedlit(SweepTables)
-    val lshCand = minT.select(col("query_id"), col("id"),
-        explode(filter(ntLit, t => t > col("mt"))).as("nt"))
-      .localCheckpoint(true)
+    val lshCandF = Future {
+      val minT = LshRhp.buckets(base, "id", "vec", rhp)
+        .join(broadcast(LshRhp.buckets(queries, "query_id", "qvec", rhp)),
+          Seq("table", "bucket"))
+        .groupBy("query_id", "id").agg(min("table").as("mt"))
+      minT.select(col("query_id"), col("id"),
+          explode(filter(ntLit, t => t > col("mt"))).as("nt"))
+        .localCheckpoint(true)
+    }
+    val exCos = Await.result(exCosF, Duration.Inf)
+    val lshCand = Await.result(lshCandF, Duration.Inf)
     val lshScan = lshCand.groupBy("nt").agg(count(lit(1)).as("scanned"))
     val lshHits = lshCand.join(base, "id").join(broadcast(queries), "query_id")
       .select(col("query_id"), col("nt"),
@@ -767,11 +790,7 @@ object IndexQueries {
     // where cost buys recall. ADC-only top-k against the exact-MIPS
     // truth: the codes' own quality is the object under test (a
     // rerank would mask the axis).
-    val pqm = cached(dir, "pq-sample") {
-      PqIndex.sampleModel(base, "vec", M, KStar)
-    }
-    val exDot = KnnSearch.bruteForce(base, queries, K, VecMetric.InnerProduct)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val exDot = Await.result(exDotF, Duration.Inf)
     val qTbl = queries.withColumn("tbl", PqIndex.dotTable(col("qvec"), pqm))
       .select("query_id", "tbl")
     val etaLegs = SweepEtas.map { eta =>

@@ -84,6 +84,30 @@ object TextQueries {
         transform(col("embedding"), x => x * lit(0.5f)).as("embedding")))
   }
 
+  val SemClusters = 16
+
+  /** d10: SemDeDup over the planted-duplicate corpus ([[d08]]'s
+    * augmentation: every DupMod-th embedding gets an exact
+    * 0.5x-scaled copy) — the published cluster-bucketed semantic
+    * dedup (Dedup.semDedup). Spherical assignment is scale-invariant,
+    * so every planted copy provably co-clusters with its original and
+    * the cosine-1.0 pair is always caught; [[CosTau]] additionally
+    * pulls in the corpus's natural same-cluster near-dup pairs, whose
+    * differing centroid similarities exercise the paper's
+    * keep-the-outlier rule (planted twins tie on cent_sim and fall to
+    * the id tie-break). Centroids are sample-init (first SemClusters
+    * ids — d08's planted ids are offset far above them, so augmented
+    * and original sampling agree), which is what makes the whole
+    * pipeline — assignment, pairs, components, keep rule —
+    * DuckDB-replicable.
+    */
+  def d10(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmentedEmbeddings(s, dir)
+    val cents = graft.operators.IvfIndex.sampleCentroids(
+      aug, "embedding", SemClusters, idCol = "vec_id")
+    Dedup.semDedup(aug, cents, CosTau).orderBy("component")
+  }
+
   /** d06: the pipeline step AFTER pair discovery — near-dup clusters
     * via connected components over d03's pair graph, cluster_id = the
     * canonical survivor (min reachable doc id).
@@ -297,12 +321,25 @@ object TextQueries {
   def q41(s: SparkSession, dir: String): DataFrame = {
     // each leg feeds BOTH the candidate union and the score join —
     // materialise the tiny (Q x k) rank lists once or the full
-    // BM25/cosine pipelines run twice in the fused plan
-    val bm = t06(s, dir).withColumnRenamed("rank", "r_bm")
-      .localCheckpoint(true)
-    val cs = EmbeddingQueries.embedSearch(s, dir)
+    // BM25/cosine pipelines run twice in the fused plan. The legs are
+    // independent, so they materialise CONCURRENTLY (two job groups
+    // sharing the scheduler) exactly as a hybrid server issues them;
+    // results are unchanged, the wall is max(leg) instead of sum.
+    // Both legs read the memoised termCounts pass, so it must exist
+    // before the race (DfCache memoises the plan, not a materialised
+    // table — two threads would otherwise each build one).
+    cachedDf(s, dir, "termCounts")(
+      graft.operators.EmbeddingGen.termCounts(Tables.documents(s, dir)))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val bmF = Future(t06(s, dir).withColumnRenamed("rank", "r_bm")
+      .localCheckpoint(true))
+    val csF = Future(EmbeddingQueries.embedSearch(s, dir)
       .withColumnRenamed("rank", "r_cs")
-      .localCheckpoint(true)
+      .localCheckpoint(true))
+    val bm = Await.result(bmF, Duration.Inf)
+    val cs = Await.result(csF, Duration.Inf)
     val ids = bm.select("query_id", "neighbor_id")
       .unionByName(cs.select("query_id", "neighbor_id")).distinct()
     val sc = ids
@@ -402,6 +439,7 @@ object TextQueries {
     "d06_dedup_clusters" -> (d06 _),
     "d07_dedup_survivors" -> (d07 _),
     "d09_segment_dedup" -> (d09 _),
+    "d10_semdedup" -> (d10 _),
     "t13_exact_substring" -> (t13 _),
     "t01_quality_score" -> (t01 _),
     "t02_token_count" -> (t02 _),
@@ -669,6 +707,49 @@ object TextQueries {
          |       sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)))
          |      >= $LshDedupTau
          |ORDER BY id_a, id_b""".stripMargin,
+    // d10: the full SemDeDup pipeline replicated — spherical
+    // assignment (cos DESC, cluster ASC == Spark's first-max),
+    // in-cluster pairs, recursive-CTE components, keep rule
+    // (cent_sim ASC, id ASC == Spark's struct-min)
+    "d10_semdedup" -> {
+      def cos(a: String, b: String) =
+        s"(list_inner_product($a, $b) / sqrt(list_inner_product($a, $a) * list_inner_product($b, $b)))"
+      s"""WITH RECURSIVE
+         |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e AS (SELECT vec_id, v FROM e0
+         |      UNION ALL
+         |      SELECT vec_id + $DupIdOffset, list_transform(v, x -> x * 0.5)
+         |      FROM e0 WHERE vec_id % $DupMod = 0),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         |             v AS cv
+         |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id
+         |            LIMIT $SemClusters)),
+         |asg AS (SELECT vec_id, v, cluster, cs AS cent_sim FROM (
+         |  SELECT e.vec_id, e.v, c.cluster, ${cos("e.v", "c.cv")} AS cs,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cos("e.v", "c.cv")} DESC, c.cluster) AS rn
+         |  FROM e CROSS JOIN c) WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |      FROM asg a JOIN asg b
+         |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |      WHERE ${cos("a.v", "b.v")} >= $CosTau),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         |reach AS (SELECT src, dst FROM und
+         |          UNION
+         |          SELECT r.src, u.dst FROM reach r JOIN und u
+         |            ON u.src = r.dst),
+         |comp AS (SELECT src AS vec_id, least(src, min(dst)) AS component
+         |         FROM reach GROUP BY src)
+         |SELECT component, survivor_id, n_members FROM (
+         |  SELECT comp.component, asg.vec_id AS survivor_id,
+         |         CAST(count(*) OVER (PARTITION BY comp.component)
+         |           AS BIGINT) AS n_members,
+         |         row_number() OVER (PARTITION BY comp.component
+         |           ORDER BY asg.cent_sim ASC, asg.vec_id ASC) AS rn
+         |  FROM comp JOIN asg ON asg.vec_id = comp.vec_id) WHERE rn = 1
+         |ORDER BY component""".stripMargin
+    },
     "t01_quality_score" -> t01Sql,
     "d07_dedup_survivors" ->
       s"""WITH cl AS (SELECT * FROM ($d06Sql)),

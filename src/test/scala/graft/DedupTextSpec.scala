@@ -399,3 +399,50 @@ class ExactSubstringSpec extends AnyFunSuite {
     assert(rolled(1).isEmpty && rolled(2).isEmpty)
   }
 }
+
+class SemDedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("d10 keep rule picks the low-centroid-similarity member") {
+    import spark.implicits._
+    // one cluster direction (1,0); a=(1,0) sits ON the centroid,
+    // b=(0.96,0.28) is 16.26deg off: cos(a,b)=0.96 >= tau groups them,
+    // and SemDeDup keeps b (the outlier), not a. c=(0,1) is its own
+    // cluster and appears in no pair (singletons are kept implicitly)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.96f, 0.28f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val out = operators.Dedup.semDedup(emb, cents, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 2L)),
+      "survivor must be the member FARTHEST from its centroid")
+  }
+
+  test("d10 spherical assignment co-clusters every scaled twin") {
+    val aug = {
+      val emb = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+      emb.unionByName(emb.filter(col("vec_id") % queries.TextQueries.DupMod === 0)
+        .select((col("vec_id") + queries.TextQueries.DupIdOffset).as("vec_id"),
+          transform(col("embedding"), x => x * lit(0.5f)).as("embedding")))
+    }
+    val out = queries.TextQueries.d10(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = aug.filter(col("vec_id") >= queries.TextQueries.DupIdOffset)
+      .count()
+    // every planted (orig, copy) pair is cosine-1.0 and MUST be in a
+    // component; twins tie on cent_sim so the id tie-break keeps the
+    // original (= the component id for a 2-member planted group)
+    val compIds = out.map(_._1).toSet
+    val twins = aug.filter(col("vec_id") % queries.TextQueries.DupMod === 0 &&
+      col("vec_id") < queries.TextQueries.DupIdOffset)
+      .select("vec_id").collect().map(_.getLong(0))
+    twins.foreach { id =>
+      assert(compIds.contains(id), s"planted pair of $id not grouped")
+    }
+    assert(planted.toInt == twins.length)
+  }
+}
