@@ -188,6 +188,26 @@ class VectorCollection(
     GroupedSearch.championsOf(scored, g)
   }
 
+  /** Range (ε-neighborhood) search over the collection — q05's
+    * operator served from the IVF index: every probed-cell member
+    * within `radius` of each query (ascending metrics). Same recall
+    * contract as [[batchQuery]]: exact within probed cells, nprobe ==
+    * nlist makes it the exact range search (spec gate). Runs on exact
+    * vectors under every quantization mode — a radius threshold on
+    * quantized scores has no calibrated meaning, the reference's
+    * range queries are exact-distance too.
+    */
+  def rangeQuery(queries: DataFrame, radius: Double): DataFrame = {
+    requireIndex()
+    require(metric.asc, "rangeQuery expects a distance (ascending) metric")
+    val probed = IvfIndex.probedQueries(queries, cents, nprobe)
+    assigned.join(broadcast(probed), "cluster")
+      .select(col("query_id"),
+        metric.score(col("qvec"), col("vec")).as("score"),
+        col("id").as("neighbor_id"))
+      .filter(col("score") <= radius)
+  }
+
   /** Paginated search over the collection (q48's operator served
     * from the IVF index — the Milvus search_iterator API works over
     * an index, not a full scan): distance-continuation pages over the

@@ -173,3 +173,23 @@ class PagedQuerySpec extends AnyFunSuite {
       "probing every cell must reproduce the full-scan pages verbatim")
   }
 }
+
+class RangeQuerySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("rangeQuery at nprobe == nlist equals the exact range search") {
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val coll = new VectorCollection(spark, base, nlist = 8, nprobe = 8)
+    coll.createIndex()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = rows(coll.rangeQuery(queries, radius = 1.25))
+    val exact = rows(KnnSearch.rangeSearch(base, queries, 1.25,
+      VecMetric.Euclidean))
+    assert(served == exact && served.nonEmpty)
+  }
+}
