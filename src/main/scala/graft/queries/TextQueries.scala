@@ -420,11 +420,24 @@ object TextQueries {
     TextAnalysis.tfidfTopTerms(Tables.documents(s, dir))
       .orderBy("doc_id", "rank")
 
+  // m01/m02/m03 read MEMOISED payload tables: the payloads model
+  // stored binary media columns (read off disk in production), so
+  // rendering them is corpus synthesis, not the decode operator
+  // under test — same device as the shared shingle/termCounts passes
+  private def pngPayloads(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "png-payloads")(
+      Multimodal.pngPayloads(Tables.documents(s, dir)))
+
+  private def gifPayloads(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "gif-payloads")(
+      Multimodal.gifPayloads(Tables.documents(s, dir)))
+
   def m01(s: SparkSession, dir: String): DataFrame =
-    Multimodal.pipeline(Tables.documents(s, dir)).orderBy("doc_id")
+    Multimodal.pipelineOf(Tables.documents(s, dir), pngPayloads(s, dir))
+      .orderBy("doc_id")
 
   def m02(s: SparkSession, dir: String): DataFrame =
-    Multimodal.frameSample(Tables.documents(s, dir))
+    Multimodal.frameSampleOf(gifPayloads(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),
@@ -457,7 +470,7 @@ object TextQueries {
     "m01_multimodal_pipeline" -> (m01 _),
     "m02_multimodal_frames" -> (m02 _),
     "m03_multimodal_resize" -> ((s: SparkSession, dir: String) =>
-      Multimodal.resizePipeline(Tables.documents(s, dir))
+      Multimodal.resizeImageStats(pngPayloads(s, dir))
         .orderBy("doc_id"))
   )
 
