@@ -227,6 +227,93 @@ object Multimodal {
     bos.toByteArray
   }
 
+  val SampleRate = 8000f
+
+  /** Samples in doc `docId`'s clip — ragged on purpose (400..799),
+    * like [[frameCount]]. */
+  def sampleCount(docId: Long): Int = (400 + docId % 400).toInt
+
+  // per-sample unsigned 8-bit amplitude — i*i keeps per-clip sums
+  // position-sensitive for the same reason as framePixel
+  private def audioSample(docId: Long, i: Int): Int =
+    ((docId * 31 + i.toLong * i + i * 7) % 256).toInt
+
+  /** Render doc `docId`'s audio payload: a REAL RIFF/WAVE file
+    * (8-bit unsigned PCM mono at [[SampleRate]], written by the JDK's
+    * javax.sound codec). 8-bit PCM stores each amplitude byte
+    * verbatim, so the encode is lossless and every decoded sample is
+    * the closed-form [[audioSample]] value — the audio twin of the
+    * PNG/GIF device, with a real container+codec on both ends.
+    */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = sampleCount(docId)
+    val pcm = new Array[Byte](n)
+    var i = 0
+    while (i < n) { pcm(i) = audioSample(docId, i).toByte; i += 1 }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      SampleRate, 8, 1, 1, SampleRate, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The audio stored-media view: (doc_id, payload) WAV files — same
+    * stored-column contract as [[pngPayloads]], memoised by callers.
+    */
+  def wavPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticWav(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** m04: REAL batched audio decode — the audio leg of the pipeline.
+    * javax.sound parses the RIFF container and yields the PCM frame
+    * stream; per clip we emit the format facts the decoder reports
+    * (sample count, rate, channels) and amplitude statistics
+    * (sum / peak over unsigned samples) — the feature-extraction
+    * batch shape a real DSP front-end (fbank/MFCC) would consume.
+    * Wrong container parse, wrong sample width or a byte-order slip
+    * all corrupt the sums and fail the arithmetic oracle.
+    */
+  def audioFeaturesOf(payloadDf: DataFrame): DataFrame = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val buf = new Array[Byte](4096)
+            var n = 0L; var sum = 0L; var peak = 0L
+            var read = ais.read(buf)
+            while (read > 0) {
+              var i = 0
+              while (i < read) {
+                val v = (buf(i) & 0xff).toLong
+                sum += v
+                if (v > peak) peak = v
+                i += 1
+              }
+              n += read
+              read = ais.read(buf)
+            }
+            (id, n, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+              sum, peak)
+          }
+        }
+      }.toDF("doc_id", "n_samples", "sample_rate", "channels",
+        "amp_sum", "amp_peak")
+  }
+
   /** m02: frame-sampling batch extraction — the video leg of the
     * pipeline, REAL decode. Payloads are range-partitioned (balanced
     * by key, no hot executors), then mapPartitions processes rows in

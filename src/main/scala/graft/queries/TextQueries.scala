@@ -432,6 +432,19 @@ object TextQueries {
     cachedDf(s, dir, "gif-payloads")(
       Multimodal.gifPayloads(Tables.documents(s, dir)))
 
+  private def wavPayloads(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "wav-payloads")(
+      Multimodal.wavPayloads(Tables.documents(s, dir)))
+
+  /** m04: the audio leg — real RIFF/WAVE payloads decoded with the
+    * JDK's javax.sound codec, per-clip format facts + amplitude
+    * statistics (Multimodal.audioFeaturesOf); 8-bit PCM is lossless
+    * so the oracle recomputes every statistic arithmetically from
+    * the closed-form sample formula.
+    */
+  def m04(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFeaturesOf(wavPayloads(s, dir)).orderBy("doc_id")
+
   def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipelineOf(Tables.documents(s, dir), pngPayloads(s, dir))
       .orderBy("doc_id")
@@ -469,6 +482,7 @@ object TextQueries {
     "t12_domain_mix" -> (t12 _),
     "m01_multimodal_pipeline" -> (m01 _),
     "m02_multimodal_frames" -> (m02 _),
+    "m04_audio_features" -> (m04 _),
     "m03_multimodal_resize" -> ((s: SparkSession, dir: String) =>
       Multimodal.resizeImageStats(pngPayloads(s, dir))
         .orderBy("doc_id"))
@@ -1000,6 +1014,22 @@ object TextQueries {
          |       ${chanSum(0)} AS r_sum,
          |       ${chanSum(1)} AS g_sum,
          |       ${chanSum(2)} AS b_sum
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // m04: the WAV container is lossless 8-bit PCM, so the real
+    // javax.sound decode must reproduce the closed-form per-sample
+    // arithmetic exactly (the audio twin of m01/m02's oracle device)
+    "m04_audio_features" -> {
+      val sampleExpr = "(doc_id * 31 + i * i + i * 7) % 256"
+      s"""SELECT doc_id,
+         |       CAST(400 + doc_id % 400 AS BIGINT) AS n_samples,
+         |       CAST(${graft.operators.Multimodal.SampleRate.toLong}
+         |         AS BIGINT) AS sample_rate,
+         |       CAST(1 AS BIGINT) AS channels,
+         |       CAST(list_sum(list_transform(range(0, 400 + doc_id % 400),
+         |         i -> $sampleExpr)) AS BIGINT) AS amp_sum,
+         |       CAST(list_max(list_transform(range(0, 400 + doc_id % 400),
+         |         i -> $sampleExpr)) AS BIGINT) AS amp_peak
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "m03_multimodal_resize" -> {

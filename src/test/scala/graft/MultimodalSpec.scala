@@ -96,3 +96,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 }
+
+class AudioSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions.col
+  import graft.operators.Multimodal
+
+  test("syntheticWav is a real RIFF/WAVE file the JDK codec reopens") {
+    val bytes = Multimodal.syntheticWav(7L)
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ais.getFormat.getSampleSizeInBits == 8)
+    assert(ais.getFormat.getChannels == 1)
+  }
+
+  test("m04 decoded amplitude stats equal the closed-form formula") {
+    def formula(id: Long, i: Int): Long = (id * 31 + i.toLong * i + i * 7) % 256
+    val out = graft.queries.TextQueries.m04(spark, sf)
+      .filter(col("doc_id") < 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, sum, peak) =>
+      val exp = (0 until n.toInt).map(formula(id, _))
+      assert(n == 400 + id % 400)
+      assert(sum == exp.sum, s"doc $id amp_sum")
+      assert(peak == exp.max, s"doc $id amp_peak")
+    }
+  }
+}
