@@ -207,7 +207,10 @@ object RollingHashWindows {
           s"rolling_hash_windows $name must be integral, got: $other")
       }
     }
-    RollingHashWindows(es.head, lit(es(1), "winLen").toInt, lit(es(2), "base"))
+    val win = lit(es(1), "winLen")
+    require(win >= 1 && win <= Int.MaxValue,
+      s"rolling_hash_windows winLen out of range: $win")
+    RollingHashWindows(es.head, win.toInt, lit(es(2), "base"))
   }
 }
 

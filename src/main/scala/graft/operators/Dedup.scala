@@ -410,8 +410,18 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(rolling_hash_windows(col("text"), winLen, b)))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
-    ch.join(broadcast(evalW), "h")
-      .join(corpus.select(col("doc_id"), col("text")), "doc_id")
+    val cand = ch.join(broadcast(evalW), "h")
+      .localCheckpoint(true) // rare by construction; sized below
+    // verification needs the candidate docs' text only — semi-filter
+    // the corpus scan by the (tiny, materialised) candidate id set so
+    // the text fetch is map-side and proportional to candidates, not
+    // a full-corpus text shuffle. The candidate set is bounded by
+    // docs overlapping the bounded eval suite, the same contract that
+    // lets evalW broadcast.
+    val candDocs = cand.select("doc_id").distinct()
+    val candText = corpus.join(broadcast(candDocs), Seq("doc_id"),
+      "left_semi").select(col("doc_id"), col("text"))
+    cand.join(candText, "doc_id")
       .filter(col("text").substr(col("pos") + 1, lit(winLen)) === col("w"))
       .groupBy("doc_id", "eval_id")
       .agg(countDistinct(col("w")).as("n_windows"))
@@ -427,13 +437,18 @@ object Dedup {
     * rejoined in order — the cleaned document's identity.
     *
     * Shape at 100 TB: segmenting is scan-local (one `transform` over
-    * the token array, no shuffle); the occurrence count is ONE
-    * shuffle on the segment text; the boilerplate SET (count ≥
-    * minOcc) is a vanishing fraction of the corpus — frequent strings
-    * are by definition few distinct values — so it broadcasts and the
-    * flagging join is map-side; the rebuild agg shuffles doc-keyed
-    * rows once. Nothing is ever quadratic and no full text travels
-    * except doc-keyed segments.
+    * the token array, no shuffle); the occurrence flag is a
+    * whole-partition count window over the segment text — ONE shuffle
+    * on seg, no join, and crucially no broadcast of the boilerplate
+    * set (which is NOT guaranteed small: an adversarial or
+    * near-duplicated corpus — ScaleBench's planted corpus at
+    * minOcc=2 — makes it O(corpus) distinct strings); the rebuild agg
+    * shuffles doc-keyed rows once. A pathologically hot segment
+    * concentrates its occurrences in one window partition — the same
+    * skew the count shuffle has under any formulation; AQE's skew
+    * handling and the segment's bounded byte size keep it a task-size
+    * issue, not a correctness one. Nothing is ever quadratic and no
+    * full text travels except doc-keyed segments.
     */
   def segmentBoilerplate(docs: DataFrame, segTokens: Int = 3,
       minOcc: Long = 3L): DataFrame = {
@@ -445,11 +460,8 @@ object Dedup {
            |  i -> concat_ws(' ', slice(t, i * $segTokens + 1, $segTokens)))"""
           .stripMargin)))
       .select(col("doc_id"), col("pos").as("idx"), col("col").as("seg"))
-    val bp = seg.groupBy("seg").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minOcc)
-      .select(col("seg"), lit(true).as("bp"))
-    seg.join(broadcast(bp), Seq("seg"), "left")
-      .withColumn("bp", coalesce(col("bp"), lit(false)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("seg")
+    seg.withColumn("bp", count(lit(1)).over(w) >= minOcc)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("bp"), 1L).otherwise(0L)).as("n_boilerplate"),

@@ -198,6 +198,9 @@ object KnnSearch {
     */
   def iteratorPages(scored: => DataFrame, pageSize: Int, nPages: Int,
       asc: Boolean): DataFrame = {
+    require(pageSize >= 1 && nPages >= 1,
+      s"iteratorPages needs pageSize >= 1 and nPages >= 1, " +
+        s"got pageSize=$pageSize nPages=$nPages")
     var boundary: Option[DataFrame] = None
     val pages = (1 to nPages).map { p =>
       val kept = boundary match {

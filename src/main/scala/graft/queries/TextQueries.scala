@@ -325,11 +325,14 @@ object TextQueries {
     // independent, so they materialise CONCURRENTLY (two job groups
     // sharing the scheduler) exactly as a hybrid server issues them;
     // results are unchanged, the wall is max(leg) instead of sum.
-    // Both legs read the memoised termCounts pass, so it must exist
-    // before the race (DfCache memoises the plan, not a materialised
-    // table — two threads would otherwise each build one).
+    // Both legs read the memoised termCounts pass, so it must be
+    // MATERIALISED before the race: registering the .cache() is lazy,
+    // and two legs hitting cold cache blocks concurrently would each
+    // run the tokenize+groupBy scan — the count() populates the
+    // cached relation once, up front.
     cachedDf(s, dir, "termCounts")(
       graft.operators.EmbeddingGen.termCounts(Tables.documents(s, dir)))
+      .count()
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
