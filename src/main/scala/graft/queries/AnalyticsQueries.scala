@@ -90,17 +90,23 @@ object AnalyticsQueries {
     EventStream.sessionWindows(s, dir)
 
   /** a04: star-schema join rollup — revenue per region through the
-    * lineitem→orders→customer→nation→region chain; every dimension is
-    * broadcast (the canonical fact-table join plan at any scale).
+    * lineitem→orders→customer→nation→region chain. Only the FIXED
+    * dimensions (nation 25 rows, region 5) carry a hard broadcast
+    * hint: orders and customer SCALE with the fact data (1.5M and
+    * 150k rows per TPC-H SF), so a hard hint on them would exceed the
+    * broadcast limits at exactly the scale the query is for. Those
+    * two joins are key-equi-joins Catalyst plans as shuffle joins at
+    * scale — and AQE still auto-broadcasts them at small SF where
+    * they fit, which is the adaptive behavior a hint would freeze.
     */
   def joinAgg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
           .cast("long").as("rev_cents"))
-      .join(broadcast(Tables.orders(s, dir).select("o_orderkey", "o_custkey")),
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))

@@ -192,12 +192,16 @@ object EventStream {
 
   /** q38: stream-static enrichment — the standard streaming-ETL shape
     * where each event is decorated with dimension attributes before
-    * aggregation. The static side (customer) is a bounded dimension
-    * table, so Spark plans the join as a broadcast hash join REBUILT
-    * per micro-batch (stream-static inner joins are stateless: no
-    * join state accumulates, the 100 TB contract). Enriched events
-    * roll up into hourly windows per market segment; integer-cent
-    * sums keep the result order-independent and batch-reproducible.
+    * aggregation. No hard broadcast hint on the static side: customer
+    * SCALES with the dataset (150k rows per TPC-H SF), so the planner
+    * must stay free to pick a shuffled stream-static join when the
+    * dim outgrows the broadcast limit; under the threshold (every
+    * local SF) size-based planning still broadcasts it per
+    * micro-batch. Stream-static inner joins are stateless either way
+    * — no join state accumulates, the 100 TB contract. Enriched
+    * events roll up into hourly windows per market segment;
+    * integer-cent sums keep the result order-independent and
+    * batch-reproducible.
     */
   def enrichedHourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -207,7 +211,7 @@ object EventStream {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("event_time", EventTime.eventTime(schema))
-      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .join(dim, col("user_id") === col("c_custkey"))
     val agg = stream
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour").as("w"),
