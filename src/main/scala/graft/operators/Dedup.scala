@@ -128,7 +128,11 @@ object Dedup {
     val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df"))
     val keep = dfTab.filter(col("df") >= 2 && col("df") <= maxDf).select("s")
     val hot = dfTab.filter(col("df") > maxDf).select("s")
-    val hotDoc = inv.join(broadcast(hot), "s")
+    // no hard broadcast hint: |hot| is bounded by occurrences/maxDf —
+    // tiny on Zipfian corpora (and every local SF auto-broadcasts it)
+    // but linear in corpus size in the worst case, so the planner
+    // must stay free to shuffle-join it at scale
+    val hotDoc = inv.join(hot, "s")
       .groupBy("doc_id").agg(sort_array(collect_set("s")).as("hot_sh"))
     val capped = inv.join(keep, "s")
     val a = capped.select(col("s"), col("doc_id").as("doc_a"),
