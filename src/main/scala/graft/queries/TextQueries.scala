@@ -213,10 +213,17 @@ object TextQueries {
     val tc = cachedDf(s, dir, "termCounts")(
       graft.operators.EmbeddingGen.termCounts(docs))
     val tcb = tc.filter(Split.isTrain(col("doc_id")))
-    val n = docs.filter(Split.isTrain(col("doc_id"))).count()
     val dl = tcb.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val totTok = dl.agg(sum("dl")).head().getLong(0)
-    val avgdl = totTok.toDouble / n.toDouble
+    // corpus constants (N docs, avgdl) as a 1-ROW broadcast frame,
+    // not driver scalars: count()/head() here would each be a
+    // synchronous full scan BEFORE the query even plans — at 100 TB
+    // that is two extra blocking passes per invocation. The in-plan
+    // double division (sum/count) is the same IEEE value the driver
+    // round-trip produced, so the oracle is untouched.
+    val stats = docs.filter(Split.isTrain(col("doc_id")))
+      .agg(count(lit(1)).cast("double").as("nd"))
+      .crossJoin(dl.agg(sum("dl").as("tot")))
+      .select(col("nd"), (col("tot").cast("double") / col("nd")).as("avgdl"))
     val dft = tcb.groupBy("term").agg(count(lit(1)).as("df"))
     val q = tc.filter(Split.isQuery(col("doc_id"), Bm25NQ))
       .select(col("term"), col("doc_id").as("query_id"))
@@ -226,13 +233,14 @@ object TextQueries {
     val contrib = tcb.join(q, "term")
       .join(dl, "doc_id")
       .join(dft, "term")
+      .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), col("term"),
-        (((lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (((col("nd") - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5))) *
           ((col("tf").cast("double") * lit(Bm25K1 + 1.0)) /
             (col("tf").cast("double") + lit(Bm25K1) *
               (lit(1.0 - Bm25B) + lit(Bm25B) *
-                (col("dl").cast("double") / lit(avgdl)))))).as("x"))
+                (col("dl").cast("double") / col("avgdl")))))).as("x"))
     val scored = contrib.groupBy("query_id", "doc_id")
       .agg(expr("aggregate(transform(array_sort(collect_list(struct(term, x))), " +
         "s -> s.x), 0D, (acc, v) -> acc + v)").as("score"))
