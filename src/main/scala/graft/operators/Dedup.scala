@@ -541,12 +541,21 @@ object Dedup {
   def embeddingNearDups(emb: DataFrame, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       blockRows: Int = 8192): DataFrame = {
-    val n = emb.count()
     val p = emb.sparkSession.sessionState.conf.numShufflePartitions
+    // grid size from plan STATISTICS, never a count() job (the same
+    // fix KnnSearch.bruteForceBlocked got: block counts only shape
+    // the grid — the pair set is identical for any grid — so an
+    // estimate is safe and a blocking pre-scan is not). When stats
+    // carry no rowCount, size by bytes at ~1 KiB per embedding row.
+    val stats = emb.queryExecution.optimizedPlan.stats
+    val byRows = stats.rowCount
+      .map(n => ((n.toLong + blockRows - 1) / blockRows))
+    val byBytes =
+      (stats.sizeInBytes / (blockRows.toLong * 1024L)).min(1 << 24)
     // enough blocks that (a) blocks fit in a task and (b) the grid has
     // at least ~2*P keys of parallelism even for small inputs
     val nb = math.max(
-      ((n + blockRows - 1) / blockRows).toInt,
+      byRows.getOrElse(byBytes.toLong).min(1 << 24).toInt,
       math.ceil(math.sqrt(2.0 * p)).toInt).max(1)
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       pmod(xxhash64(col(idCol)), lit(nb)).cast("int").as("blk"))
