@@ -36,16 +36,20 @@ object EmbeddingQueries {
     */
   def embedTfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val n = docs.count()
+    // N docs as a 1-row broadcast frame (t06's device): a count()
+    // here is a synchronous full scan before the query plans; the
+    // in-plan (N + 1) double is the same IEEE value
+    val nd = docs.agg((count(lit(1)) + 1L).cast("double").as("n1"))
     // tc feeds three consumers (doc lengths, vocab, the tfidf join) —
     // cache it or the tokenize+groupBy chain runs three times
     val tc = cachedDf(s, dir, "termCounts")(EmbeddingGen.termCounts(docs))
     val dl = tc.groupBy("doc_id").agg(sum("tf").as("n_toks"))
     val voc = EmbeddingGen.vocab(tc, VocabSize)
     tc.join(broadcast(voc), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(nd))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         ((col("tf").cast("double") / col("n_toks").cast("double")) *
-          (lit((n + 1).toDouble) / (col("df") + 1).cast("double")))
+          (col("n1") / (col("df") + 1).cast("double")))
           .as("tfidf"))
       .orderBy("doc_id", "term")
   }
