@@ -51,23 +51,36 @@ object MultiVectorSearch {
       rrfK: Int = 60,
       idCol: String = "id",
       qidCol: String = "query_id"): DataFrame = {
-    // one ranked list per field, tagged by field index
-    val perField = fields.zipWithIndex.map { case ((bCol, qCol), i) =>
+    // one ranked list per field
+    val perField = fields.map { case (bCol, qCol) =>
       val scored = base.crossJoin(broadcast(queries))
         .select(
           col(qidCol).as("query_id"),
           vec_cosine_sim(col(qCol), col(bCol)).as("score"),
           col(idCol).as("id"))
       KnnSearch.topKOf(scored, perFieldK, asc = false)
-        .select(col("query_id"), col("neighbor_id"), col("rank"), lit(i).as("field"))
+    }
+    fuseRrf(perField, k, rrfK)
+  }
+
+  /** RRF-fuse per-field rank lists — each frame carries (query_id,
+    * neighbor_id, rank), e.g. from [[KnnSearch.topKOf]] over a brute
+    * scan (q07) or from an IVF probe per field (q49). Ranks pivot
+    * into fixed columns so the fused sum has a fixed evaluation order
+    * (double addition is not associative); fields contribute only
+    * where the doc made that field's list. The fusion touches only
+    * fields x Q x perFieldK rank rows regardless of base size.
+    */
+  def fuseRrf(perField: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    val tagged = perField.zipWithIndex.map { case (df, i) =>
+      df.select(col("query_id"), col("neighbor_id"), col("rank"),
+        lit(i).as("field"))
     }.reduceLeft(_ unionAll _)
-    // pivot ranks into fixed columns so the fused sum has a fixed
-    // evaluation order (double addition is not associative)
-    val rankCols = (0 until fields.size).map(i =>
+    val rankCols = (0 until perField.size).map(i =>
       max(when(col("field") === i, col("rank"))).as(s"r$i"))
-    val pivoted = perField.groupBy("query_id", "neighbor_id")
+    val pivoted = tagged.groupBy("query_id", "neighbor_id")
       .agg(rankCols.head, rankCols.tail: _*)
-    val fused = (0 until fields.size).map { i =>
+    val fused = (0 until perField.size).map { i =>
       when(col(s"r$i").isNotNull, lit(1.0) / (lit(rrfK) + col(s"r$i")))
         .otherwise(lit(0.0))
     }.reduceLeft(_ + _)

@@ -143,6 +143,86 @@ object TextAnalysis {
           .as("dup_bigram_frac"))
   }
 
+  /** t14: n-gram LM quality scoring — the CCNet/KenLM screening step
+    * (score each document by how typical its n-grams are of the
+    * corpus-wide language model; reference-adjacent: the quality
+    * screens a pretraining corpus passes before the embed-then-index
+    * leg in datasets.py). The EXACT leg, gated by the oracle: per doc,
+    * over its bigram OCCURRENCES, the mean corpus frequency
+    * (`familiarity` — high = stock phrasing, low = rare/garbled text)
+    * and the fraction of corpus-hapax bigrams (`hapax_frac`, the
+    * rarity tail a perplexity filter keys on). Integer sums + one
+    * final IEEE division each, bit-reproducible in DuckDB.
+    * [[ngramPerplexity]] is the log-bearing LM twin (spec-gated).
+    *
+    * Scale: the corpus bigram model is a groupBy — map-side partial
+    * combine means a Zipf-hot bigram contributes ONE partial row per
+    * upstream task, never a single-task funnel — re-joined to the
+    * occurrence stream on the bigram key, where the probe side's hot
+    * keys are exactly what AQE skew-join splits. A count-window
+    * (partition-by-bigram) would compute the same number but funnels
+    * the hottest bigram's corpus-wide occurrences through one
+    * unsplittable task, so the join shape wins at 100 TB. Shuffles:
+    * one on bigram, one on doc_id.
+    */
+  def ngramLmScore(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> element_at(t, i + 1) || ' ' || element_at(t, i + 2))")).as("bg"))
+    val corpus = grams.groupBy("bg").agg(count(lit(1)).as("cf"))
+    grams.join(corpus, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("cf").as("fam_sum"),
+        sum(when(col("cf") === 1, 1L).otherwise(0L)).as("hapax_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("fam_sum"),
+        (col("fam_sum").cast("double") / col("n_bigrams").cast("double"))
+          .as("familiarity"),
+        (col("hapax_n").cast("double") / col("n_bigrams").cast("double"))
+          .as("hapax_frac"))
+  }
+
+  /** The quality-tuned LM leg of t14: true add-one-smoothed bigram
+    * perplexity, ppl(d) = exp(-(1/n) Σ ln((c(w1 w2)+1)/(c(w1 ·)+V))),
+    * trained on `train` (defaults to the corpus itself — the CCNet
+    * in-domain screen; a production pipeline passes a held-out clean
+    * corpus). Transcendental doubles don't hash-match across engines,
+    * so this leg is spec-gated (closed-form tiny-corpus values + the
+    * fluent-beats-garbled ordering contract) rather than oracled —
+    * the established pattern for log-bearing scores (t06's rationale).
+    * Same join shapes as [[ngramLmScore]]; the vocab size rides as a
+    * broadcast 1-row frame, never a driver scalar.
+    */
+  def ngramPerplexity(docs: DataFrame,
+      train: Option[DataFrame] = None): DataFrame = {
+    val tr = train.getOrElse(docs)
+    def pairs(d: DataFrame) = d
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(element_at(t, i + 1) AS w1, " +
+          "element_at(t, i + 2) AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val trPairs = pairs(tr)
+    val c2 = trPairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = trPairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = tr.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct("w").as("v"))
+    pairs(docs)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") +
+            col("v").cast("double"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(exp(-sum("lp") / count(lit(1))).as("ppl"))
+  }
+
   /** t10: stratified rebalancing sample — deterministic per-stratum
     * downsampling to the smallest stratum's size (domain/language
     * balancing, the standard pretraining-mix step). Each row's fate is

@@ -630,6 +630,45 @@ object IndexQueries {
     * list. avg_recall = total_hits / (NQ * K) — an exact integer
     * ratio, so the curve itself is hash-gated.
     */
+  // q49: hybrid search served FROM the index
+  val MvFields = 4
+  val MvDim = 16
+  val HybridPerFieldK = 50
+
+  /** q49: the reference's hybrid multi-vector search served FROM the
+    * index — milvus hybrid_search
+    * (/root/reference/bigvectorbench/algorithms/milvus/module.py:422-458)
+    * issues one AnnSearchRequest per vector field against that
+    * field's OWN index and fuses with RRFRanker; q06/q07 are the
+    * brute-force twins of that semantics, this is the served shape.
+    * Each 16-dim field gets its own sample-init IVF (q20's NList /
+    * NProbe); per-field top-[[HybridPerFieldK]] lists come from the
+    * probed cells only, fused by q07's pinned-order RRF — assignment,
+    * probes, per-field ranks and fusion all replicate in the oracle.
+    *
+    * Scale: 4 probe joins (each centroids-broadcast, cells pruned)
+    * + a fusion over fields x Q x perFieldK rank rows — the
+    * per-field scans are q20's 100 TB shape and the fusion cost is
+    * independent of base size.
+    */
+  def hybridIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val perField = (0 until MvFields).map { i =>
+      val sl = s"slice(embedding, ${i * MvDim + 1}, $MvDim)"
+      val base = emb.filter(Split.isTrain(col("vec_id")))
+        .select(col("vec_id").as("id"), expr(sl).as("vec"))
+      val queries = emb.filter(Split.isQuery(col("vec_id"), NQ))
+        .select(col("vec_id").as("query_id"), expr(sl).as("qvec"))
+      val cents = cached(dir, s"ivf-mv-$i") {
+        IvfIndex.sampleCentroids(base, "vec", NList)
+      }
+      val assigned = IvfIndex.assign(base, "vec", cents)
+      IvfIndex.search(assigned, queries, cents, HybridPerFieldK, NProbe,
+        VecMetric.Cosine)
+    }
+    ranked(MultiVectorSearch.fuseRrf(perField, K))
+  }
+
   def nprobeSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (base, queries) = baseAndQueries(s, dir)
@@ -841,6 +880,7 @@ object IndexQueries {
     "q16_bin_ivf" -> (binIvfFlat _),
     "q17_nprobe_sweep" -> (nprobeSweep _),
     "q45_param_grid" -> (paramGrid _),
+    "q49_hybrid_index" -> (hybridIndex _),
     "q20_ivf_flat" -> (ivfFlat _),
     "q39_ivf_filtered" -> (ivfFiltered _),
     "q42_sq8_persisted" -> (ivfSq8Persisted _),
@@ -918,6 +958,66 @@ object IndexQueries {
        |         JOIN qt ON qt.query_id = q.query_id
        |  WHERE lb.l0 <= qt.t0 AND lb.l1 <= qt.t1 AND lb.l2 <= qt.t2)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** q49 oracle: q20's IVF CTE instantiated per 16-dim field (sliced
+    * vectors, same sample-init centroids / L2 assignment / nprobe
+    * probes), per-field cosine rank lists from the probed cells, then
+    * q07's RRF pivot with the fused sum in fixed field order.
+    */
+  private def mvIvfCte(i: Int): String = {
+    val lo = i * MvDim + 1
+    val hi = (i + 1) * MvDim
+    s"""b$i AS (SELECT vec_id AS id,
+       |        list_slice(embedding::DOUBLE[], $lo, $hi) AS v
+       |      FROM embeddings WHERE $bPred),
+       |q$i AS (SELECT vec_id AS query_id,
+       |        list_slice(embedding::DOUBLE[], $lo, $hi) AS qv
+       |      FROM embeddings WHERE $qPred),
+       |c$i AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, v AS cv
+       |      FROM (SELECT id, v FROM b$i ORDER BY id LIMIT $NList)),
+       |asg$i AS (SELECT id, v, cluster FROM (
+       |   SELECT b.id, b.v, c.cluster,
+       |          row_number() OVER (PARTITION BY b.id
+       |            ORDER BY list_distance(b.v, c.cv), c.cluster) AS rn
+       |   FROM b$i b CROSS JOIN c$i c) WHERE rn = 1),
+       |pr$i AS (SELECT query_id, cluster FROM (
+       |   SELECT q.query_id, c.cluster,
+       |          row_number() OVER (PARTITION BY q.query_id
+       |            ORDER BY list_distance(q.qv, c.cv), c.cluster) AS rn
+       |   FROM q$i q CROSS JOIN c$i c) WHERE rn <= $NProbe),
+       |rk$i AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT q.query_id, a.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY ${cosSql("q.qv", "a.v")} DESC, a.id) AS rank
+       |  FROM q$i q JOIN pr$i pr ON pr.query_id = q.query_id
+       |         JOIN asg$i a ON a.cluster = pr.cluster)
+       |  WHERE rank <= $HybridPerFieldK)""".stripMargin
+  }
+
+  private val q49Sql: String = {
+    val ctes = (0 until MvFields).map(mvIvfCte).mkString(",\n")
+    val union = (0 until MvFields)
+      .map(i => s"SELECT query_id, neighbor_id, rank, $i AS field FROM rk$i")
+      .mkString("\nUNION ALL\n")
+    val rankPiv = (0 until MvFields)
+      .map(i => s"max(CASE WHEN field = $i THEN rank END) AS r$i")
+      .mkString(", ")
+    val fusedSum = (0 until MvFields)
+      .map(i => s"(CASE WHEN r$i IS NOT NULL THEN 1.0 / (60 + r$i) ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH $ctes,
+       |u AS ($union),
+       |piv AS (SELECT query_id, neighbor_id, $rankPiv
+       |        FROM u GROUP BY query_id, neighbor_id),
+       |f AS (SELECT query_id, neighbor_id,
+       |             $fusedSum AS score FROM piv)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM f)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
 
   private val recallSql: String =
     s"""WITH $ivfCte,
@@ -1621,6 +1721,7 @@ object IndexQueries {
     "q16_bin_ivf" -> q16Sql,
     "q17_nprobe_sweep" -> q17Sql,
     "q45_param_grid" -> q45Sql,
+    "q49_hybrid_index" -> q49Sql,
     "q28_ivf_upsert" -> q28Sql,
     // identical semantics to q28 — only the storage differs
     "q29_ivf_upsert_persisted" -> q28Sql,

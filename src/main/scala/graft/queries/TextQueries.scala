@@ -315,6 +315,13 @@ object TextQueries {
     TextAnalysis.domainMix(Tables.documents(s, dir), "lang")
       .orderBy("doc_id", "copy")
 
+  /** t14: n-gram LM familiarity/rarity quality scoring (the exact,
+    * oracle-gated leg; TextAnalysis.ngramPerplexity is the spec-gated
+    * log-perplexity twin).
+    */
+  def t14(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramLmScore(Tables.documents(s, dir)).orderBy("doc_id")
+
   val HybridK = 5
 
   /** q41: hybrid retrieval — BM25 (t06, sparse lexical) and TF-IDF
@@ -491,6 +498,7 @@ object TextQueries {
     "t10_stratified_sample" -> (t10 _),
     "t11_sequence_pack" -> (t11 _),
     "t12_domain_mix" -> (t12 _),
+    "t14_ngram_lm" -> (t14 _),
     "m01_multimodal_pipeline" -> (m01 _),
     "m02_multimodal_frames" -> (m02 _),
     "m04_audio_features" -> (m04 _),
@@ -961,6 +969,20 @@ object TextQueries {
         |  SELECT doc_id, lang,
         |         UNNEST(generate_series(0, copies - 1)) AS copy FROM d)
         |ORDER BY doc_id, copy""".stripMargin,
+    "t14_ngram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |        i -> t[i] || ' ' || t[i+1])) AS bg
+        |      FROM d WHERE len(t) >= 2),
+        |c AS (SELECT bg, count(*) AS cf FROM g GROUP BY 1)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(c.cf) AS BIGINT) AS fam_sum,
+        |       CAST(sum(c.cf) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS familiarity,
+        |       CAST(sum(CASE WHEN c.cf = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE) AS hapax_frac
+        |FROM g JOIN c USING (bg)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "t04_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

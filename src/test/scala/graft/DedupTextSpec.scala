@@ -446,3 +446,43 @@ class SemDedupSpec extends AnyFunSuite {
     assert(planted.toInt == twins.length)
   }
 }
+
+class NgramLmSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("t14 perplexity: closed-form tiny-corpus values + fluent-beats-garbled") {
+    import spark.implicits._
+    // doc 0: repetitive boilerplate (its bigrams are corpus-frequent),
+    // doc 1: unique-token soup (every bigram is corpus-hapax),
+    // doc 2: shares doc 0's dominant bigram
+    val docs = Seq(
+      (0L, "a b a b a b"),
+      (1L, "q r s t u v"),
+      (2L, "a b c a b c")).toDF("doc_id", "text")
+    val ppl = operators.TextAnalysis.ngramPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hand-built add-one bigram LM over the 3-doc corpus:
+    // c2: ab=5 ba=2 bc=2 ca=1 qr=rs=st=tu=uv=1; c1 prefixes: a=5 b=4
+    // c=1 q=r=s=t=u=1; V = 9 distinct tokens
+    val exp0 = math.exp(-(3 * math.log(6.0 / 14) + 2 * math.log(3.0 / 13)) / 5)
+    val exp1 = math.exp(-5 * math.log(2.0 / 10) / 5)
+    assert(math.abs(ppl(0L) - exp0) < 1e-9, s"doc0 ${ppl(0L)} vs $exp0")
+    assert(math.abs(ppl(1L) - exp1) < 1e-9, s"doc1 ${ppl(1L)} vs $exp1")
+    // the LM contract: fluent/boilerplate text scores LOWER perplexity
+    // than garbled hapax soup
+    assert(ppl(0L) < ppl(2L) && ppl(2L) < ppl(1L), ppl.toString)
+  }
+
+  test("t14 exact leg: familiarity/hapax ratios from hand counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x y x y"),   // bigrams xy,yx,xy -> cf(xy)=2? (see below)
+      (1L, "x y z")).toDF("doc_id", "text")
+    // corpus occurrences: doc0 xy,yx,xy; doc1 xy,yz -> cf: xy=3 yx=1 yz=1
+    val out = operators.TextAnalysis.ngramLmScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0L) == ((3L, 7L, 7.0 / 3, 1.0 / 3)), out(0L).toString)
+    assert(out(1L) == ((2L, 4L, 2.0, 0.5)), out(1L).toString)
+  }
+}
