@@ -430,6 +430,45 @@ class IndexSpec extends AnyFunSuite {
     assert(cB * 2 < fB, s"codes $cB bytes vs floats $fB bytes")
   }
 
+  test("q49 at nprobe = nlist reproduces brute-force q07 exactly") {
+    // with every cell probed, each field's IVF list IS the brute list,
+    // so the fused ranking must equal q07 bit for bit — the gate that
+    // the per-field index plumbing (slices, probes, fusion) is lossless
+    val emb = Tables.embeddings(spark, sf001)
+    import graft.queries.IndexQueries.{MvFields, MvDim, HybridPerFieldK}
+    val perField = (0 until MvFields).map { i =>
+      val sl = s"slice(embedding, ${i * MvDim + 1}, $MvDim)"
+      val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+        .select(col("vec_id").as("id"), expr(sl).as("vec"))
+      val qs = emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
+        .select(col("vec_id").as("query_id"), expr(sl).as("qvec"))
+      val cents = IvfIndex.sampleCentroids(base, "vec", 16)
+      IvfIndex.search(IvfIndex.assign(base, "vec", cents), qs, cents,
+        HybridPerFieldK, nprobe = 16, VecMetric.Cosine)
+    }
+    val full = MultiVectorSearch.fuseRrf(perField, 10).collect()
+      .map(r => (r.getAs[Number]("query_id").longValue,
+        r.getAs[Number]("rank").longValue,
+        r.getAs[Number]("neighbor_id").longValue)).toSet
+    val brute = SparkEntry.queries("q07_multi_vector_rrf")(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[Number]("query_id").longValue,
+        r.getAs[Number]("rank").longValue,
+        r.getAs[Number]("neighbor_id").longValue)).toSet
+    assert(full == brute, s"diff ${full.diff(brute).take(5)}")
+  }
+
+  test("q49 hybrid-on-index/brute q07 agreement >= 0.55 at nprobe=6/16 (measured 0.66 held-out)") {
+    val served = SparkEntry.queries("q49_hybrid_index")(spark, sf001)
+      .select("query_id", "neighbor_id")
+    val brute = SparkEntry.queries("q07_multi_vector_rrf")(spark, sf001)
+      .select("query_id", "neighbor_id")
+    val denom = brute.count().toDouble
+    val agree = served.intersect(brute).count().toDouble / denom
+    info(f"hybrid index/brute agreement: $agree%.2f")
+    assert(agree >= 0.55, s"agreement $agree")
+  }
+
   test("q45 param grid: full axes, recall and scan monotone, exact endpoints") {
     import graft.queries.{IndexQueries => IQ}
     val got = SparkEntry.queries("q45_param_grid")(spark, sf001).collect()
