@@ -97,6 +97,31 @@ object ScaleBench {
              |""".stripMargin.replace('\n', ' '))))
     }
 
+    // t14 at generated scale: bigram-LM familiarity over the planted
+    // corpus — ~31 bigram occurrences per doc, so the model groupBy
+    // and the AQE-splittable join back each stream ~31n rows; the
+    // planted near-dups + shared-prefix structure give the count
+    // table a realistic repeated-bigram head
+    timed("ngram_lm") {
+      graft.operators.TextAnalysis.ngramLmScore(plantedDocs).count()
+    }
+    // same operator over a natural-language-shaped corpus: half the
+    // token slots draw from a 100-word stopword vocab, so ~25% of all
+    // bigram occurrences land on ~10k stop-stop keys — the Zipf head
+    // the top-F broadcast absorbs before any exchange (plantedDocs
+    // above is the adversarial hapax-heavy case: no head, every
+    // occurrence cold — the operator's worst input)
+    timed("ngram_lm_zipf") {
+      val zdocs = spark.range(n).select(col("id").as("doc_id"))
+        .withColumn("text", concat_ws(" ", expr(
+          """transform(sequence(0, 31), j -> CASE
+            |  WHEN pmod(xxhash64(doc_id * 131 + j), 10) < 5
+            |  THEN concat('s', pmod(xxhash64(doc_id * 997 + j), 100))
+            |  ELSE concat('w', pmod(xxhash64(doc_id * 131 + j), 50000))
+            |  END)""".stripMargin.replace('\n', ' '))))
+      graft.operators.TextAnalysis.ngramLmScore(zdocs).count()
+    }
+
     // --- dedup pipeline at generated-doc scale ---
     if (Seq("dedup_shingles", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_clusters").exists(keep)) {

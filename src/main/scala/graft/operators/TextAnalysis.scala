@@ -158,21 +158,40 @@ object TextAnalysis {
     * Scale: the corpus bigram model is a groupBy — map-side partial
     * combine means a Zipf-hot bigram contributes ONE partial row per
     * upstream task, never a single-task funnel — re-joined to the
-    * occurrence stream on the bigram key, where the probe side's hot
-    * keys are exactly what AQE skew-join splits. A count-window
+    * occurrence stream on the bigram key. A count-window
     * (partition-by-bigram) would compute the same number but funnels
     * the hottest bigram's corpus-wide occurrences through one
-    * unsplittable task, so the join shape wins at 100 TB. Shuffles:
-    * one on bigram, one on doc_id.
+    * unsplittable task, so the join shape wins at 100 TB. The join
+    * itself takes the Zipf-head split: the top-[[hotF]] most frequent
+    * bigrams (a provably <= hotF-row frame) join via broadcast, so
+    * the head's occurrence mass — most of a natural-language corpus —
+    * picks up its count scan-locally; every residual key has
+    * cf <= total/hotF (were the (hotF+1)-th count larger, the head
+    * alone would exceed the corpus) with a 1-row build side, exactly
+    * the shape AQE skew-join splits. The split only routes rows —
+    * results are identical whatever lands in the head. Shuffles: one
+    * on bigram (model + cold probe), one on doc_id.
     */
-  def ngramLmScore(docs: DataFrame): DataFrame = {
+  def ngramLmScore(docs: DataFrame, hotF: Int = 65536): DataFrame = {
     val grams = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 2), " +
           "i -> element_at(t, i + 1) || ' ' || element_at(t, i + 2))")).as("bg"))
+    // the counts table IS the trained LM — materialise it once (it
+    // feeds the head selection, the anti-join and the cold probe;
+    // recomputing it means re-scanning the corpus per consumer)
     val corpus = grams.groupBy("bg").agg(count(lit(1)).as("cf"))
-    grams.join(corpus, "bg")
+      .localCheckpoint(true)
+    val hot = corpus.orderBy(col("cf").desc).limit(hotF)
+    val cold = corpus.join(broadcast(hot.select("bg")), Seq("bg"), "left_anti")
+    // head occurrences are anti-joined out BEFORE the cold shuffle —
+    // the whole point of the split is that the head mass never
+    // reaches an exchange
+    grams.join(broadcast(hot), "bg")
+      .unionByName(grams
+        .join(broadcast(hot.select("bg")), Seq("bg"), "left_anti")
+        .join(cold, "bg"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum("cf").as("fam_sum"),

@@ -485,4 +485,16 @@ class NgramLmSpec extends AnyFunSuite {
     assert(out(0L) == ((3L, 7L, 7.0 / 3, 1.0 / 3)), out(0L).toString)
     assert(out(1L) == ((2L, 4L, 2.0, 0.5)), out(1L).toString)
   }
+
+  test("t14 Zipf-head split routes rows but never changes results") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a b"), (1L, "a b q r"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    def run(hotF: Int) = operators.TextAnalysis.ngramLmScore(docs, hotF)
+      .collect().map(_.toSeq).toSet
+    val full = run(1000000) // everything lands in the head
+    assert(run(1) == full, "head of one")
+    assert(run(0) == full, "no head at all")
+  }
 }
