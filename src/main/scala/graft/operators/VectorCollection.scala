@@ -258,3 +258,67 @@ class VectorCollection(
     applyMutation(none, ids.select("id"))
   }
 }
+
+/** The reference's multi-vector collection
+  * (/root/reference/bigvectorbench/algorithms/milvus/module.py:331-458
+  * MilvusMultiVector: an entity carries several vector fields, each
+  * with its OWN index; hybrid_search issues one AnnSearchRequest per
+  * field and fuses with RRFRanker). Spark shape: one
+  * [[VectorCollection]] per field over the same id space — every
+  * field keeps q20's IVF serving plan and q28's O(batch) mutation
+  * contract — and [[hybridQuery]] is q49's fusion (per-field
+  * top-`perFieldK` lists from the probed cells, RRF in pinned field
+  * order, fusion cost fields x Q x perFieldK independent of base
+  * size).
+  *
+  * `initial` carries `id` plus one vector column per entry of
+  * `fields`; `queries` to [[hybridQuery]] carries `query_id` plus the
+  * matching query-vector columns (same names).
+  */
+class MultiVectorCollection(
+    spark: SparkSession,
+    initial: DataFrame, // (id, <field cols>...)
+    fields: Seq[String],
+    nlist: Int = 16,
+    nprobe: Int = 6,
+    metric: VecMetric = VecMetric.Cosine) {
+  require(fields.nonEmpty, "at least one vector field")
+
+  private val cols: Seq[VectorCollection] = fields.map { f =>
+    new VectorCollection(spark,
+      initial.select(col("id"), col(f).as("vec")),
+      nlist, nprobe, metric)
+  }
+
+  def numEntities: Long = cols.head.numEntities
+
+  /** Build every field's index (reference create_index over a
+    * multi-vector schema builds one index per vector field).
+    */
+  def createIndex(): Unit = cols.foreach(_.createIndex())
+
+  /** The reference hybrid_search: per-field ANN against that field's
+    * index, RRF-fused top-`n` per query.
+    */
+  def hybridQuery(queries: DataFrame, n: Int, perFieldK: Int = 50,
+      rrfK: Int = 60): DataFrame = {
+    val perField = fields.zip(cols).map { case (f, c) =>
+      c.batchQuery(
+        queries.select(col("query_id"), col(f).as("qvec")), perFieldK)
+    }
+    MultiVectorSearch.fuseRrf(perField, n, rrfK)
+  }
+
+  private def fieldBatch(batch: DataFrame, f: String): DataFrame =
+    batch.select(col("id"), col(f).as("vec"))
+
+  /** Reference insert/update/delete — fan out to every field's
+    * collection (the reference's multi-vector CRUD mutates all vector
+    * fields of the entity batch).
+    */
+  def insert(batch: DataFrame): Unit =
+    fields.zip(cols).foreach { case (f, c) => c.insert(fieldBatch(batch, f)) }
+  def update(batch: DataFrame): Unit =
+    fields.zip(cols).foreach { case (f, c) => c.update(fieldBatch(batch, f)) }
+  def delete(ids: DataFrame): Unit = cols.foreach(_.delete(ids))
+}

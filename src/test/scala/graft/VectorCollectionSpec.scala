@@ -193,3 +193,59 @@ class RangeQuerySpec extends AnyFunSuite {
     assert(served == exact && served.nonEmpty)
   }
 }
+
+class MultiVectorCollectionSpec extends AnyFunSuite {
+  import TestSpark._
+  private val sf001 = "/root/testdata/sf0.01"
+  import graft.queries.IndexQueries.{MvFields, MvDim}
+
+  private def mvSelect(idCol: String, as: String) =
+    (df: org.apache.spark.sql.DataFrame) => df.select(
+      Seq(col(idCol).as(as)) ++ (0 until MvFields).map(i =>
+        expr(s"slice(embedding, ${i * MvDim + 1}, $MvDim)").as(s"f$i")): _*)
+
+  test("hybrid query through the facade equals gated q49 bit for bit") {
+    val emb = Tables.embeddings(spark, sf001)
+    val entities = mvSelect("vec_id", "id")(
+      emb.filter(graft.queries.Split.isTrain(col("vec_id"))))
+    val queries = mvSelect("vec_id", "query_id")(
+      emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10)))
+    val fields = (0 until MvFields).map(i => s"f$i")
+    val mvc = new operators.MultiVectorCollection(spark, entities, fields)
+    mvc.createIndex()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getAs[Number]("query_id").longValue,
+        r.getAs[Number]("rank").longValue,
+        r.getAs[Number]("neighbor_id").longValue)).toSet
+    val served = rows(mvc.hybridQuery(queries, 10))
+    val gated = rows(SparkEntry.queries("q49_hybrid_index")(spark, sf001))
+    assert(served == gated, s"diff ${served.diff(gated).take(5)}")
+  }
+
+  test("multi-vector CRUD: inserted duplicate entity tops the hybrid ranking") {
+    val emb = Tables.embeddings(spark, sf001)
+    val entities = mvSelect("vec_id", "id")(
+      emb.filter(graft.queries.Split.isTrain(col("vec_id"))))
+    val fields = (0 until MvFields).map(i => s"f$i")
+    val mvc = new operators.MultiVectorCollection(spark, entities, fields)
+    mvc.createIndex()
+    val q = mvSelect("vec_id", "query_id")(
+      emb.filter(col("vec_id") === 10)) // a held-out (test-split) row
+    // insert the query itself as an entity under a fresh id: every
+    // field list ranks it #1 (cosine 1.0), so RRF must fuse it to the top
+    mvc.insert(mvSelect("vec_id", "id")(
+      emb.filter(col("vec_id") === 10))
+      .withColumn("id", lit(777777L)))
+    val top = mvc.hybridQuery(q, 3)
+      .orderBy("rank").select("neighbor_id").collect().map(_.getLong(0))
+    assert(top.head == 777777L, top.mkString(","))
+    mvc.delete {
+      import spark.implicits._
+      Seq(777777L).toDF("id")
+    }
+    val after = mvc.hybridQuery(q, 3)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(!after.contains(777777L))
+  }
+}
