@@ -172,30 +172,55 @@ object TextAnalysis {
     * results are identical whatever lands in the head. Shuffles: one
     * on bigram (model + cold probe), one on doc_id.
     */
-  def ngramLmScore(docs: DataFrame, hotF: Int = 65536): DataFrame = {
-    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+  def ngramLmScore(docs: DataFrame, hotF: Int = 65536): DataFrame =
+    // the counts table IS the trained LM — materialise it once (it
+    // feeds the head selection, the anti-join and the cold probe;
+    // recomputing it means re-scanning the corpus per consumer)
+    ngramLmScoreAgainst(docs, ngramCounts(docs).localCheckpoint(true), hotF)
+
+  /** The frozen LM of t14: corpus bigram occurrence counts (bg, cf) —
+    * train once, then score any document set (a later batch, a
+    * stream's micro-batches) against it via [[ngramLmScoreAgainst]].
+    */
+  def ngramCounts(docs: DataFrame): DataFrame =
+    bigramOccurrences(docs).groupBy("bg").agg(count(lit(1)).as("cf"))
+
+  private def bigramOccurrences(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 2), " +
           "i -> element_at(t, i + 1) || ' ' || element_at(t, i + 2))")).as("bg"))
-    // the counts table IS the trained LM — materialise it once (it
-    // feeds the head selection, the anti-join and the cold probe;
-    // recomputing it means re-scanning the corpus per consumer)
-    val corpus = grams.groupBy("bg").agg(count(lit(1)).as("cf"))
-      .localCheckpoint(true)
-    val hot = corpus.orderBy(col("cf").desc).limit(hotF)
-    val cold = corpus.join(broadcast(hot.select("bg")), Seq("bg"), "left_anti")
+
+  /** Score `docs` against a FROZEN LM counts table (bg, cf). Bigrams
+    * the model never saw score cf = 0 (maximally rare — they count
+    * toward the hapax tail); when the model was trained on `docs`
+    * itself this is exactly [[ngramLmScore]]. Per-doc scoring needs
+    * only the doc's own bigrams + the model, so the result is
+    * independent of how `docs` is batched — the property q50's
+    * screening-at-ingest gate asserts.
+    */
+  def ngramLmScoreAgainst(docs: DataFrame, model: DataFrame,
+      hotF: Int = 65536): DataFrame = {
+    val grams = bigramOccurrences(docs)
+    val hot = model.orderBy(col("cf").desc).limit(hotF)
+    val cold = model.join(broadcast(hot.select("bg")), Seq("bg"), "left_anti")
     // head occurrences are anti-joined out BEFORE the cold shuffle —
     // the whole point of the split is that the head mass never
     // reaches an exchange
     grams.join(broadcast(hot), "bg")
+      .select(col("doc_id"), col("cf"))
       .unionByName(grams
         .join(broadcast(hot.select("bg")), Seq("bg"), "left_anti")
-        .join(cold, "bg"))
+        .join(cold, Seq("bg"), "left")
+        .select(col("doc_id"), coalesce(col("cf"), lit(0L)).as("cf")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum("cf").as("fam_sum"),
-        sum(when(col("cf") === 1, 1L).otherwise(0L)).as("hapax_n"))
+        // cf <= 1 so model-unseen bigrams (cf = 0, held-out scoring
+        // only) land in the rarity tail too; self-trained cf >= 1
+        // always, where this is exactly cf == 1
+        sum(when(col("cf") <= 1, 1L).otherwise(0L)).as("hapax_n"))
       .select(col("doc_id"), col("n_bigrams"), col("fam_sum"),
         (col("fam_sum").cast("double") / col("n_bigrams").cast("double"))
           .as("familiarity"),

@@ -322,6 +322,13 @@ object TextQueries {
   def t14(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.ngramLmScore(Tables.documents(s, dir)).orderBy("doc_id")
 
+  /** q50: t14's screen run at INGEST — stream scored per micro-batch
+    * against the frozen corpus LM (DocStream.streamQualityScreen);
+    * batching-independent == batch t14, so they share the oracle.
+    */
+  def q50(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.DocStream.streamQualityScreen(s, dir)
+
   val HybridK = 5
 
   /** q41: hybrid retrieval — BM25 (t06, sparse lexical) and TF-IDF
@@ -499,6 +506,7 @@ object TextQueries {
     "t11_sequence_pack" -> (t11 _),
     "t12_domain_mix" -> (t12 _),
     "t14_ngram_lm" -> (t14 _),
+    "q50_stream_quality" -> (q50 _),
     "m01_multimodal_pipeline" -> (m01 _),
     "m02_multimodal_frames" -> (m02 _),
     "m04_audio_features" -> (m04 _),
@@ -506,6 +514,21 @@ object TextQueries {
       Multimodal.resizeImageStats(pngPayloads(s, dir))
         .orderBy("doc_id"))
   )
+
+  private val t14Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |        i -> t[i] || ' ' || t[i+1])) AS bg
+      |      FROM d WHERE len(t) >= 2),
+      |c AS (SELECT bg, count(*) AS cf FROM g GROUP BY 1)
+      |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(c.cf) AS BIGINT) AS fam_sum,
+      |       CAST(sum(c.cf) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |         AS familiarity,
+      |       CAST(sum(CASE WHEN c.cf = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |         CAST(count(*) AS DOUBLE) AS hapax_frac
+      |FROM g JOIN c USING (bg)
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   private val shingleCte =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -969,20 +992,10 @@ object TextQueries {
         |  SELECT doc_id, lang,
         |         UNNEST(generate_series(0, copies - 1)) AS copy FROM d)
         |ORDER BY doc_id, copy""".stripMargin,
-    "t14_ngram_lm" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
-        |        i -> t[i] || ' ' || t[i+1])) AS bg
-        |      FROM d WHERE len(t) >= 2),
-        |c AS (SELECT bg, count(*) AS cf FROM g GROUP BY 1)
-        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |       CAST(sum(c.cf) AS BIGINT) AS fam_sum,
-        |       CAST(sum(c.cf) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-        |         AS familiarity,
-        |       CAST(sum(CASE WHEN c.cf = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
-        |         CAST(count(*) AS DOUBLE) AS hapax_frac
-        |FROM g JOIN c USING (bg)
-        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "t14_ngram_lm" -> t14Sql,
+    // q50 streams the same corpus through the same frozen LM — the
+    // batching-independence contract makes t14's oracle its oracle
+    "q50_stream_quality" -> t14Sql,
     "t04_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

@@ -112,6 +112,55 @@ object DocStream {
     spark.table(sink).distinct().orderBy("doc_a", "doc_b")
   }
 
+  /** q50: quality screening at INGEST — t14's production shape. The
+    * LM (TextAnalysis.ngramCounts) is trained ONCE on the reference
+    * corpus and FROZEN (the create_index moment); documents then
+    * arrive as a stream and each micro-batch is scored against the
+    * static model inside foreachBatch — stateless per-batch work,
+    * because a document is atomic within its batch and scoring needs
+    * only the doc's own bigrams plus the frozen counts. The result is
+    * therefore independent of batching == batch t14 trained on the
+    * same corpus, which is what makes it oracle-checkable (shared
+    * SQL) and is the multi-batch spec's assertion.
+    *
+    * Scale: the model is a checkpointed table joined per batch with
+    * t14's Zipf-head split (head broadcast, cold AQE-splittable);
+    * the sink is an append-mode parquet dir (q43's production-sink
+    * shape). State: none — the screen is embarrassingly parallel
+    * across batches, the property that lets ingest scale out.
+    */
+  def streamQualityScreen(
+      spark: SparkSession,
+      sfDir: String,
+      hotF: Int = 65536,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = graft.operators.TextAnalysis.ngramCounts(batchDocs)
+      .localCheckpoint(true)
+    val schema = batchDocs.schema
+    val reader0 = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents*.parquet")
+    val reader = maxFilesPerTrigger
+      .map(n => reader0.option("maxFilesPerTrigger", n)).getOrElse(reader0)
+    val stream = reader.parquet(sfDir)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_qscreen_").toString
+    Checkpoints.withEphemeral("graft_chk_") { chk =>
+      val q = stream.writeStream
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.TextAnalysis
+            .ngramLmScoreAgainst(batch, model, hotF)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   /** Count of common elements between two SORTED long arrays. */
   private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0

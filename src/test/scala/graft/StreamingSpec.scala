@@ -70,6 +70,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.streaming.Checkpoints.deleteRecursively(tmp)
   }
 
+  test("q50 quality screen at ingest equals batch t14 across micro-batches") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // 4 single-file slices -> 4 micro-batches with maxFilesPerTrigger=1;
+    // the frozen LM is trained on the whole corpus, so per-batch
+    // scoring must still reproduce the batch result exactly
+    val tmp = Files.createTempDirectory("graft_q50_mb").toString
+    try {
+      val docs = Tables.documents(spark, sf)
+      val nParts = 4
+      for (i <- 0 until nParts) {
+        val stage = s"$tmp/stage_$i"
+        docs.filter(pmod(col("doc_id"), lit(nParts)) === i)
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dest = if (i == 0) s"$tmp/documents.parquet"
+          else s"$tmp/documents_$i.parquet"
+        Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+      }
+      // the model trains on documents.parquet (the first slice) in
+      // the sliced layout — so compare against batch scoring of the
+      // full stream corpus against THAT model, proving exactly the
+      // frozen-model + batching-independence contract
+      val sliceModel = graft.operators.TextAnalysis
+        .ngramCounts(spark.read.parquet(s"$tmp/documents.parquet"))
+        .localCheckpoint(true)
+      val streamed = graft.streaming.DocStream
+        .streamQualityScreen(spark, tmp, maxFilesPerTrigger = Some(1))
+        .collect().map(_.toSeq).toSet
+      val batch = graft.operators.TextAnalysis
+        .ngramLmScoreAgainst(docs, sliceModel)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally graft.streaming.Checkpoints.deleteRecursively(tmp)
+
+    // and over the driver layout (one file == one batch): q50 == t14
+    val q50 = SparkEntry.queries("q50_stream_quality")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val t14 = SparkEntry.queries("t14_ngram_lm")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(q50 == t14)
+  }
+
   test("q40 stream-stream interval join equals the batch range join") {
     val out = SparkEntry.queries("q40_stream_stream_join")(spark, sf)
       .collect()
