@@ -112,12 +112,16 @@ object ScaleBench {
     // above is the adversarial hapax-heavy case: no head, every
     // occurrence cold — the operator's worst input)
     timed("ngram_lm_zipf") {
+      // the word-id hash must be independent of the branch-selector
+      // hash: 10 divides 50000, so pmod(h, 50000) of a selector-
+      // conditioned h would keep only last-digit-5..9 ids — half the
+      // claimed vocabulary
       val zdocs = spark.range(n).select(col("id").as("doc_id"))
         .withColumn("text", concat_ws(" ", expr(
           """transform(sequence(0, 31), j -> CASE
             |  WHEN pmod(xxhash64(doc_id * 131 + j), 10) < 5
             |  THEN concat('s', pmod(xxhash64(doc_id * 997 + j), 100))
-            |  ELSE concat('w', pmod(xxhash64(doc_id * 131 + j), 50000))
+            |  ELSE concat('w', pmod(xxhash64(doc_id * 131 + j + 777777), 50000))
             |  END)""".stripMargin.replace('\n', ' '))))
       graft.operators.TextAnalysis.ngramLmScore(zdocs).count()
     }

@@ -203,16 +203,24 @@ object TextAnalysis {
   def ngramLmScoreAgainst(docs: DataFrame, model: DataFrame,
       hotF: Int = 65536): DataFrame = {
     val grams = bigramOccurrences(docs)
-    val hot = model.orderBy(col("cf").desc).limit(hotF)
-    val cold = model.join(broadcast(hot.select("bg")), Seq("bg"), "left_anti")
+    // deterministic boundary (cf ties broken by bg) AND one
+    // materialisation: the head feeds two join sites, and two
+    // independent evaluations of a tie-arbitrary limit could disagree
+    // on boundary membership — double-counting or dropping the
+    // occurrences of a boundary bigram
+    val hot = model.orderBy(col("cf").desc, col("bg")).limit(hotF)
+      .localCheckpoint(true)
     // head occurrences are anti-joined out BEFORE the cold shuffle —
     // the whole point of the split is that the head mass never
-    // reaches an exchange
+    // reaches an exchange. The cold side left-joins the FULL model:
+    // surviving rows can't carry a head bigram, so filtering the
+    // model down to a separate cold frame would cost an extra pass
+    // for identical matches.
     grams.join(broadcast(hot), "bg")
       .select(col("doc_id"), col("cf"))
       .unionByName(grams
         .join(broadcast(hot.select("bg")), Seq("bg"), "left_anti")
-        .join(cold, Seq("bg"), "left")
+        .join(model, Seq("bg"), "left")
         .select(col("doc_id"), coalesce(col("cf"), lit(0L)).as("cf")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -250,12 +258,20 @@ object TextAnalysis {
           "i -> struct(element_at(t, i + 1) AS w1, " +
           "element_at(t, i + 2) AS w2))")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val trPairs = pairs(tr)
+    // materialise the training occurrence stream once — c2 and c1
+    // would otherwise each re-scan and re-explode the corpus (the
+    // ngramLmScore stance; a production run persists the trained
+    // c1/c2 model tables outright). The c1 probe join shares the
+    // bigram join's skew profile with a strictly hotter key (single-
+    // token prefix); the same Zipf-head split applies if this leg is
+    // ever promoted from spec-gated to a hot path.
+    val trPairs = pairs(tr).localCheckpoint(true)
     val c2 = trPairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = trPairs.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = tr.select(explode(split(col("text"), " ")).as("w"))
       .agg(countDistinct("w").as("v"))
-    pairs(docs)
+    // self-trained scoring probes the already-materialised stream
+    (if (train.isEmpty) trPairs else pairs(docs))
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))

@@ -312,13 +312,26 @@ class MultiVectorCollection(
   private def fieldBatch(batch: DataFrame, f: String): DataFrame =
     batch.select(col("id"), col(f).as("vec"))
 
+  // the fan-out is not transactional: a mid-loop failure would leave
+  // the per-field collections diverged, so reject malformed batches
+  // BEFORE the first field mutates
+  private def requireAllFields(batch: DataFrame): Unit = {
+    val missing = ("id" +: fields).filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"mutation batch is missing column(s) ${missing.mkString(", ")}")
+  }
+
   /** Reference insert/update/delete — fan out to every field's
     * collection (the reference's multi-vector CRUD mutates all vector
     * fields of the entity batch).
     */
-  def insert(batch: DataFrame): Unit =
+  def insert(batch: DataFrame): Unit = {
+    requireAllFields(batch)
     fields.zip(cols).foreach { case (f, c) => c.insert(fieldBatch(batch, f)) }
-  def update(batch: DataFrame): Unit =
+  }
+  def update(batch: DataFrame): Unit = {
+    requireAllFields(batch)
     fields.zip(cols).foreach { case (f, c) => c.update(fieldBatch(batch, f)) }
+  }
   def delete(ids: DataFrame): Unit = cols.foreach(_.delete(ids))
 }

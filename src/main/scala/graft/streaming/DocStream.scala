@@ -146,19 +146,40 @@ object DocStream {
     val stream = reader.parquet(sfDir)
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_qscreen_").toString
+    // the scored schema is known up front — reading the sink with it
+    // keeps a zero-batch run (nothing matched the glob) a clean empty
+    // result instead of a schema-inference failure
+    val scoredSchema = graft.operators.TextAnalysis
+      .ngramLmScoreAgainst(batchDocs.limit(0), model, hotF).schema
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = stream.writeStream
         .option("checkpointLocation", chk)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // batchId-keyed overwrite: foreachBatch is at-least-once,
+          // and a batch replayed after a crash-before-offset-commit
+          // must land in the SAME slot, not append a duplicate copy
           graft.operators.TextAnalysis
             .ngramLmScoreAgainst(batch, model, hotF)
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
         }
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(outDir).orderBy("doc_id")
+    // materialise the (doc-count-sized) result, then reclaim the
+    // sink dir — a lazily-read temp dir would leak a scored copy of
+    // the corpus per invocation
+    val parts = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .map(_.toString)
+    val out =
+      if (parts.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], scoredSchema)
+      else spark.read.schema(scoredSchema).parquet(parts: _*)
+        .localCheckpoint(true)
+    Checkpoints.deleteRecursively(outDir)
+    out.orderBy("doc_id")
   }
 
   /** Count of common elements between two SORTED long arrays. */
