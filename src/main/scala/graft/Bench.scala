@@ -51,20 +51,27 @@ object Bench {
         System.err.println(s"bench $name runs=" +
           samples.map(s => f"${s._2}%.2f").mkString(",") +
           " gcMs=" + samples.map(_._3).mkString(","))
-        name -> (if (samples.forall(_._1)) Right(samples.map(_._2).min)
+        // report the min-wall sample AND its gc time: a contended
+        // window shows up as gc-heavy walls, so carrying gc in the
+        // record lets the reader discount it (r10's 6-7 s q06/q07
+        // readings would have been self-diagnosing)
+        name -> (if (samples.forall(_._1)) Right(samples.minBy(_._2))
                  else Left("err"))
       }
     // 3-decimal (ms) precision keeps the one-line JSON short enough to
     // survive the driver's output-tail capture intact
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map {
-      case (k, Right(v)) => s"\"" + k + "\":" + fmt(v)
-      case (k, Left(_))  => s"\"" + k + "\":\"err\""
+      case (k, Right((_, w, _))) => s"\"" + k + "\":" + fmt(w)
+      case (k, Left(_))          => s"\"" + k + "\":\"err\""
     }.mkString("{", ",", "}")
-    val good = results.collect { case (_, Right(v)) => v }
+    val gcs = results.collect {
+      case (k, Right((_, _, gc))) => s"\"" + k + "\":" + gc
+    }.mkString("{", ",", "}")
+    val good = results.collect { case (_, Right((_, w, _))) => w }
     val failed = results.count(_._2.isLeft)
     val total = if (good.nonEmpty) good.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":${GraftSession.cpus},"queries":$qs,"gc_ms":$gcs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     // a nonzero failure count is a broken engine, not a fast one
     if (failed > 0) sys.exit(1)

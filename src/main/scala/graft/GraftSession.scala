@@ -12,11 +12,20 @@ import graft.functions._
   */
 object GraftSession {
 
+  /** Effective core count: SPARK_GRAFT_CPUS override, else every host
+    * processor. A fixed small default silently reshaped measurements
+    * twice in one round (a missing env var turned local[32] numbers
+    * into local[4] spill regimes that read as regressions), so the
+    * default is now the machine, and harness JSON lines print this
+    * value so each record carries the master it actually ran on.
+    */
+  def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+    .getOrElse(Runtime.getRuntime.availableProcessors)
+
   def create(
-      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+      master: String = s"local[$cpus]",
       shufflePartitions: Option[Int] = None,
       appName: String = "graft"): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)

@@ -2,7 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Robustness contract (round 10's CORRECTNESS record came back as an
+  * empty `{}` after the suite grew to 101 entries):
+  *   - oracle_sql.json lands FIRST, before any query runs — if a
+  *     wall-clock budget kills the dump midway, everything already
+  *     dumped is still comparable (truncation, not a zeroed round);
+  *   - errors.json is rewritten after every failure, not once at exit;
+  *   - queries dump on a small worker pool (each is an independent
+  *     Spark job; temp dirs, memory-sink names and model caches are
+  *     all unique-or-concurrent-safe), cutting the dump wall so more
+  *     of any driver budget is left for the DuckDB compare.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -12,19 +24,6 @@ object Verify {
       if (args.length > 2) args(2).r.findFirstIn(_).isDefined else _ => true
     val spark = GraftSession.create(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
-    // a throwing query must leave a driver-visible artifact: a
-    // stderr-only failure once made 11 entries silently vanish from
-    // two rounds of CORRECTNESS reports
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        errors(name) =
-          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,12 +36,35 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val errJson = errors
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    def writeJson(path: String, kv: Iterable[(String, String)]): Unit =
+      Files.writeString(Paths.get(path),
+        kv.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    writeJson(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
+    // a throwing query must leave a driver-visible artifact: a
+    // stderr-only failure once made 11 entries silently vanish from
+    // two rounds of CORRECTNESS reports
+    val errors = scala.collection.concurrent.TrieMap.empty[String, String]
+    def flushErrors(): Unit = errors.synchronized {
+      writeJson(s"$outDir/errors.json", errors.toSeq.sortBy(_._1))
+    }
+    flushErrors()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val tasks = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => keep(kv._1)).map { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+              errors(name) =
+                s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+              flushErrors()
+            }
+        })
+      }
+    tasks.foreach(_.get())
+    pool.shutdown()
     spark.stop()
   }
 }

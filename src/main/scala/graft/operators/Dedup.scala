@@ -442,20 +442,27 @@ object Dedup {
     *
     * Shape at 100 TB: segmenting is scan-local (one `transform` over
     * the token array, no shuffle); the occurrence flag is a
-    * whole-partition count window over the segment text — ONE shuffle
-    * on seg, no join, and crucially no broadcast of the boilerplate
-    * set (which is NOT guaranteed small: an adversarial or
-    * near-duplicated corpus — ScaleBench's planted corpus at
-    * minOcc=2 — makes it O(corpus) distinct strings); the rebuild agg
-    * shuffles doc-keyed rows once. A pathologically hot segment
-    * concentrates its occurrences in one window partition — the same
-    * skew the count shuffle has under any formulation; AQE's skew
-    * handling and the segment's bounded byte size keep it a task-size
-    * issue, not a correctness one. Nothing is ever quadratic and no
-    * full text travels except doc-keyed segments.
+    * groupBy(seg) count — map-side partial combine, so a hot segment
+    * contributes ONE partial row per upstream task — joined back to
+    * the segment stream with t14's Zipf-head split. The hot segment
+    * is d09's COMMON case, not its pathological one: C4-style
+    * boilerplate (a cookie banner in 10% of a 100 TB corpus) is
+    * billions of occurrences of one key, and the count-window
+    * formulation this replaced funneled all of them through one
+    * unsplittable window partition (AQE cannot split a window
+    * partition; it CAN split the join's skewed shuffle). The top-
+    * [[hotF]] most frequent segments (provably <= hotF rows) join via
+    * broadcast — boilerplate mass never reaches an exchange; every
+    * residual key has cnt <= total/hotF with a 1-row build side,
+    * exactly the shape AQE skew-join splits. The boilerplate SET is
+    * never broadcast whole (NOT guaranteed small: ScaleBench's
+    * planted corpus at minOcc=2 makes it O(corpus) distinct strings)
+    * — only the bounded head is. The rebuild agg shuffles doc-keyed
+    * rows once. Nothing is ever quadratic and no full text travels
+    * except doc-keyed segments.
     */
   def segmentBoilerplate(docs: DataFrame, segTokens: Int = 3,
-      minOcc: Long = 3L): DataFrame = {
+      minOcc: Long = 3L, hotF: Int = 65536): DataFrame = {
     val seg = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= segTokens)
@@ -464,8 +471,24 @@ object Dedup {
            |  i -> concat_ws(' ', slice(t, i * $segTokens + 1, $segTokens)))"""
           .stripMargin)))
       .select(col("doc_id"), col("pos").as("idx"), col("col").as("seg"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("seg")
-    seg.withColumn("bp", count(lit(1)).over(w) >= minOcc)
+    val counts = seg.groupBy("seg").agg(count(lit(1)).as("cnt"))
+    // deterministic head boundary + ONE materialisation feeding both
+    // join sites (t14's lesson: two tie-arbitrary limit() evaluations
+    // can disagree on boundary membership under task retry)
+    val hot = counts.orderBy(col("cnt").desc, col("seg")).limit(hotF)
+      .localCheckpoint(true)
+    // head occurrences are anti-joined out BEFORE the cold shuffle;
+    // the cold side joins the FULL counts (surviving rows can't carry
+    // a head segment, and every segment has a count row, so the join
+    // is effectively inner)
+    seg.join(broadcast(hot), "seg")
+      .select(col("doc_id"), col("idx"), col("seg"), col("cnt"))
+      .unionByName(seg
+        .join(broadcast(hot.select("seg")), Seq("seg"), "left_anti")
+        .join(counts, Seq("seg"), "left")
+        .select(col("doc_id"), col("idx"), col("seg"),
+          coalesce(col("cnt"), lit(0L)).as("cnt")))
+      .withColumn("bp", col("cnt") >= minOcc)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("bp"), 1L).otherwise(0L)).as("n_boilerplate"),

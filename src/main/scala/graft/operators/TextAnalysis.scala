@@ -357,21 +357,44 @@ object TextAnalysis {
     * totals aggregated once (<= nBuckets rows, collected and
     * prefix-summed on the driver), then a per-bucket window adds the
     * broadcast bucket offset — every bucket scans in parallel and no
-    * task ever sees more than one bucket. At 100 TB the bucket count
-    * scales with the cluster, the driver state stays O(nBuckets).
+    * task ever sees more than one bucket. The driver state stays
+    * O(nBuckets).
+    *
+    * nBuckets <= 0 (the default) AUTO-SIZES from plan statistics so
+    * each bucket's window stays a bounded task (~[[PackBucketRows]]
+    * rows) at any corpus size — a fixed default would put corpus/64
+    * rows through each window task at 100 TB. The result is identical
+    * for ANY bucket count (spec-gated at several), so a stats
+    * estimate is safe; the floor is the session's shuffle parallelism
+    * so every core gets a bucket even on tiny inputs.
     *
     * Token counts are t02's whitespace tokens, so the oracle shares
     * the definition. All columns are BIGINT — hash-exact.
     */
+  val PackBucketRows = 65536L
+
   def sequencePack(docs: DataFrame, seqLen: Long = 256L,
-      nBuckets: Int = 64, idCol: String = "doc_id"): DataFrame = {
+      nBuckets: Int = 0, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val tc = docs.select(col(idCol),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val nb: Int = if (nBuckets > 0) nBuckets else {
+      // stats, never a count() job (bruteForceBlocked's sizing
+      // stance); without CBO rowCount fall back to bytes at ~1 KiB
+      // per document row — only the order of magnitude matters
+      val stats = docs.queryExecution.optimizedPlan.stats
+      val byRows = stats.rowCount
+        .map(n => (n.toLong + PackBucketRows - 1) / PackBucketRows)
+      val byBytes =
+        (stats.sizeInBytes / (PackBucketRows * 1024L)).min(1 << 24)
+      val p = spark.sessionState.conf.numShufflePartitions
+      math.max(byRows.getOrElse(byBytes.toLong).min(1 << 24).toInt, p)
+        .max(1)
+    }
     // contiguous id-range buckets: one tiny max() job fixes the span
     val maxId = tc.agg(max(col(idCol))).head().getLong(0)
-    val span = math.max(1L, (maxId + nBuckets) / nBuckets)
+    val span = math.max(1L, (maxId + nb) / nb)
     val bucketed = tc.withColumn("bucket", expr(s"$idCol div $span"))
     val totals = bucketed.groupBy("bucket").agg(sum("n_tok").as("tot"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
