@@ -63,6 +63,41 @@ object MultiVectorSearch {
     fuseRrf(perField, k, rrfK)
   }
 
+  /** WeightedRanker fusion over per-field CANDIDATE lists — the
+    * reference's ACTIVE multi-vector ranker
+    * (/root/reference/bigvectorbench/algorithms/milvus/module.py:439
+    * runs WeightedRanker(0.25, 0.25, 0.25, 0.25); the RRFRanker line
+    * sits commented out beside it at :438). Each frame carries
+    * (query_id, neighbor_id, score) with score = that field's cosine
+    * similarity (e.g. [[IvfIndex.search]] per field);
+    * fused(d) = sum_i w_i * sim_i(d), a field contributing 0 where d
+    * missed its list — the served-index semantics; with full
+    * per-field lists this degenerates to exactly [[weighted]] (the
+    * spec gate). Similarities pivot into fixed columns so the fused
+    * sum keeps ONE evaluation order (double addition is not
+    * associative — the oracle reproduces bit-identical scores).
+    * Fusion touches fields x Q x perFieldK rows, independent of base
+    * size.
+    */
+  def fuseWeighted(perField: Seq[DataFrame], k: Int,
+      weights: Seq[Double]): DataFrame = {
+    require(weights.length == perField.length)
+    val tagged = perField.zipWithIndex.map { case (df, i) =>
+      df.select(col("query_id"), col("neighbor_id"), col("score"),
+        lit(i).as("field"))
+    }.reduceLeft(_ unionAll _)
+    val simCols = perField.indices.map(i =>
+      max(when(col("field") === i, col("score"))).as(s"s$i"))
+    val pivoted = tagged.groupBy("query_id", "neighbor_id")
+      .agg(simCols.head, simCols.tail: _*)
+    val fused = perField.indices.map(i =>
+      coalesce(col(s"s$i"), lit(0.0)) * lit(weights(i)))
+      .reduceLeft(_ + _)
+    val scored = pivoted.select(
+      col("query_id"), fused.as("score"), col("neighbor_id").as("id"))
+    KnnSearch.topKOf(scored, k, asc = false)
+  }
+
   /** RRF-fuse per-field rank lists — each frame carries (query_id,
     * neighbor_id, rank), e.g. from [[KnnSearch.topKOf]] over a brute
     * scan (q07) or from an IVF probe per field (q49). Ranks pivot

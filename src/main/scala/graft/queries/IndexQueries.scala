@@ -651,9 +651,16 @@ object IndexQueries {
     * per-field scans are q20's 100 TB shape and the fusion cost is
     * independent of base size.
     */
-  def hybridIndex(s: SparkSession, dir: String): DataFrame = {
+  /** Per-field IVF cosine top-`perFieldK` lists over the 16-dim
+    * slices — the candidate generator both index-served hybrid
+    * rankers (q49 RRF, q51 weighted) fuse from. One sample-init IVF
+    * per field, memoised per dataset so the two rankers share the
+    * built indexes (the reference builds once and serves both).
+    */
+  private def mvFieldLists(s: SparkSession, dir: String,
+      perFieldK: Int, nprobe: Int): Seq[DataFrame] = {
     val emb = Tables.embeddings(s, dir)
-    val perField = (0 until MvFields).map { i =>
+    (0 until MvFields).map { i =>
       val sl = s"slice(embedding, ${i * MvDim + 1}, $MvDim)"
       val base = emb.filter(Split.isTrain(col("vec_id")))
         .select(col("vec_id").as("id"), expr(sl).as("vec"))
@@ -663,11 +670,31 @@ object IndexQueries {
         IvfIndex.sampleCentroids(base, "vec", NList)
       }
       val assigned = IvfIndex.assign(base, "vec", cents)
-      IvfIndex.search(assigned, queries, cents, HybridPerFieldK, NProbe,
+      IvfIndex.search(assigned, queries, cents, perFieldK, nprobe,
         VecMetric.Cosine)
     }
-    ranked(MultiVectorSearch.fuseRrf(perField, K))
   }
+
+  def hybridIndex(s: SparkSession, dir: String): DataFrame =
+    ranked(MultiVectorSearch.fuseRrf(
+      mvFieldLists(s, dir, HybridPerFieldK, NProbe), K))
+
+  /** The reference's ACTIVE hybrid ranker, WeightedRanker(0.25 x 4)
+    * (milvus/module.py:439 — q49's RRFRanker is the commented-out
+    * alternative at :438), served from the SAME per-field IVF indexes:
+    * per-field probed top-[[HybridPerFieldK]] cosine lists fused by
+    * sum_i 0.25 * sim_i, absent fields contributing 0. q06 is the
+    * brute-force twin; at nprobe == nlist with full per-field lists
+    * this equals q06 bit for bit (spec gate).
+    *
+    * Scale: identical to q49 — 4 probe joins (centroids broadcast,
+    * cells pruned) + a fusion over fields x Q x perFieldK rows whose
+    * cost is independent of base size.
+    */
+  def hybridWeighted(s: SparkSession, dir: String): DataFrame =
+    ranked(MultiVectorSearch.fuseWeighted(
+      mvFieldLists(s, dir, HybridPerFieldK, NProbe), K,
+      Seq.fill(MvFields)(0.25)))
 
   def nprobeSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -881,6 +908,7 @@ object IndexQueries {
     "q17_nprobe_sweep" -> (nprobeSweep _),
     "q45_param_grid" -> (paramGrid _),
     "q49_hybrid_index" -> (hybridIndex _),
+    "q51_hybrid_weighted" -> (hybridWeighted _),
     "q20_ivf_flat" -> (ivfFlat _),
     "q39_ivf_filtered" -> (ivfFiltered _),
     "q42_sq8_persisted" -> (ivfSq8Persisted _),
@@ -985,13 +1013,44 @@ object IndexQueries {
        |          row_number() OVER (PARTITION BY q.query_id
        |            ORDER BY list_distance(q.qv, c.cv), c.cluster) AS rn
        |   FROM q$i q CROSS JOIN c$i c) WHERE rn <= $NProbe),
-       |rk$i AS (SELECT query_id, neighbor_id, rank FROM (
+       |rk$i AS (SELECT query_id, neighbor_id, rank, sim FROM (
        |  SELECT q.query_id, a.id AS neighbor_id,
+       |         ${cosSql("q.qv", "a.v")} AS sim,
        |         row_number() OVER (PARTITION BY q.query_id
        |           ORDER BY ${cosSql("q.qv", "a.v")} DESC, a.id) AS rank
        |  FROM q$i q JOIN pr$i pr ON pr.query_id = q.query_id
        |         JOIN asg$i a ON a.cluster = pr.cluster)
        |  WHERE rank <= $HybridPerFieldK)""".stripMargin
+  }
+
+  /** q51 oracle: q49's per-field IVF CTEs, fused by the WeightedRanker
+    * sum in fixed field order (COALESCE(sim, 0) * 0.25 terms,
+    * left-associated addition — matches Spark's evaluation order, so
+    * fused doubles are bit-identical).
+    */
+  private val q51Sql: String = {
+    val ctes = (0 until MvFields).map(mvIvfCte).mkString(",\n")
+    val union = (0 until MvFields)
+      .map(i => s"SELECT query_id, neighbor_id, sim, $i AS field FROM rk$i")
+      .mkString("\nUNION ALL\n")
+    val simPiv = (0 until MvFields)
+      .map(i => s"max(CASE WHEN field = $i THEN sim END) AS s$i")
+      .mkString(", ")
+    val fusedSum = (0 until MvFields)
+      .map(i => s"COALESCE(s$i, 0.0) * 0.25")
+      .mkString(" + ")
+    s"""WITH $ctes,
+       |u AS ($union),
+       |piv AS (SELECT query_id, neighbor_id, $simPiv
+       |        FROM u GROUP BY query_id, neighbor_id),
+       |f AS (SELECT query_id, neighbor_id,
+       |             $fusedSum AS score FROM piv)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM f)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
   private val q49Sql: String = {
@@ -1722,6 +1781,7 @@ object IndexQueries {
     "q17_nprobe_sweep" -> q17Sql,
     "q45_param_grid" -> q45Sql,
     "q49_hybrid_index" -> q49Sql,
+    "q51_hybrid_weighted" -> q51Sql,
     "q28_ivf_upsert" -> q28Sql,
     // identical semantics to q28 — only the storage differs
     "q29_ivf_upsert_persisted" -> q28Sql,

@@ -458,6 +458,52 @@ class IndexSpec extends AnyFunSuite {
     assert(full == brute, s"diff ${full.diff(brute).take(5)}")
   }
 
+  test("q51 weighted ranker at nprobe = nlist with full lists reproduces brute-force q06 exactly") {
+    // with every cell probed AND per-field lists covering the whole
+    // train split, every candidate carries all four true sims, so
+    // WeightedRanker fusion == q06's full weighted scan bit for bit —
+    // the gate that the served path's pivot/coalesce/fusion is
+    // lossless (the reference's ACTIVE ranker, milvus/module.py:439)
+    val emb = Tables.embeddings(spark, sf001)
+    import graft.queries.IndexQueries.{MvFields, MvDim}
+    val perField = (0 until MvFields).map { i =>
+      val sl = s"slice(embedding, ${i * MvDim + 1}, $MvDim)"
+      val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+        .select(col("vec_id").as("id"), expr(sl).as("vec"))
+      val qs = emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
+        .select(col("vec_id").as("query_id"), expr(sl).as("qvec"))
+      val cents = IvfIndex.sampleCentroids(base, "vec", 16)
+      IvfIndex.search(IvfIndex.assign(base, "vec", cents), qs, cents,
+        k = 10000, nprobe = 16, VecMetric.Cosine)
+    }
+    val full = MultiVectorSearch
+      .fuseWeighted(perField, 10, Seq.fill(MvFields)(0.25)).collect()
+      .map(r => (r.getAs[Number]("query_id").longValue,
+        r.getAs[Number]("rank").longValue,
+        r.getAs[Number]("neighbor_id").longValue)).toSet
+    val brute = SparkEntry.queries("q06_multi_vector")(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[Number]("query_id").longValue,
+        r.getAs[Number]("rank").longValue,
+        r.getAs[Number]("neighbor_id").longValue)).toSet
+    assert(full == brute, s"diff ${full.diff(brute).take(5)}")
+  }
+
+  test("q51 weighted-on-index/brute q06 agreement >= 0.40 at nprobe=6/16 (measured 0.48 held-out)") {
+    // lower floor than q49's RRF twin by nature: a candidate missing
+    // ONE field's probed list loses that field's whole sim (RRF only
+    // loses a bounded 1/(60+r) term), so weighted fusion is more
+    // sensitive to probe misses at the same nprobe
+    val served = SparkEntry.queries("q51_hybrid_weighted")(spark, sf001)
+      .select("query_id", "neighbor_id")
+    val brute = SparkEntry.queries("q06_multi_vector")(spark, sf001)
+      .select("query_id", "neighbor_id")
+    val denom = brute.count().toDouble
+    val agree = served.intersect(brute).count().toDouble / denom
+    info(f"weighted index/brute agreement: $agree%.2f")
+    assert(agree >= 0.40, s"agreement $agree")
+  }
+
   test("q49 hybrid-on-index/brute q07 agreement >= 0.55 at nprobe=6/16 (measured 0.66 held-out)") {
     val served = SparkEntry.queries("q49_hybrid_index")(spark, sf001)
       .select("query_id", "neighbor_id")
