@@ -58,10 +58,30 @@ object Bench {
         name -> (if (samples.forall(_._1)) Right(samples.minBy(_._2))
                  else Left("err"))
       }
-    // 3-decimal (ms) precision keeps the one-line JSON short enough to
-    // survive the driver's output-tail capture intact
+    // The driver records only the LAST 2,000 chars of stdout, and the
+    // 102 full query names alone are ~1.7 KB — a full-name one-liner
+    // CANNOT fit (r10/r11 both lost their queries maps to exactly this
+    // truncation). So the official record is split three ways:
+    //   - target/bench.json: the COMPLETE record (full names, 3-decimal
+    //     walls, per-query gc_ms, cpus) — survives any capture window;
+    //   - stderr: the same complete record, for interactive runs;
+    //   - stdout: ONE final compact line, ~1.3 KB at 102 queries, keyed
+    //     by each query's unique pre-underscore code (q19 =
+    //     q19_graph_search, d09 = d09_segment_dedup, ...; suite codes
+    //     are unique by construction and asserted below). Nothing else
+    //     is ever printed to stdout, so the captured tail IS the line.
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map {
+    def fmt2(v: Double): String = f"$v%.2f"
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    // collision would silently merge two timings; full names still fit
+    // nothing, so fail loudly instead
+    require(shortKeys.distinct.length == shortKeys.length,
+      "non-unique short query codes: " + shortKeys.diff(shortKeys.distinct))
+    val qsShort = shortKeys.zip(results).map {
+      case (sk, (_, Right((_, w, _)))) => s"\"" + sk + "\":" + fmt2(w)
+      case (sk, (_, Left(_)))          => s"\"" + sk + "\":\"err\""
+    }.mkString("{", ",", "}")
+    val qsFull = results.map {
       case (k, Right((_, w, _))) => s"\"" + k + "\":" + fmt(w)
       case (k, Left(_))          => s"\"" + k + "\":\"err\""
     }.mkString("{", ",", "}")
@@ -71,7 +91,20 @@ object Bench {
     val good = results.collect { case (_, Right((_, w, _))) => w }
     val failed = results.count(_._2.isLeft)
     val total = if (good.nonEmpty) good.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":${GraftSession.cpus},"queries":$qs,"gc_ms":$gcs,"failed":$failed,"sf":"$sfDir"}""")
+    val fullRecord = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":${GraftSession.cpus},"queries":$qsFull,"gc_ms":$gcs,"failed":$failed,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench.json"), fullRecord + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write target/bench.json: $e")
+    }
+    System.err.println(fullRecord)
+    val line = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpus":${GraftSession.cpus},"queries":$qsShort,"failed":$failed,"sf":"$sfDir"}"""
+    if (line.length > 1900) // belt-and-braces: never regress the record
+      System.err.println(s"bench: WARNING final line ${line.length} chars " +
+        "exceeds the 1900 budget; the driver tail-capture may truncate it")
+    println(line)
     spark.stop()
     // a nonzero failure count is a broken engine, not a fast one
     if (failed > 0) sys.exit(1)

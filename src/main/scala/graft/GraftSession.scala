@@ -19,8 +19,12 @@ object GraftSession {
     * default is now the machine, and harness JSON lines print this
     * value so each record carries the master it actually ran on.
     */
-  def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
-    .getOrElse(Runtime.getRuntime.availableProcessors)
+  def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS") match {
+    case Some(v) => v.trim.toIntOption.filter(_ > 0).getOrElse(
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_CPUS must be a positive integer, got '$v'"))
+    case None => Runtime.getRuntime.availableProcessors
+  }
 
   def create(
       master: String = s"local[$cpus]",

@@ -44,8 +44,14 @@ object Verify {
     // stderr-only failure once made 11 entries silently vanish from
     // two rounds of CORRECTNESS reports
     val errors = scala.collection.concurrent.TrieMap.empty[String, String]
+    // flush must never throw out of a worker's catch block: an IO
+    // failure here would propagate through get() below and skip the
+    // pool shutdown, leaving non-daemon threads pinning the JVM
     def flushErrors(): Unit = errors.synchronized {
-      writeJson(s"$outDir/errors.json", errors.toSeq.sortBy(_._1))
+      try writeJson(s"$outDir/errors.json", errors.toSeq.sortBy(_._1))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] errors.json write failed: $e")
+      }
     }
     flushErrors()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
@@ -63,8 +69,13 @@ object Verify {
             }
         })
       }
-    tasks.foreach(_.get())
-    pool.shutdown()
-    spark.stop()
+    // finally-guarded: whatever a task throws, the pool's non-daemon
+    // threads must not outlive the dump (a hung JVM here burns the
+    // driver's whole wall-clock budget before its external timeout)
+    try tasks.foreach(_.get())
+    finally {
+      pool.shutdownNow()
+      spark.stop()
+    }
   }
 }

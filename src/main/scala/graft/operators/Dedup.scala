@@ -471,6 +471,12 @@ object Dedup {
            |  i -> concat_ws(' ', slice(t, i * $segTokens + 1, $segTokens)))"""
           .stripMargin)))
       .select(col("doc_id"), col("pos").as("idx"), col("col").as("seg"))
+    // counts is DELIBERATELY re-evaluated at its two consumers (the
+    // hot-head TakeOrdered below and the cold-side join): caching it
+    // would pin O(distinct segments) rows — unbounded at corpus scale
+    // — for the whole query, while the recompute costs one extra
+    // scan-local segment pass + map-side-combined agg, both
+    // embarrassingly parallel. Scan twice, never hold.
     val counts = seg.groupBy("seg").agg(count(lit(1)).as("cnt"))
     // deterministic head boundary + ONE materialisation feeding both
     // join sites (t14's lesson: two tie-arbitrary limit() evaluations

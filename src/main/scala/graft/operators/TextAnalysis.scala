@@ -383,13 +383,21 @@ object TextAnalysis {
       // stats, never a count() job (bruteForceBlocked's sizing
       // stance); without CBO rowCount fall back to bytes at ~1 KiB
       // per document row — only the order of magnitude matters
+      // cap 1<<20: bounds the driver's totals collect to ~1M (bucket,
+      // tot) tuples (~16 MB) even when sizeInBytes is wildly inflated
+      // (join-derived plans multiply size estimates). Stated ceiling:
+      // 2^20 buckets x 65,536 rows/bucket ~ 6.9e10 docs before a
+      // bucket's window grows past PackBucketRows — beyond that the
+      // prefix sum would need a second level (buckets-of-buckets);
+      // documented contract, not built, until a corpus needs it.
+      val cap = 1 << 20
       val stats = docs.queryExecution.optimizedPlan.stats
       val byRows = stats.rowCount
         .map(n => (n.toLong + PackBucketRows - 1) / PackBucketRows)
       val byBytes =
-        (stats.sizeInBytes / (PackBucketRows * 1024L)).min(1 << 24)
+        (stats.sizeInBytes / (PackBucketRows * 1024L)).min(cap)
       val p = spark.sessionState.conf.numShufflePartitions
-      math.max(byRows.getOrElse(byBytes.toLong).min(1 << 24).toInt, p)
+      math.max(byRows.getOrElse(byBytes.toLong).min(cap).toInt, p)
         .max(1)
     }
     // contiguous id-range buckets: one tiny max() job fixes the span
