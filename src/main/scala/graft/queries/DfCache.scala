@@ -19,10 +19,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     (e.g. "idx:assigned") when the plan is not the canonical one.
   */
 private[queries] object DfCache {
+  // lazy holder: TrieMap.getOrElseUpdate may race two builders under
+  // Verify's worker pool — both threads then .cache()'d their own
+  // frame and the loser leaked an orphan cache entry. The map now
+  // races only on the (cheap) holder; the winning holder's lazy val
+  // is what every caller forces, so the builder body runs AT MOST
+  // ONCE per key. Builders whose side effect targets a FIXED external
+  // location (saveAsTable paths etc.) additionally rely on this
+  // at-most-once guarantee — keep them behind this memo.
+  private final class Memo(f: () => DataFrame) {
+    lazy val df: DataFrame = f().cache()
+  }
   private val m = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+    .empty[(SparkSession, String, String), Memo]
 
   def apply(s: SparkSession, dir: String, kind: String)(
       f: => DataFrame): DataFrame =
-    m.getOrElseUpdate((s, dir, kind), f.cache())
+    m.getOrElseUpdate((s, dir, kind), new Memo(() => f)).df
 }

@@ -195,8 +195,11 @@ object EmbeddingQueries {
     "e05_reduced_search" -> (reducedSearch _)
   )
 
-  /** Shared vocab CTEs (tokenize, tf, df, top-VocabSize vocab). */
-  private val vocabCte =
+  /** Shared vocab CTEs (tokenize, tf, df, top-VocabSize vocab).
+    * Reused by IndexQueries' m05_mm_ann oracle (the modal query frame
+    * is built from this exact vocabulary).
+    */
+  private[queries] val vocabCte =
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
        |        FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

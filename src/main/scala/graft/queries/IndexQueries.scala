@@ -44,11 +44,18 @@ object IndexQueries {
     * serves). Memoise per (dataset, kind) so q12/q20/q21/q22/q26
     * share one sampled-centroid set instead of re-collecting it.
     */
+  // lazy holders (DfCache's discipline): the TrieMap races only on
+  // the holder, the winner's lazy val runs the builder at most once —
+  // under Verify's worker pool a bare getOrElseUpdate double-built
+  // index models (wasted work; a hazard for builders writing to fixed
+  // temp paths).
+  private final class Model(f: () => AnyRef) { lazy val v: AnyRef = f() }
   private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), AnyRef]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Model]
 
   private def cached[T <: AnyRef](dir: String, kind: String)(f: => T): T =
-    modelCache.getOrElseUpdate((dir, kind), f).asInstanceOf[T]
+    modelCache.getOrElseUpdate((dir, kind), new Model(() => f))
+      .v.asInstanceOf[T]
 
   /** Held-out evaluation ([[Split]], the reference's train_test_split
     * contract): indexes are built over the train split only and the
@@ -901,8 +908,62 @@ object IndexQueries {
       .orderBy("query_id")
   }
 
+  /** m05: the runner's fourth and last dataset type, mm-ann (reference
+    * runner.py:395-402 — `modal_test` is a FOREIGN query frame of the
+    * SAME dimension, served through the identical single_query path as
+    * the base modality). The in-repo foreign modality is the documents
+    * table embedded by e01's deterministic TF-IDF pipeline, folded
+    * dense to the embeddings table's [[EmbeddingQueries.InD]] dims
+    * (vocab rank mod dim, exact integer tf sums — engine-portable);
+    * the served side is EXACTLY q20's IVF index: same memoised
+    * sample-init centroids, same assignment, same probe join. The gate:
+    * a query frame that never came from the indexed table runs the
+    * unmodified search path and hash-matches the oracle.
+    *
+    * Scale shape: the vocab is the (already shared/cached) corpus
+    * term-count aggregate; the modal frame itself is Q rows — its
+    * fold/groupBy touches only the Q query docs (filter below the
+    * join), and the frame broadcasts through probedQueries like every
+    * other query workload. The rank window runs over the 256-row vocab
+    * only — bounded by [[EmbeddingQueries.VocabSize]], never by data.
+    */
+  val MmNQ = 5
+
+  def mmAnn(s: SparkSession, dir: String): DataFrame = {
+    val (base, _) = baseAndQueries(s, dir)
+    val cents = sampleCents(s, dir)
+    val assigned = IvfIndex.assign(base, "vec", cents)
+    val docs = Tables.documents(s, dir)
+    val tc = DfCache(s, dir, "termCounts")(EmbeddingGen.termCounts(docs))
+    val dim = EmbeddingQueries.InD
+    val vw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("term"))
+    val vr = EmbeddingGen.vocab(tc, EmbeddingQueries.VocabSize)
+      .withColumn("r", row_number().over(vw))
+    val folded = tc.filter(Split.isQuery(col("doc_id"), MmNQ))
+      .join(broadcast(vr), "term")
+      .groupBy(col("doc_id"),
+        ((col("r") - 1) % dim).cast("int").as("dim"))
+      .agg(sum("tf").as("s"))
+      .groupBy("doc_id")
+      .agg(map_from_arrays(collect_list(col("dim")),
+        collect_list(col("s"))).as("m"))
+    // left join from the doc table: a query doc with zero vocab terms
+    // still queries (as the all-zeros vector) instead of vanishing
+    val mq = docs.filter(Split.isQuery(col("doc_id"), MmNQ))
+      .select("doc_id")
+      .join(folded, Seq("doc_id"), "left")
+      .select(col("doc_id").as("query_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          d => coalesce(element_at(col("m"), d.cast("int")), lit(0L))
+            .cast("double")).as("qvec"))
+    ranked(IvfIndex.search(assigned, mq, cents, K, NProbe,
+      VecMetric.Euclidean))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a06_index_build_metrics" -> (indexBuildMetrics _),
+    "m05_mm_ann" -> (mmAnn _),
     "q12_recall_at_k" -> (recallAtK _),
     "q16_bin_ivf" -> (binIvfFlat _),
     "q17_nprobe_sweep" -> (nprobeSweep _),
@@ -937,11 +998,14 @@ object IndexQueries {
 
   private val ivfCte: String = ivfCteNp(NProbe)
 
-  private def ivfCteNp(nprobe: Int): String =
+  // qBody: the query-frame SELECT — overridable so a FOREIGN modal
+  // frame (m05) rides the identical b/c/asg/pr search CTEs q20 uses
+  private def ivfCteNp(nprobe: Int, qBody: String =
+      s"SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv " +
+        s"FROM embeddings WHERE $qPred"): String =
     s"""b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
        |      FROM embeddings WHERE $bPred),
-       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-       |      FROM embeddings WHERE $qPred),
+       |q AS ($qBody),
        |c AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, v AS cv
        |      FROM (SELECT id, v FROM b ORDER BY id LIMIT $NList)),
        |asg AS (SELECT id, v, cluster FROM (
@@ -966,6 +1030,30 @@ object IndexQueries {
 
   private val ivfFlatSql: String =
     s"WITH $ivfCte\n$ivfFlatSelect ORDER BY query_id, rank"
+
+  /** m05 oracle: e01's vocab CTEs -> rank -> folded dense modal frame,
+    * then q20's exact IVF CTEs with the q leg swapped for the modal
+    * frame (the same swap the Spark side performs).
+    */
+  private val mmAnnSql: String = {
+    val dim = EmbeddingQueries.InD
+    val mqPred = Split.querySql("doc_id", MmNQ)
+    s"""WITH ${EmbeddingQueries.vocabCte},
+       |vr AS (SELECT term, row_number() OVER (ORDER BY df DESC, term) AS r
+       |       FROM voc),
+       |md AS (SELECT tf.doc_id, CAST((vr.r - 1) % $dim AS BIGINT) AS dim,
+       |              CAST(sum(tf.tf) AS DOUBLE) AS s
+       |       FROM tf JOIN vr USING (term)
+       |       WHERE $mqPred GROUP BY 1, 2),
+       |mq AS (SELECT dq.doc_id AS query_id,
+       |              list(COALESCE(md.s, 0.0) ORDER BY d.dim) AS qv
+       |       FROM (SELECT doc_id FROM documents WHERE $mqPred) dq
+       |       CROSS JOIN (SELECT unnest(range(0, $dim)) AS dim) d
+       |       LEFT JOIN md ON md.doc_id = dq.doc_id AND md.dim = d.dim
+       |       GROUP BY 1),
+       |${ivfCteNp(NProbe, "SELECT query_id, qv FROM mq")}
+       |$ivfFlatSelect ORDER BY query_id, rank""".stripMargin
+  }
 
   private val ivfFilteredSql: String =
     s"""WITH ${ivfCteNp(FilteredNProbe)},
@@ -1788,6 +1876,7 @@ object IndexQueries {
     "q12_recall_at_k" -> recallSql,
     "q19_graph_search" -> q19Sql,
     "q20_ivf_flat" -> ivfFlatSql,
+    "m05_mm_ann" -> mmAnnSql,
     "q39_ivf_filtered" -> ivfFilteredSql,
     "q21_ivf_pq" -> ivfPqSql,
     "q46_scann_aniso" -> q46Sql,

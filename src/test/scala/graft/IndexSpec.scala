@@ -567,6 +567,23 @@ class IndexSpec extends AnyFunSuite {
       s"filtered-IVF recall ${hits.toDouble / exact.size}")
   }
 
+  test("m05 mm-ann: foreign modal frame serves through q20's index path") {
+    import graft.queries.{IndexQueries => IQ}
+    val rows = IQ.mmAnn(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 5 modal query docs (doc ids 0,10,..,40), full top-K each
+    assert(rows.map(_._1).distinct.sorted.toSeq ==
+      (0 until IQ.MmNQ).map(_ * 10L))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to IQ.K).toSeq,
+        s"query $q ranks not 1..${IQ.K}")
+    }
+    // every neighbor comes from the TRAIN split of the embeddings
+    // table — the foreign frame queried the indexed modality, and
+    // no test-split row leaked into the served index
+    assert(rows.forall(_._3 % 10 != 0), "non-train neighbor id served")
+  }
+
   test("a06 memory leg: every float-vector build records a positive heap peak") {
     import graft.queries.{IndexQueries => IQ}
     IQ.lastBuildReadings.clear()
