@@ -323,8 +323,59 @@ object AnalyticsQueries {
       .orderBy("op")
   }
 
+  /** a13: the runner's per-ANN-QUERY latency series — the metric leg
+    * a12 covers for mutations (reference runner.py:24-117
+    * run_individual_query → results.py store_results: each query
+    * vector served ONE AT A TIME through the single-query path, its
+    * wall recorded, percentiles stored). Here the [[A13NQ]] held-out
+    * query vectors run one-by-one through VectorCollection.query
+    * (the reference's single-vector serving call) against the built
+    * IVF collection. Latencies are wall-clock — no SQL oracle by
+    * nature (a12's contract) — so the DETERMINISTIC effect rides
+    * along instead: total returned hits and the neighbor-id checksum
+    * over the whole workload, asserted exactly in AnalyticsSpec
+    * against an independent batchQuery of the same frame.
+    */
+  val A13NQ = 16
+
+  def annQueryLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val coll = new graft.operators.VectorCollection(s, base)
+    coll.createIndex()
+    // the gated workload: first A13NQ held-out test vectors, in id
+    // order — the series is positionally deterministic even though
+    // the recorded walls are not
+    val qs = emb.filter(Split.isQuery(col("vec_id"), A13NQ))
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val k = 10
+    var hits = 0L
+    var ck = 0L
+    val walls = qs.map { case (_, v) =>
+      val t0 = System.nanoTime()
+      val res = coll.query(v, k)
+      val w = System.nanoTime() - t0
+      hits += res.length
+      ck += res.sum
+      w
+    }
+    def pct(ns: Array[Long], q: Double): Long = {
+      val srt = ns.sorted
+      srt(math.min(srt.length - 1,
+        math.ceil(q * srt.length).toInt - 1).max(0)) / 1000
+    }
+    Seq(("single_query", walls.length.toLong, pct(walls, 0.5),
+      pct(walls, 0.95), pct(walls, 0.99), walls.max / 1000, hits, ck))
+      .toDF("op", "n_ops", "p50_us", "p95_us", "p99_us", "max_us",
+        "total_hits", "id_checksum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a12_mutation_latency" -> (mutationLatency _),
+    "a13_ann_query_latency" -> (annQueryLatency _),
     "a04_join_agg" -> (joinAgg _),
     "a05_json_extract" -> (jsonExtract _),
     "q30_upsert_batch" -> (upsertBatch _),

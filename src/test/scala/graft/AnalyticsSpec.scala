@@ -145,4 +145,31 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(p99 < 100000, s"p99 ${p99}us — append is not O(op bytes)")
     }
   }
+
+  test("a13 per-query ANN latencies: exact post-state, sane percentiles") {
+    import graft.queries.{AnalyticsQueries, Split}
+    import graft.operators.{IvfIndex, VecMetric}
+    val got = SparkEntry.queries("a13_ann_query_latency")(spark, sf).collect()
+    assert(got.length == 1 && got(0).getString(0) == "single_query")
+    val r = got(0)
+    assert(r.getLong(1) == AnalyticsQueries.A13NQ)
+    val (p50, p95, p99, mx) =
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(p50 > 0 && p50 <= p95 && p95 <= p99 && p99 <= mx,
+      s"percentiles not ordered: $p50 $p95 $p99 $mx")
+    // deterministic effect recomputed independently through the BATCH
+    // path (IvfIndex composed directly — not VectorCollection): same
+    // base split, same sample centroids, same nlist/nprobe/k
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = emb.filter(Split.isQuery(col("vec_id"), AnalyticsQueries.A13NQ))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cents = IvfIndex.sampleCentroids(base, "vec", 16)
+    val ids = IvfIndex.search(IvfIndex.assign(base, "vec", cents), qs,
+      cents, 10, 6, VecMetric.Euclidean)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(r.getLong(6) == ids.length, s"total_hits ${r.getLong(6)}")
+    assert(r.getLong(7) == ids.sum, s"id_checksum ${r.getLong(7)}")
+  }
 }
