@@ -17,12 +17,25 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: only dump queries whose name matches the
-    // regex (iteration aid; the driver always calls with two args)
-    val keep: String => Boolean =
-      if (args.length > 2) args(2).r.findFirstIn(_).isDefined else _ => true
     val spark = GraftSession.create(appName = "graft-verify")
+    try run(spark, args(0), args(1),
+      if (args.length > 2) Some(args(2)) else None)
+    finally spark.stop()
+  }
+
+  /** The dump body, session-in / session-out — callable from specs
+    * (VerifySpec gates the robustness contract itself: oracle_sql
+    * lands first, errors.json always exists and parses) without the
+    * main()'s session stop killing the shared test session.
+    *
+    * `shard`: only dump queries whose name matches the regex
+    * (iteration aid; the driver always calls with two args).
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      shard: Option[String]): Unit = {
+    val keep: String => Boolean =
+      shard.map(r => (n: String) => r.r.findFirstIn(n).isDefined)
+        .getOrElse(_ => true)
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -73,9 +86,6 @@ object Verify {
     // threads must not outlive the dump (a hung JVM here burns the
     // driver's whole wall-clock budget before its external timeout)
     try tasks.foreach(_.get())
-    finally {
-      pool.shutdownNow()
-      spark.stop()
-    }
+    finally pool.shutdownNow()
   }
 }
