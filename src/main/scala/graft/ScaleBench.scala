@@ -71,11 +71,19 @@ object ScaleBench {
     }
     // t11 at generated scale: two-level prefix sum over variable-width
     // docs; 256 buckets ⇒ no task ever windows more than n/256 rows
+    def packDocs = spark.range(n).select(col("id").as("doc_id"),
+      expr("repeat('w ', cast(id % 50 + 1 as int))").as("text"))
     timed("sequence_pack") {
-      val docs = spark.range(n).select(col("id").as("doc_id"),
-        expr("repeat('w ', cast(id % 50 + 1 as int))").as("text"))
       graft.operators.TextAnalysis
-        .sequencePack(docs, 2048L, nBuckets = 256).count()
+        .sequencePack(packDocs, 2048L, nBuckets = 256).count()
+    }
+    // nBuckets=0 AUTO-SIZING at scale (the production default): bucket
+    // count derives from plan stats (~65,536 rows/bucket), so the wall
+    // must track sequence_pack above at any n — a fixed count would
+    // either starve cores (small n) or blow window tasks (large n)
+    timed("sequence_pack_auto") {
+      graft.operators.TextAnalysis
+        .sequencePack(packDocs, 2048L, nBuckets = 0).count()
     }
 
     // planted-near-dup corpus (pure projections — any n): 32-token
@@ -155,6 +163,23 @@ object ScaleBench {
     // segment-count shuffle + per-doc rebuild, nothing pairwise
     timed("segment_dedup") {
       operators.Dedup.segmentBoilerplate(plantedDocs, 3, 2L).count()
+    }
+    // d09's HOT-KEY failure mode, planted explicitly: ONE segment (a
+    // corpus-wide cookie banner) occurs in 20% of all docs; every
+    // other segment is unique. Pre-fix this put 0.2n rows through a
+    // single count-window task (the straggler the round-11 rebuild
+    // killed); post-fix the head broadcast absorbs the hot key before
+    // any exchange, so the wall must stay within a small factor of
+    // segment_dedup above and show no single-task straggler.
+    timed("segment_dedup_hot") {
+      val hotDocs = spark.range(n).select(col("id").as("doc_id"))
+        .withColumn("text", concat_ws(" ",
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("hot0 hot1 hot2"))
+            .otherwise(expr(
+              "concat('u', doc_id * 3, ' u', doc_id * 3 + 1, ' u', doc_id * 3 + 2)")),
+          expr(
+            "concat('v', doc_id * 7, ' v', doc_id * 7 + 1, ' v', doc_id * 7 + 2)")))
+      operators.Dedup.segmentBoilerplate(hotDocs, 3, 2L).count()
     }
     // t13 at generated scale: a FIXED 200-doc eval slice against the
     // n-doc corpus — eval windows broadcast (bounded by construction),
