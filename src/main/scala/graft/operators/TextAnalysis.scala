@@ -352,13 +352,21 @@ object TextAnalysis {
     *
     * The global offset is an ordered prefix sum, which a naive
     * `Window.orderBy(doc_id)` would funnel through ONE task. Here it
-    * is the classic two-level distributed scan: contiguous id-range
-    * buckets (order-preserving by construction), per-bucket token
-    * totals aggregated once (<= nBuckets rows, collected and
-    * prefix-summed on the driver), then a per-bucket window adds the
-    * broadcast bucket offset — every bucket scans in parallel and no
-    * task ever sees more than one bucket. The driver state stays
-    * O(nBuckets).
+    * is the classic distributed scan: contiguous id-range buckets
+    * (order-preserving by construction), per-bucket token totals
+    * aggregated once and prefix-summed, then a per-bucket window adds
+    * the bucket offset — every bucket scans in parallel and no task
+    * ever sees more than one bucket. Up to [[DriverPrefixBuckets]]
+    * buckets the totals are collected and prefix-summed on the driver
+    * (one tiny broadcast); above that the prefix sum itself goes
+    * two-level — superbuckets of [[DriverPrefixBuckets]] buckets,
+    * driver holds ONLY the superbucket totals (<= 4096 tuples at the
+    * bucket cap), per-superbucket windows fill in the bucket offsets,
+    * and the corpus joins the offsets by shuffle. That join adds NO
+    * corpus exchange: the per-bucket window repartitions on `bucket`
+    * anyway, so the shuffle-join and the broadcast-join plans move
+    * the corpus exactly once either way. Driver state is therefore
+    * O(min(nBuckets, 4096) + nBuckets/4096) — bounded at any corpus.
     *
     * nBuckets <= 0 (the default) AUTO-SIZES from plan statistics so
     * each bucket's window stays a bounded task (~[[PackBucketRows]]
@@ -373,6 +381,12 @@ object TextAnalysis {
     */
   val PackBucketRows = 65536L
 
+  /** Bucket-count threshold below which the bucket prefix sum runs on
+    * the driver (one collect + broadcast); above it the prefix sum
+    * goes two-level and the driver holds only superbucket totals.
+    */
+  val DriverPrefixBuckets = 4096
+
   def sequencePack(docs: DataFrame, seqLen: Long = 256L,
       nBuckets: Int = 0, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
@@ -382,15 +396,13 @@ object TextAnalysis {
     val nb: Int = if (nBuckets > 0) nBuckets else {
       // stats, never a count() job (bruteForceBlocked's sizing
       // stance); without CBO rowCount fall back to bytes at ~1 KiB
-      // per document row — only the order of magnitude matters
-      // cap 1<<20: bounds the driver's totals collect to ~1M (bucket,
-      // tot) tuples (~16 MB) even when sizeInBytes is wildly inflated
-      // (join-derived plans multiply size estimates). Stated ceiling:
-      // 2^20 buckets x 65,536 rows/bucket ~ 6.9e10 docs before a
-      // bucket's window grows past PackBucketRows — beyond that the
-      // prefix sum would need a second level (buckets-of-buckets);
-      // documented contract, not built, until a corpus needs it.
-      val cap = 1 << 20
+      // per document row — only the order of magnitude matters.
+      // cap 1<<24: with the two-level prefix sum the driver holds at
+      // most DriverPrefixBuckets superbucket tuples, so the cap only
+      // bounds the (trivial) totals shuffle; ceiling 2^24 x 65,536
+      // ~ 1.1e12 docs before a bucket's window outgrows
+      // PackBucketRows — add a third level if a corpus ever does.
+      val cap = 1 << 24
       val stats = docs.queryExecution.optimizedPlan.stats
       val byRows = stats.rowCount
         .map(n => (n.toLong + PackBucketRows - 1) / PackBucketRows)
@@ -404,13 +416,35 @@ object TextAnalysis {
     val maxId = tc.agg(max(col(idCol))).head().getLong(0)
     val span = math.max(1L, (maxId + nb) / nb)
     val bucketed = tc.withColumn("bucket", expr(s"$idCol div $span"))
-    val totals = bucketed.groupBy("bucket").agg(sum("n_tok").as("tot"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.scanLeft((0L, 0L)) { case ((_, acc), (b, t)) =>
-      (b, acc + t)
-    }.tail.zip(totals).map { case ((b, cum), (_, t)) => (b, cum - t) }
-    val offDf = broadcast(offsets.toSeq.toDF("bucket", "bucket_off"))
+    val totalsDf = bucketed.groupBy("bucket").agg(sum("n_tok").as("tot"))
     import org.apache.spark.sql.expressions.Window
+    // driver-side prefix sum over long pairs, shared by both paths
+    def prefix(ts: Array[(Long, Long)]): Array[(Long, Long)] = {
+      val s = ts.sortBy(_._1)
+      s.scanLeft((0L, 0L)) { case ((_, acc), (k, t)) => (k, acc + t) }
+        .tail.zip(s).map { case ((k, cum), (_, t)) => (k, cum - t) }
+    }
+    val offDf: DataFrame =
+      if (nb <= DriverPrefixBuckets) {
+        val offsets = prefix(totalsDf.collect()
+          .map(r => (r.getLong(0), r.getLong(1))))
+        broadcast(offsets.toSeq.toDF("bucket", "bucket_off"))
+      } else {
+        // two-level: driver prefix over <= nb/4096 superbucket totals,
+        // per-superbucket windows (<= 4096 rows each) fill in bucket
+        // offsets; left UNhinted — AQE may still broadcast small nb
+        val sbSpan = DriverPrefixBuckets.toLong
+        val t2 = totalsDf.withColumn("sb", expr(s"bucket div $sbSpan"))
+        val sbOff = prefix(t2.groupBy("sb").agg(sum("tot").as("stot"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+        val sbOffDf = broadcast(sbOff.toSeq.toDF("sb", "sb_off"))
+        val wb = Window.partitionBy("sb").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t2.join(sbOffDf, "sb")
+          .withColumn("bucket_off",
+            col("sb_off") + coalesce(sum("tot").over(wb), lit(0L)))
+          .select("bucket", "bucket_off")
+      }
     val w = Window.partitionBy("bucket").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed.join(offDf, "bucket")

@@ -289,9 +289,6 @@ class DedupTextSpec extends AnyFunSuite {
   test("t11 two-level prefix sum equals the single-window cumsum") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sf)
-    // force MANY buckets so the distributed path (per-bucket windows +
-    // driver prefix over bucket totals) is genuinely exercised
-    val packed = TextAnalysis.sequencePack(docs, seqLen = 64L, nBuckets = 7)
     // test-only global window — the thing the operator must NEVER do
     val tc = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -300,14 +297,22 @@ class DedupTextSpec extends AnyFunSuite {
     val expected = tc
       .withColumn("tok_start", coalesce(sum("n_tok").over(w), lit(0L)))
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
-    val got = packed.collect()
-    assert(got.length == expected.size)
-    got.foreach { r =>
-      val (nTok, tokStart) = expected(r.getAs[Long]("doc_id"))
-      assert(r.getAs[Long]("n_tok") == nTok)
-      assert(r.getAs[Long]("tok_start") == tokStart)
-      assert(r.getAs[Long]("seq_first") == tokStart / 64L)
-      assert(r.getAs[Long]("seq_last") == (tokStart + nTok - 1) / 64L)
+    // BOTH prefix-sum paths must reproduce it: nBuckets=7 collects the
+    // bucket totals on the driver; nBuckets=8192 (> DriverPrefixBuckets)
+    // goes two-level — superbucket driver prefix + per-superbucket
+    // windows + a shuffle join of the offsets
+    assert(8192 > TextAnalysis.DriverPrefixBuckets)
+    Seq(7, 8192).foreach { nb =>
+      val got = TextAnalysis
+        .sequencePack(docs, seqLen = 64L, nBuckets = nb).collect()
+      assert(got.length == expected.size, s"nBuckets=$nb row count")
+      got.foreach { r =>
+        val (nTok, tokStart) = expected(r.getAs[Long]("doc_id"))
+        assert(r.getAs[Long]("n_tok") == nTok, s"nBuckets=$nb")
+        assert(r.getAs[Long]("tok_start") == tokStart, s"nBuckets=$nb")
+        assert(r.getAs[Long]("seq_first") == tokStart / 64L)
+        assert(r.getAs[Long]("seq_last") == (tokStart + nTok - 1) / 64L)
+      }
     }
   }
 
