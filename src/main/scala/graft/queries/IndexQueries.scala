@@ -924,8 +924,9 @@ object IndexQueries {
     * term-count aggregate; the modal frame itself is Q rows — its
     * fold/groupBy touches only the Q query docs (filter below the
     * join), and the frame broadcasts through probedQueries like every
-    * other query workload. The rank window runs over the 256-row vocab
-    * only — bounded by [[EmbeddingQueries.VocabSize]], never by data.
+    * other query workload. The vocab rank is a driver-side constant
+    * ([[EmbeddingQueries.VocabSize]] rows, memoised like sampleCents)
+    * — no window anywhere in the plan.
     */
   val MmNQ = 5
 
@@ -936,10 +937,18 @@ object IndexQueries {
     val docs = Tables.documents(s, dir)
     val tc = DfCache(s, dir, "termCounts")(EmbeddingGen.termCounts(docs))
     val dim = EmbeddingQueries.InD
-    val vw = org.apache.spark.sql.expressions.Window
-      .orderBy(col("df").desc, col("term"))
-    val vr = EmbeddingGen.vocab(tc, EmbeddingQueries.VocabSize)
-      .withColumn("r", row_number().over(vw))
+    // vocab rank materialised once on the driver (sampleCents'
+    // discipline — the vocab is VocabSize rows by construction, and a
+    // window-free rank keeps the guarded no-partitionless-Window
+    // property of the whole query surface)
+    import s.implicits._
+    val vocRanked = cached(dir, "mm-vocab-rank") {
+      EmbeddingGen.vocab(tc, EmbeddingQueries.VocabSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (t, df) => (-df, t) }
+        .zipWithIndex.map { case ((t, _), i) => (t, i + 1L) }
+    }
+    val vr = vocRanked.toSeq.toDF("term", "r")
     val folded = tc.filter(Split.isQuery(col("doc_id"), MmNQ))
       .join(broadcast(vr), "term")
       .groupBy(col("doc_id"),

@@ -21,4 +21,19 @@ class PlanGuardSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"CartesianProduct planned by: $offenders")
   }
+
+  test("no query's final plan contains a partitionless Window") {
+    // the all-rows-through-one-task shape (d09's pre-fix straggler);
+    // every ranking in the surface must partition its window or rank
+    // on the driver over a provably bounded frame
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (globals.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"partitionless Window planned by: $offenders")
+  }
 }
