@@ -125,6 +125,36 @@ object IvfIndex {
       .join(queries, "query_id")
       .localCheckpoint(true)
 
+  /** [[probedQueries]] for a DRIVER-LOCAL query batch — the serving
+    * fast path: probe selection is plain Scala over the in-memory
+    * centroids (which already live on the driver), so a single-vector
+    * query spends ZERO Spark jobs picking its cells; only the
+    * probed-cell scan itself is distributed. The returned frame is a
+    * LocalRelation, which also sidesteps the self-join
+    * constraint-propagation hazard the eager materialisation above
+    * exists for. Bit-identical to [[probedQueries]]: the same
+    * float→double widened, index-ordered L2 loop as [[VecL2]] and the
+    * same (distance, cluster) tie-break.
+    */
+  def probedQueriesLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[(Long, Array[Float])],
+      cents: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    queries.flatMap { case (qid, v) =>
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        var acc = 0.0
+        var j = 0
+        val m = math.min(v.length, c.length)
+        while (j < m) { val d = v(j).toDouble - c(j); acc += d * d; j += 1 }
+        (math.sqrt(acc), i)
+      }
+      scored.sortBy { case (d, i) => (d, i) }.take(nprobe)
+        .map { case (_, i) => (qid, i, v) }
+    }.toDF("query_id", "cluster", "qvec")
+  }
+
   /** Persist the assigned table partitioned by cell — at 100 TB this
     * is the index layout: each cell is a partition directory, and a
     * probe-filtered scan reads only nprobe/nlist of the data via
@@ -224,8 +254,19 @@ object IvfIndex {
       k: Int,
       nprobe: Int,
       metric: VecMetric,
+      pairFilter: Option[Column] = None): DataFrame =
+    searchProbed(assigned, probedQueries(queries, cents, nprobe), k,
+      metric, pairFilter)
+
+  /** [[search]] with the probe worklist supplied — lets the serving
+    * path substitute [[probedQueriesLocal]] for a driver-local batch.
+    */
+  def searchProbed(
+      assigned: DataFrame,
+      probed: DataFrame,
+      k: Int,
+      metric: VecMetric,
       pairFilter: Option[Column] = None): DataFrame = {
-    val probed = probedQueries(queries, cents, nprobe)
     val joined = assigned.join(broadcast(probed), "cluster")
     val scored = pairFilter.fold(joined)(joined.filter)
       .select(

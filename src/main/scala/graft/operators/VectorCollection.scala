@@ -92,14 +92,27 @@ class VectorCollection(
   private def requireIndex(): Unit =
     require(assigned != null, "createIndex() must run before queries")
 
-  /** Reference single-vector query: top-n ids, optional filter. */
+  /** Reference single-vector query: top-n ids, optional filter.
+    * Serving fast path: probe selection runs as driver math over the
+    * in-memory centroids ([[IvfIndex.probedQueriesLocal]]), so the
+    * call spends exactly ONE distributed job — the probed-cell scan —
+    * instead of the probe-topk + checkpoint jobs the batch path pays.
+    * Results are bit-identical to a 1-row [[batchQuery]] (spec gate).
+    */
   def query(v: Array[Float], n: Int,
       filterExpr: Option[Column] = None): Seq[Long] = {
     requireIndex()
     import spark.implicits._
-    val q = Seq((0L, v)).toDF("query_id", "qvec")
-    batchQuery(q, n, filterExpr)
-      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    val probed = IvfIndex.probedQueriesLocal(spark, Seq((0L, v)),
+      cents, nprobe)
+    val base = filterExpr.map(assigned.filter).getOrElse(assigned)
+    val ranked = if (quantization == "none")
+      IvfIndex.searchProbed(base, probed, n, metric)
+    else {
+      val q = Seq((0L, v)).toDF("query_id", "qvec")
+      quantSearch(base, q, n, None, probed)
+    }
+    ranked.orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
   }
 
   /** Reference batch_query: (query_id, qvec) DataFrame in, ranked
@@ -111,7 +124,8 @@ class VectorCollection(
     val base = filterExpr.map(assigned.filter).getOrElse(assigned)
     if (quantization == "none")
       IvfIndex.search(base, queries, cents, n, nprobe, metric)
-    else quantSearch(base, queries, n, None)
+    else quantSearch(base, queries, n, None,
+      IvfIndex.probedQueries(queries, cents, nprobe))
   }
 
   /** The reference's filtered-query module shape: `queries` carries
@@ -126,16 +140,19 @@ class VectorCollection(
     if (quantization == "none")
       IvfIndex.search(assigned, queries, cents, n, nprobe, metric,
         pairFilter = Some(pairFilter))
-    else quantSearch(assigned, queries, n, Some(pairFilter))
+    else quantSearch(assigned, queries, n, Some(pairFilter),
+      IvfIndex.probedQueries(queries, cents, nprobe))
   }
 
   /** Quantized in-cell scan: probe cells, score CODES (never the
     * floats) inside probed cells, and for PQ recover recall with an
     * exact re-rank over the top n*rerank ADC candidates only.
+    * `probed` is the caller's probe worklist — the batch path passes
+    * [[IvfIndex.probedQueries]], the single-vector serving path the
+    * driver-local equivalent.
     */
   private def quantSearch(base: DataFrame, queries: DataFrame, n: Int,
-      pairFilter: Option[Column]): DataFrame = {
-    val probed = IvfIndex.probedQueries(queries, cents, nprobe)
+      pairFilter: Option[Column], probed: DataFrame): DataFrame = {
     quantization match {
       case "sq8" =>
         val joined = base.join(broadcast(probed), "cluster")

@@ -64,6 +64,27 @@ class VectorCollectionSpec extends AnyFunSuite {
     }
   }
 
+  test("single-query fast path is bit-identical to a 1-row batchQuery") {
+    import spark.implicits._
+    // the serving path picks probe cells with DRIVER math
+    // (probedQueriesLocal) — it must reproduce the distributed probe
+    // selection exactly, for every quantization mode
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).toArray
+    for (quant <- Seq("none", "sq8", "pq", "pq_aniso")) {
+      val metric = if (quant == "pq_aniso") VecMetric.InnerProduct
+        else VecMetric.Euclidean
+      val coll = new VectorCollection(spark, embBase,
+        quantization = quant, metric = metric)
+      coll.createIndex()
+      val fast = coll.query(qv, 10)
+      val batch = coll
+        .batchQuery(Seq((0L, qv)).toDF("query_id", "qvec"), 10)
+        .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+      assert(fast == batch, s"quant=$quant fast=$fast batch=$batch")
+    }
+  }
+
   test("quantized serving: sq8 and pq collections keep the CRUD surface") {
     import spark.implicits._
     for (quant <- Seq("sq8", "pq")) {
