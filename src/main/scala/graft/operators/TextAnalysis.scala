@@ -491,4 +491,73 @@ object TextAnalysis {
       .select(col(idCol), col(stratumCol),
         explode(sequence(lit(0L), col("copies") - 1L)).as("copy"))
   }
+
+  /** t15: fixed-token-window chunking with overlap — the
+    * split-before-embed / split-before-train pass every RAG and
+    * pretraining pipeline runs (the reference embeds whole documents,
+    * datasets.py transform_*; production corpora are chunked first).
+    * Chunk starts march at `stride` tokens (overlap = window−stride);
+    * the last chunk is the natural short tail. Output is one row per
+    * chunk: (doc_id, chunk_id, tok_start, n_tokens, chunk_hash) with
+    * the hash standing in for the chunk text (gate-friendly, and at
+    * 100 TB the hash is what a downstream exact-dedup of chunks keys
+    * on anyway).
+    *
+    * Shape at 100 TB: entirely scan-local — split, windowed slice and
+    * hash are one codegen'd projection chain over the documents scan;
+    * no shuffle, no state, output rows ≈ corpus_tokens/stride
+    * streamed straight to the consumer. A hot (huge) document costs
+    * O(its own tokens²/stride·window) locally with no skewed exchange.
+    */
+  def chunk(docs: DataFrame, window: Int = 64, stride: Int = 48,
+      idCol: String = "doc_id"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol), split(col("text"), " ").as("t"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, (size(t) - 1) div $stride),
+           |  i -> slice(t, i * $stride + 1, $window))""".stripMargin)))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        (col("pos") * lit(stride.toLong)).as("tok_start"),
+        size(col("col")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("col"))).as("chunk_hash"))
+  }
+
+  /** p02: deterministic shuffle-and-shard export manifest — the
+    * write-out-training-shards step at the end of a curation
+    * pipeline. Docs are scrambled by the affine id hash (t10's
+    * engine-portable mix), dealt into `nShards` shards, and each
+    * shard reports its row count, char mass and an order-sensitive
+    * content hash (md5 over per-doc md5s in scrambled order) — the
+    * manifest a trainer verifies before consuming the shards.
+    *
+    * Shape at 100 TB: ONE hash-partitioned shuffle keyed on the
+    * shard id — exactly the exchange the real file write needs, so
+    * the manifest rides the write's own repartition for free. Each
+    * shard group is one writer task's worth of docs by construction
+    * (nShards is the operator's scale knob: size it so
+    * corpus/nShards fits a task, e.g. ~1M docs/shard at 100 TB). The
+    * affine-hash deal is uniform and key-skew-free — no hot shard
+    * regardless of doc-id layout, and deterministic under retry
+    * (rand() would not be). The order-sensitive md5 chain forces a
+    * per-shard sort of O(corpus/nShards) 16-byte digests — the same
+    * sort the writer does to emit a deterministic shard file.
+    */
+  def shardManifest(docs: DataFrame, nShards: Int = 32,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = pmod(col(idCol) * lit(2654435761L) + lit(1013904223L),
+      lit(1000000007L))
+    docs
+      .select(col(idCol), col("n_chars"), h.as("h"),
+        md5(col("text")).as("dh"))
+      .withColumn("shard", col("h") % nShards.toLong)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("h"), col(idCol), col("dh")))),
+          x => x.getField("dh")), "")).as("content_hash"))
+  }
 }

@@ -92,6 +92,35 @@ object IndexQueries {
       VecMetric.Euclidean))
   }
 
+  /** Shared with q05 (VectorQueries.RangeRadius) so q52's probed hit
+    * set is a directly comparable subset of q05's exact one.
+    */
+  val RangeRadius: Double = VectorQueries.RangeRadius
+
+  /** q52: range search ON the IVF index — the ε-neighborhood query
+    * (q05) served the way an IVF engine executes it (Milvus
+    * range-search-with-nprobe semantics): prune to the probed cells,
+    * exact distance inside them, keep dist ≤ radius. Same probe
+    * worklist as q20, but the reduce is a scan-local filter instead
+    * of top-k heaps — no aggregate at all, so at 100 TB the plan is
+    * partition pruning + one filtered pass over ~nprobe/nlist of the
+    * data with results streamed out (recall vs q05's exact pair set
+    * is the standard IVF tradeoff, spec-measured).
+    */
+  def ivfRange(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    val cents = sampleCents(s, dir)
+    val assigned = IvfIndex.assign(base, "vec", cents)
+    val probed = IvfIndex.probedQueries(queries, cents, NProbe)
+    assigned.join(broadcast(probed), "cluster")
+      .select(col("query_id"),
+        VecMetric.Euclidean.score(col("qvec"), col("vec")).as("score"),
+        col("id").as("neighbor_id"))
+      .filter(col("score") <= RangeRadius)
+      .select("query_id", "neighbor_id")
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** q39: filtered ANN ON the IVF index — q14's per-query compound
     * label predicate evaluated inside q20's probe join (post-filter
     * strategy: prune cells first, then filter candidates before the
@@ -980,6 +1009,7 @@ object IndexQueries {
     "q49_hybrid_index" -> (hybridIndex _),
     "q51_hybrid_weighted" -> (hybridWeighted _),
     "q20_ivf_flat" -> (ivfFlat _),
+    "q52_ivf_range" -> (ivfRange _),
     "q39_ivf_filtered" -> (ivfFiltered _),
     "q42_sq8_persisted" -> (ivfSq8Persisted _),
     "q21_ivf_pq" -> (ivfPq _),
@@ -1039,6 +1069,19 @@ object IndexQueries {
 
   private val ivfFlatSql: String =
     s"WITH $ivfCte\n$ivfFlatSelect ORDER BY query_id, rank"
+
+  /** q52 oracle: q20's exact IVF CTEs with the top-k rank swapped for
+    * the radius filter (each base vector lives in exactly one cell
+    * and pr's clusters are distinct per query, so no DISTINCT is
+    * needed — the pair set is join-exact).
+    */
+  private val ivfRangeSql: String =
+    s"""WITH $ivfCte
+       |SELECT q.query_id AS query_id, a.id AS neighbor_id
+       |FROM q JOIN pr ON pr.query_id = q.query_id
+       |       JOIN asg a ON a.cluster = pr.cluster
+       |WHERE list_distance(q.qv, a.v) <= $RangeRadius
+       |ORDER BY q.query_id, neighbor_id""".stripMargin
 
   /** m05 oracle: e01's vocab CTEs -> rank -> folded dense modal frame,
     * then q20's exact IVF CTEs with the q leg swapped for the modal
@@ -1885,6 +1928,7 @@ object IndexQueries {
     "q12_recall_at_k" -> recallSql,
     "q19_graph_search" -> q19Sql,
     "q20_ivf_flat" -> ivfFlatSql,
+    "q52_ivf_range" -> ivfRangeSql,
     "m05_mm_ann" -> mmAnnSql,
     "q39_ivf_filtered" -> ivfFilteredSql,
     "q21_ivf_pq" -> ivfPqSql,

@@ -315,6 +315,27 @@ object TextQueries {
     TextAnalysis.domainMix(Tables.documents(s, dir), "lang")
       .orderBy("doc_id", "copy")
 
+  val ChunkWindow = 64
+  val ChunkStride = 48
+
+  /** t15: token-window chunking ([[ChunkWindow]] tokens, stride
+    * [[ChunkStride]] → 16-token overlap) — scan-local slice+hash, one
+    * row per chunk.
+    */
+  def t15(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(Tables.documents(s, dir), ChunkWindow, ChunkStride)
+      .orderBy("doc_id", "chunk_id")
+
+  val NShards = 32
+
+  /** p02: deterministic shard-export manifest over the full corpus —
+    * [[NShards]] affine-hash-dealt shards with count/char-mass/
+    * order-sensitive content hash per shard.
+    */
+  def p02(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.shardManifest(Tables.documents(s, dir), NShards)
+      .orderBy("shard")
+
   /** t14: n-gram LM familiarity/rarity quality scoring (the exact,
     * oracle-gated leg; TextAnalysis.ngramPerplexity is the spec-gated
     * log-perplexity twin).
@@ -506,6 +527,8 @@ object TextQueries {
     "t11_sequence_pack" -> (t11 _),
     "t12_domain_mix" -> (t12 _),
     "t14_ngram_lm" -> (t14 _),
+    "t15_chunk" -> (t15 _),
+    "p02_shard_export" -> (p02 _),
     "q50_stream_quality" -> (q50 _),
     "m01_multimodal_pipeline" -> (m01 _),
     "m02_multimodal_frames" -> (m02 _),
@@ -996,6 +1019,29 @@ object TextQueries {
     // q50 streams the same corpus through the same frozen LM — the
     // batching-independence contract makes t14's oracle its oracle
     "q50_stream_quality" -> t14Sql,
+    "t15_chunk" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+         |           FROM documents),
+         |     c AS (SELECT doc_id, t,
+         |             UNNEST(range(0, (len(t) - 1) // $ChunkStride + 1)) AS i
+         |           FROM d)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |       CAST(i * $ChunkStride AS BIGINT) AS tok_start,
+         |       CAST(len(list_slice(t, i * $ChunkStride + 1,
+         |         i * $ChunkStride + $ChunkWindow)) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(list_slice(t, i * $ChunkStride + 1,
+         |         i * $ChunkStride + $ChunkWindow), ' ')) AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "p02_shard_export" ->
+      s"""WITH s AS (SELECT doc_id, n_chars,
+         |             (doc_id * 2654435761 + 1013904223) % 1000000007 AS h,
+         |             md5(text) AS dh
+         |           FROM documents)
+         |SELECT h % $NShards AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       md5(string_agg(dh, '' ORDER BY h, doc_id)) AS content_hash
+         |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
     "t04_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

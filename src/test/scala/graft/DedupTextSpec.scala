@@ -502,4 +502,65 @@ class NgramLmSpec extends AnyFunSuite {
     assert(run(1) == full, "head of one")
     assert(run(0) == full, "no head at all")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("t15 chunks tile each doc: starts, counts, hashes recompute exactly") {
+    val docs = Tables.documents(spark, sf)
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val out = TextAnalysis.chunk(docs, window = 64, stride = 48).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val t = toks(id)
+      // chunk ids are dense 0..floor((n-1)/stride)
+      assert(rows.map(_.getAs[Long]("chunk_id")).sorted.toSeq ==
+        (0L to ((t.length - 1) / 48).toLong), s"doc $id chunk ids")
+      rows.foreach { r =>
+        val s0 = r.getAs[Long]("tok_start").toInt
+        assert(s0 == r.getAs[Long]("chunk_id").toInt * 48)
+        val ct = t.slice(s0, s0 + 64)
+        assert(r.getAs[Long]("n_tokens") == ct.length, s"doc $id @$s0")
+        assert(r.getAs[String]("chunk_hash") == md5hex(ct.mkString(" ")),
+          s"doc $id @$s0 hash")
+      }
+      // full coverage: the union of [start, start+n) is [0, len)
+      val covered = rows.flatMap(r => r.getAs[Long]("tok_start") until
+        (r.getAs[Long]("tok_start") + r.getAs[Long]("n_tokens"))).toSet
+      assert(covered == (0L until t.length.toLong).toSet, s"doc $id coverage")
+    }
+  }
+
+  test("t15 stride == window produces disjoint chunks") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.chunk(docs, window = 32, stride = 32).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum ==
+        rows.map(r => r.getAs[Long]("tok_start") +
+          r.getAs[Long]("n_tokens")).max)
+    }
+  }
+
+  test("p02 shard manifest: mass conserved, hashes recompute exactly") {
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.select("doc_id", "n_chars", "text").collect()
+    val out = TextAnalysis.shardManifest(docs, nShards = 8).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == rows.length)
+    val byShard = rows.map { r =>
+      val id = r.getLong(0)
+      val h = (id * 2654435761L + 1013904223L) % 1000000007L
+      (h % 8L, (h, id, md5hex(r.getString(2)), r.getLong(1)))
+    }.groupBy(_._1)
+    assert(out.map(_.getAs[Long]("shard")).toSet == byShard.keySet)
+    out.foreach { r =>
+      val ms = byShard(r.getAs[Long]("shard")).map(_._2)
+        .sortBy(x => (x._1, x._2))
+      assert(r.getAs[Long]("n_docs") == ms.length)
+      assert(r.getAs[Long]("total_chars") == ms.map(_._4).sum)
+      assert(r.getAs[String]("content_hash") == md5hex(ms.map(_._3).mkString),
+        s"shard ${r.getAs[Long]("shard")} content hash")
+    }
+  }
 }

@@ -598,4 +598,17 @@ class IndexSpec extends AnyFunSuite {
       assert(r.get.peakTaskMemBytes >= 0)
     }
   }
+
+  test("q52 ivf range: exact subset of q05's ε-pairs, recall >= 0.55 (measured 0.64)") {
+    val exact = SparkEntry.queries("q05_range_search")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = SparkEntry.queries("q52_ivf_range")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probed cells compute the SAME exact distance, so every hit must
+    // be a true ε-pair — misses are only from unprobed cells
+    assert(probed.subsetOf(exact),
+      s"false positives: ${probed.diff(exact).take(5)}")
+    assert(probed.size.toDouble >= 0.55 * exact.size,
+      s"recall ${probed.size}/${exact.size}")
+  }
 }
