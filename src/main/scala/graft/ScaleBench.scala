@@ -86,6 +86,25 @@ object ScaleBench {
         .sequencePack(packDocs, 2048L, nBuckets = 0).count()
     }
 
+    // t15 at generated scale: scan-local slice+hash over variable-
+    // width docs (1..200 tokens ⇒ multi-chunk tail docs); no shuffle
+    // at any n — the wall must track the output chunk count
+    // (~sum(tokens)/stride), not n alone
+    def chunkDocs = spark.range(n).select(col("id").as("doc_id"),
+      expr("repeat('w ', cast(id % 200 + 1 as int))").as("text"))
+    timed("chunk") {
+      graft.operators.TextAnalysis.chunk(chunkDocs, 64, 48).count()
+    }
+    // p02 at generated scale: ONE shard-keyed shuffle; nShards sized
+    // to ~65k docs/shard so each shard's digest sort stays one
+    // writer-task's worth — the wall must scale with n/shards per
+    // task, no hot shard (affine-hash deal is uniform)
+    timed("shard_manifest") {
+      graft.operators.TextAnalysis.shardManifest(
+        chunkDocs.withColumn("n_chars", length(col("text")).cast("long")),
+        math.max(32L, n / 65536L).toInt).count()
+    }
+
     // planted-near-dup corpus (pure projections — any n): 32-token
     // docs over a 50k vocab, every 10th doc a near-dup of its
     // predecessor (first 30 tokens shared ⇒ 3-gram shingle jaccard
@@ -241,7 +260,8 @@ object ScaleBench {
     // (including the otherwise-unconditional centroid collect) when a
     // stage filter selects none of them
     if (Seq("generate+cache", "exact_knn_100q", "ivf_build",
-        "ivf_search_100q", "blocked_pairs_20k", "blocked_batch_knn_20k",
+        "ivf_search_100q", "ivf_range_100q",
+        "blocked_pairs_20k", "blocked_batch_knn_20k",
         "packed_hamming_100q", "rp_project", "rp_two_stage_100q",
         "pq_encode", "pq_aniso_encode", "pq_adc_100q",
         "grouped_search_100q", "semdedup")
@@ -313,7 +333,8 @@ object ScaleBench {
       reduced.unpersist()
     }
 
-    if (Seq("ivf_build", "ivf_search_100q").exists(keep)) {
+    if (Seq("ivf_build", "ivf_search_100q", "ivf_range_100q")
+        .exists(keep)) {
       val cents = IvfIndex.sampleCentroids(corpus, "vec", nlist)
       var assigned: org.apache.spark.sql.DataFrame = null
       timed("ivf_build") {
@@ -323,6 +344,17 @@ object ScaleBench {
       timed("ivf_search_100q") {
         IvfIndex.search(assigned, queries, cents, 10, nprobe,
           VecMetric.Euclidean).count()
+      }
+      // q52 shape at scale: same probed-cell scan as ivf_search but
+      // the reduce is a radius filter (no top-k heaps / final agg) —
+      // wall must be at or below ivf_search_100q on the same index
+      timed("ivf_range_100q") {
+        val probed = IvfIndex.probedQueries(queries, cents, nprobe)
+        assigned.join(broadcast(probed), "cluster")
+          .select(col("query_id"),
+            graft.functions.vec_l2(col("qvec"), col("vec")).as("score"),
+            col("id"))
+          .filter(col("score") <= 1.25).count()
       }
     }
 
