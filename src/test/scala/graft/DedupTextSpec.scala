@@ -543,6 +543,21 @@ class NgramLmSpec extends AnyFunSuite {
     }
   }
 
+  test("t15 plan: scan-local — no Exchange at all (pre-sort)") {
+    // the operator itself (no presentation orderBy) must be one
+    // codegen'd scan chain: any shuffle here would be a 100 TB bug
+    val plan = TextAnalysis.chunk(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"t15 shuffled:\n$plan")
+  }
+
+  test("p02 plan: exactly the ONE shard-keyed aggregate exchange") {
+    val plan = TextAnalysis.shardManifest(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected 1 shuffle, found $n:\n$plan")
+  }
+
   test("p02 shard manifest: mass conserved, hashes recompute exactly") {
     val docs = Tables.documents(spark, sf)
     val rows = docs.select("doc_id", "n_chars", "text").collect()
