@@ -167,6 +167,24 @@ object GraphSearch {
       edges.select(lit(l).as("layer"), col("id"), col("neighbor_id"))
     }.reduce(_ unionByName _)
 
+  /** Scalar twins of [[levelHash]]/[[inLayer]] for the driver-resident
+    * top-of-stack phase — same bounded multiplicative hash, exact in
+    * int64 (the product is < 2^52, so >> == >>> and the SQL replica
+    * agrees bit for bit).
+    */
+  def levelHashLocal(id: Long): Long =
+    ((id % 1048576L) * 2654435761L + 42L) >> 20
+  def inLayerLocal(id: Long, l: Int): Boolean =
+    (levelHashLocal(id) & ((1L << l) - 1)) == 0L
+
+  /** The heap's exact (score, id) total order (CollectTopK
+    * sortedBestFirst), reused by the driver phase so beam selection
+    * ties break identically on both sides of the cut.
+    */
+  private def rankOrder(asc: Boolean): Ordering[(Double, Long)] =
+    if (asc) Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    else Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+
   /** Multi-layer descent over a [[buildLayeredGraphs]] stack. Entry =
     * score ALL members of the TOP layer `levels` (expected N/2^levels
     * rows — the stack's O(1)-ish entry scan, vs a fixed random seed
@@ -177,6 +195,23 @@ object GraphSearch {
     * `beam` through the base graph. Every scored (query, node) pair
     * is scored exactly once — scores are static, so the visited set
     * doubles as the best-so-far heap at every step.
+    *
+    * Driver-resident top of stack (`driverTopRows`): layer sizes
+    * halve by construction, so the layers above the first one with
+    * ≤ driverTopRows members are DRIVER STATE — exactly how every
+    * HNSW serving process holds its upper layers in RAM while only
+    * the base layer lives on disk. Those upper steps run as plain
+    * Scala over the collected members/edges (one tiny membership-
+    * histogram job + two bounded collects, memoisable by the caller),
+    * eliminating a sequential Spark job per upper layer; the
+    * remaining lower layers and the base rounds keep the distributed
+    * join shape. Bit-identical to the all-distributed descent:
+    * [[VecMetric.localScore]] is the kernels' scalar twin, beam
+    * selection uses the heap's exact (score, id) order, and the
+    * handoff carries the full visited set (spec-gated equal at
+    * driverTopRows = 0 vs default). At 64k rows the driver holds
+    * ≤ ~20 MB of vectors+edges — the IVF-centroid budget, not a
+    * corpus-sized one; set 0 to force the all-distributed path.
     */
   def hierarchicalSearchWithVisited(
       base: DataFrame,
@@ -187,7 +222,8 @@ object GraphSearch {
       rounds: Int,
       levels: Int,
       upperBeam: Int,
-      metric: VecMetric = VecMetric.Euclidean): (DataFrame, DataFrame) = {
+      metric: VecMetric = VecMetric.Euclidean,
+      driverTopRows: Int = 1 << 16): (DataFrame, DataFrame) = {
     val vecs = base.select(col("id"), col("vec"))
 
     def score(cand: DataFrame): DataFrame =
@@ -208,10 +244,66 @@ object GraphSearch {
       visited.unionByName(score(fresh)).localCheckpoint(true)
     }
 
-    val entries = vecs.filter(inLayer(col("id"), levels)).select("id")
-    var visited = score(entries.crossJoin(queries.select("query_id")))
-      .localCheckpoint(true)
-    for (l <- (levels - 1) to 1 by -1)
+    // the driver cut: smallest layer L (≥ 1) whose member count fits
+    // driverTopRows — one histogram job over the id column (layer
+    // membership NESTS, so members(L) = Σ_{depth ≥ L} histogram(depth))
+    val cutL: Option[Int] = if (driverTopRows <= 0) None else {
+      val depth = (1 to levels)
+        .map(l => when(inLayer(col("id"), l), 1).otherwise(0))
+        .reduce(_ + _)
+      val hist = base.select(depth.as("d")).groupBy("d").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (1 to levels).find(l =>
+        hist.filter(_._1 >= l).values.sum <= driverTopRows)
+    }
+
+    var visited: DataFrame = null
+    var lowerFrom = levels - 1 // first distributed upper-layer step
+    cutL match {
+      case Some(cut) =>
+        // ---- driver phase: entry scan + layers levels-1..cut ----
+        val members: Map[Long, Array[Float]] =
+          vecs.filter(inLayer(col("id"), cut)).collect()
+            .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        val edgesByLayer: Map[Int, Map[Long, Array[Long]]] =
+          graphs.filter(col("layer") >= cut && col("layer") < levels)
+            .select("layer", "id", "neighbor_id").collect()
+            .groupBy(_.getInt(0))
+            .map { case (l, rows) =>
+              l -> rows.groupBy(_.getLong(1))
+                .map { case (id, rs) => id -> rs.map(_.getLong(2)) }
+            }
+        val qArr = queries.select(col("query_id"), col("qvec")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val ord = rankOrder(metric.asc)
+        val acc = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)] // (query_id, id, score)
+        qArr.foreach { case (qid, qv) =>
+          val vis = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+          members.keysIterator.filter(inLayerLocal(_, levels)).foreach { id =>
+            vis(id) = metric.localScore(qv, members(id))
+          }
+          for (l <- (levels - 1) to cut by -1) {
+            val beamIds = vis.iterator.map { case (id, s) => (s, id) }
+              .toArray.sorted(ord).take(upperBeam).map(_._2)
+            val edges = edgesByLayer.getOrElse(l, Map.empty)
+            beamIds.iterator
+              .flatMap(id => edges.getOrElse(id, Array.empty[Long]))
+              .toSet[Long].filterNot(vis.contains).foreach { id =>
+                vis(id) = metric.localScore(qv, members(id))
+              }
+          }
+          vis.foreach { case (id, s) => acc += ((qid, id, s)) }
+        }
+        import base.sparkSession.implicits._
+        visited = acc.toSeq.toDF("query_id", "id", "score")
+        lowerFrom = cut - 1
+      case None =>
+        val entries = vecs.filter(inLayer(col("id"), levels)).select("id")
+        visited = score(entries.crossJoin(queries.select("query_id")))
+          .localCheckpoint(true)
+    }
+    for (l <- lowerFrom to 1 by -1)
       visited = step(visited, l, upperBeam)
     for (_ <- 1 to rounds)
       visited = step(visited, 0, beam)
@@ -230,7 +322,8 @@ object GraphSearch {
       rounds: Int,
       levels: Int,
       upperBeam: Int,
-      metric: VecMetric = VecMetric.Euclidean): DataFrame =
+      metric: VecMetric = VecMetric.Euclidean,
+      driverTopRows: Int = 1 << 16): DataFrame =
     hierarchicalSearchWithVisited(base, graphs, queries, k, beam, rounds,
-      levels, upperBeam, metric)._1
+      levels, upperBeam, metric, driverTopRows)._1
 }

@@ -12,25 +12,62 @@ import graft.functions._
 sealed trait VecMetric {
   def score(q: Column, v: Column): Column
   def asc: Boolean
+
+  /** Driver-side scalar twin of [[score]]: the SAME float→double
+    * widening and index-ordered accumulation as the codegen'd kernels
+    * (VectorExpressions), so a driver-resident search phase is
+    * bit-identical to the distributed one — the contract
+    * IvfIndex.probedQueriesLocal established for the serving path.
+    */
+  def localScore(q: Array[Float], v: Array[Float]): Double
 }
 object VecMetric {
   case object Euclidean extends VecMetric {
     def score(q: Column, v: Column): Column = vec_l2(q, v)
     val asc = true
+    def localScore(q: Array[Float], v: Array[Float]): Double = {
+      var acc = 0.0; var i = 0; val n = math.min(q.length, v.length)
+      while (i < n) {
+        val d = q(i).toDouble - v(i).toDouble; acc += d * d; i += 1
+      }
+      math.sqrt(acc)
+    }
   }
   /** rank by cosine similarity descending == angular distance ascending */
   case object Cosine extends VecMetric {
     def score(q: Column, v: Column): Column = vec_cosine_sim(q, v)
     val asc = false
+    def localScore(q: Array[Float], v: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0; val n = math.min(q.length, v.length)
+      while (i < n) {
+        val u = q(i).toDouble; val w = v(i).toDouble
+        dot += u * w; na += u * u; nb += w * w; i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
   }
   case object InnerProduct extends VecMetric {
     def score(q: Column, v: Column): Column = vec_dot(q, v)
     val asc = false
+    def localScore(q: Array[Float], v: Array[Float]): Double = {
+      var acc = 0.0; var i = 0; val n = math.min(q.length, v.length)
+      while (i < n) { acc += q(i).toDouble * v(i).toDouble; i += 1 }
+      acc
+    }
   }
   case object SignHamming extends VecMetric {
     def score(q: Column, v: Column): Column =
       vec_sign_hamming(q, v).cast("double")
     val asc = true
+    def localScore(q: Array[Float], v: Array[Float]): Double = {
+      var acc = 0L; var i = 0; val n = math.min(q.length, v.length)
+      while (i < n) {
+        if ((q(i) > 0) != (v(i) > 0)) acc += 1L
+        i += 1
+      }
+      acc.toDouble
+    }
   }
 }
 

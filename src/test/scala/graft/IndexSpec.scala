@@ -599,6 +599,52 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("q19 driver-resident top-of-stack descent == all-distributed descent") {
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .localCheckpoint(true)
+    val queries = emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val lv = graft.queries.IndexQueries.levelsFor(base.count())
+    val graphs = GraphSearch.buildLayeredGraphs(base, lv,
+      graft.queries.IndexQueries.GraphDeg,
+      graft.queries.IndexQueries.UpperDeg, VecMetric.Euclidean)
+      .localCheckpoint(true)
+    def run(driverTopRows: Int) = {
+      val (topk, vis) = GraphSearch.hierarchicalSearchWithVisited(
+        base, graphs, queries, 10,
+        graft.queries.IndexQueries.HierBeam,
+        graft.queries.IndexQueries.HierRounds, lv,
+        graft.queries.IndexQueries.UpperBeam, VecMetric.Euclidean,
+        driverTopRows)
+      (topk.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet,
+        vis.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    val (fastT, fastV) = run(1 << 16) // every upper layer driver-side here
+    val (distT, distV) = run(0)      // forced all-distributed
+    assert(fastT == distT, "topk diverged between driver and distributed")
+    assert(fastV == distV, "n_visited diverged")
+  }
+
+  test("localScore twins match the codegen'd kernels bit-for-bit") {
+    import spark.implicits._
+    val vs = Tables.embeddings(spark, sf001).limit(40)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val pairs = vs.take(20).zip(vs.drop(20))
+    val df = pairs.map { case (a, b) => (a, b) }.toSeq.toDF("a", "b")
+    for (m <- Seq[VecMetric](VecMetric.Euclidean, VecMetric.Cosine,
+        VecMetric.InnerProduct, VecMetric.SignHamming)) {
+      val dist = df.select(m.score(col("a"), col("b"))).collect()
+        .map(_.getDouble(0))
+      val local = pairs.map { case (a, b) => m.localScore(a, b) }
+      dist.zip(local).foreach { case (d, l) =>
+        assert(d == l, s"$m: $d != $l") // exact, not approx
+      }
+    }
+  }
+
   test("q52 ivf range: exact subset of q05's ε-pairs, recall >= 0.55 (measured 0.64)") {
     val exact = SparkEntry.queries("q05_range_search")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
