@@ -264,7 +264,8 @@ object ScaleBench {
         "blocked_pairs_20k", "blocked_batch_knn_20k",
         "packed_hamming_100q", "rp_project", "rp_two_stage_100q",
         "pq_encode", "pq_aniso_encode", "pq_adc_100q",
-        "grouped_search_100q", "semdedup")
+        "grouped_search_100q", "semdedup",
+        "graph_nnd_build", "graph_stack_search_100q")
         .exists(keep)) {
     val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -404,6 +405,33 @@ object ScaleBench {
         col("embedding").as("qvec"))
       KnnSearch.bruteForceBlocked(b, q, 10, VecMetric.Euclidean,
         blockRows = 4096).count()
+    }
+
+    // q53 shape at scale: the NO-N² layered-stack build (NN-descent
+    // base; upper layers NN-descent above the 64k exactCap, exact
+    // blocked under it) + the hierarchical descent with its
+    // driver-resident top of stack. Build cost is dominated by the
+    // base NN-descent rounds (candidate volume ~ n·(2·wk)² per
+    // round); search cost is rounds×(|E|+n) scans — both linear in n,
+    // the property these walls gate.
+    if (Seq("graph_nnd_build", "graph_stack_search_100q").exists(keep)) {
+      val lv = graft.queries.IndexQueries.levelsFor(n)
+      var stack: org.apache.spark.sql.DataFrame = null
+      timed("graph_nnd_build") {
+        stack = graft.operators.GraphSearch.buildLayeredGraphsNnd(
+          corpus, lv, graft.queries.IndexQueries.GraphDeg,
+          graft.queries.IndexQueries.UpperDeg,
+          graft.queries.IndexQueries.NndIters, workingDegreeFactor = 1)
+          .localCheckpoint(true)
+        stack.count()
+      }
+      timed("graph_stack_search_100q") {
+        graft.operators.GraphSearch.hierarchicalSearch(
+          corpus, stack, queries, 10,
+          graft.queries.IndexQueries.HierBeam,
+          graft.queries.IndexQueries.HierRounds, lv,
+          graft.queries.IndexQueries.UpperBeam).count()
+      }
     }
 
     timed("packed_hamming_100q") {

@@ -145,6 +145,25 @@ object GraphSearch {
     * base build); at 100 TB every layer takes the NN-descent path
     * (q27) — the stack shape is identical.
     */
+  /** One exact layer's symmetrized edge list (see
+    * [[buildLayeredGraphs]] for the symmetrization rationale).
+    */
+  private def exactLayer(base: DataFrame, l: Int, deg: Int,
+      metric: VecMetric, symmetric: Boolean): DataFrame = {
+    val members =
+      if (l == 0) base else base.filter(inLayer(col("id"), l))
+    val knn = KnnSearch.bruteForceBlocked(members,
+      members.select(col("id").as("query_id"), col("vec").as("qvec")),
+      deg, metric,
+      pairFilter = Some(col("id") =!= col("query_id")))
+      .select(col("query_id").as("id"), col("neighbor_id"))
+    val edges = if (symmetric)
+      knn.unionByName(knn.select(col("neighbor_id").as("id"),
+        col("id").as("neighbor_id"))).distinct()
+    else knn
+    edges.select(lit(l).as("layer"), col("id"), col("neighbor_id"))
+  }
+
   def buildLayeredGraphs(
       base: DataFrame,
       levels: Int,
@@ -153,19 +172,65 @@ object GraphSearch {
       metric: VecMetric = VecMetric.Euclidean,
       symmetric: Boolean = true): DataFrame =
     (0 until levels).map { l =>
+      exactLayer(base, l, if (l == 0) baseDeg else upperDeg, metric,
+        symmetric)
+    }.reduce(_ unionByName _)
+
+  /** [[buildLayeredGraphs]] with NO N² anywhere — the 100 TB stack
+    * build (buildLayeredGraphs documents "at 100 TB every layer takes
+    * the NN-descent path"; this is that path, gated as q53). Layer 0
+    * is ALWAYS [[NnDescent.build]]'s approximate kNN graph
+    * (deterministic init, so oracle-replicable), symmetrized like the
+    * exact build. Upper layers switch on member count, decided by ONE
+    * membership-histogram job (layer membership nests, so one depth
+    * histogram yields every layer's size): a layer with more than
+    * `exactCap` members also takes the NN-descent path (the exact
+    * build's (N/2^l)² blocked pairs sum to N²/3 across layers — the
+    * same scale-killer the base layer has); at or under the cap the
+    * exact blocked build is cheaper than NN-descent's shuffle rounds
+    * and is used as-is. The cap mirrors the search side's
+    * driver-resident cut: at sf gate scales every upper layer is
+    * under it (the oracle SQL assumes exact upper layers), at 10^9
+    * rows layers 0..~14 go NN-descent. Upper NND layers use the
+    * default working-degree factor 3: their hash init lands on member
+    * ids at only ~(layer size / corpus id range) density, and the
+    * extra width is what carries convergence from a sparse seed.
+    * Only Euclidean: NN-descent's pruning heap is L2 (q27's contract).
+    */
+  def buildLayeredGraphsNnd(
+      base: DataFrame,
+      levels: Int,
+      baseDeg: Int,
+      upperDeg: Int,
+      iters: Int,
+      workingDegreeFactor: Int,
+      exactCap: Int = 1 << 16): DataFrame = {
+    val layerSizes: Map[Int, Long] = if (levels <= 1) Map.empty else {
+      val depth = (1 until levels)
+        .map(l => when(inLayer(col("id"), l), 1).otherwise(0))
+        .reduce(_ + _)
+      val hist = base.select(depth.as("d")).groupBy("d").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (1 until levels)
+        .map(l => l -> hist.filter(_._1 >= l).values.sum).toMap
+    }
+    def nndLayer(l: Int, deg: Int, factor: Int): DataFrame = {
       val members =
         if (l == 0) base else base.filter(inLayer(col("id"), l))
-      val knn = KnnSearch.bruteForceBlocked(members,
-        members.select(col("id").as("query_id"), col("vec").as("qvec")),
-        if (l == 0) baseDeg else upperDeg, metric,
-        pairFilter = Some(col("id") =!= col("query_id")))
-        .select(col("query_id").as("id"), col("neighbor_id"))
-      val edges = if (symmetric)
-        knn.unionByName(knn.select(col("neighbor_id").as("id"),
-          col("id").as("neighbor_id"))).distinct()
-      else knn
-      edges.select(lit(l).as("layer"), col("id"), col("neighbor_id"))
-    }.reduce(_ unionByName _)
+      val knn = NnDescent.build(members, deg, iters, factor,
+        nKnown = layerSizes.getOrElse(l, -1L))
+        .select(col("id"), col("neighbor_id"))
+      knn.unionByName(knn.select(col("neighbor_id").as("id"),
+        col("id").as("neighbor_id"))).distinct()
+        .select(lit(l).as("layer"), col("id"), col("neighbor_id"))
+    }
+    (nndLayer(0, baseDeg, workingDegreeFactor) +:
+      (1 until levels).map { l =>
+        if (layerSizes(l) > exactCap) nndLayer(l, upperDeg, 3)
+        else exactLayer(base, l, upperDeg, VecMetric.Euclidean,
+          symmetric = true)
+      }).reduce(_ unionByName _)
+  }
 
   /** Scalar twins of [[levelHash]]/[[inLayer]] for the driver-resident
     * top-of-stack phase — same bounded multiplicative hash, exact in

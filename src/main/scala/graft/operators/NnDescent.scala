@@ -27,12 +27,15 @@ object NnDescent {
       k: Int,
       iters: Int = 4,
       workingDegreeFactor: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      nKnown: Long = -1L): DataFrame = {
     // iterate with a larger working degree than the requested k —
     // on high-intrinsic-dimension data the neighbor-of-neighbor
     // signal is weak, and the extra width is what carries convergence
     val wk = k * workingDegreeFactor
-    val n = base.count()
+    // nKnown > 0 skips the count job — callers that already ran a
+    // membership histogram (buildLayeredGraphsNnd) pass the size in
+    val n = if (nKnown > 0) nKnown else base.count()
     // deterministic pseudo-random init: k candidates per node from a
     // multiplicative hash, self-loops dropped. `i` folds into the
     // multiplicand (id + i*7919) so the wk targets of one node SPREAD

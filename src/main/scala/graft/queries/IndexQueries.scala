@@ -389,6 +389,13 @@ object IndexQueries {
   val HierRounds = 3
   // oracle-side unroll depth: levelsFor(450 train rows at sf0.01) = 5
   val GraphLayers = 5
+  // q53's NN-descent base-layer build: 2 rounds at working degree =
+  // GraphDeg (factor 1) — the stack entry gates the BUILD COMPOSITION
+  // (approximate base under the exact upper stack), not max recall;
+  // at factor 1 the candidate volume per round is (2·GraphDeg)² per
+  // node, the same order as q27's, so the sf0.1 wall stays in q27's
+  // band instead of 10× it
+  val NndIters = 2
 
   def levelsFor(n: Long): Int =
     math.max(1, math.round(math.log(n / 16.0) / math.log(2)).toInt)
@@ -415,6 +422,30 @@ object IndexQueries {
         .createTempDirectory("graft_layer_graph").toString
       GraphSearch.buildLayeredGraphs(base, lv, GraphDeg, UpperDeg,
         VecMetric.Euclidean)
+        .write.mode("overwrite").partitionBy("layer").parquet(p)
+      (p, lv)
+    }
+    ranked(GraphSearch.hierarchicalSearch(base, s.read.parquet(path),
+      queries, K, HierBeam, HierRounds, levels, UpperBeam))
+  }
+
+  /** q53: the 100 TB stack BUILD, gated — buildLayeredGraphs documents
+    * "at 100 TB every layer takes the NN-descent path (q27)"; this
+    * entry is that path end-to-end: layer 0 from NN-descent, upper
+    * layers NN-descent too once they exceed the 64k exactCap (exact
+    * blocked under it — at gate scales every upper layer is, which is
+    * what the oracle SQL assumes), then the SAME hierarchical descent
+    * as q19. Deterministic init + (dist, id) tie-breaks keep even the
+    * approximate build oracle-replicable.
+    */
+  def graphStackNnd(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    val (path, levels) = cached(dir, "layered-graph-nnd-path") {
+      val lv = levelsFor(base.count())
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_layer_graph_nnd").toString
+      GraphSearch.buildLayeredGraphsNnd(base, lv, GraphDeg, UpperDeg,
+        NndIters, workingDegreeFactor = 1)
         .write.mode("overwrite").partitionBy("layer").parquet(p)
       (p, lv)
     }
@@ -1023,6 +1054,7 @@ object IndexQueries {
     "q36_ivf_tree" -> (ivfTree _),
     "q37_ivf_sq4" -> (ivfSq4 _),
     "q19_graph_search" -> (graphSearch _),
+    "q53_graph_stack_nnd" -> (graphStackNnd _),
     "q24_lsh_minhash" -> (lshMinhash _),
     "q25_graph_knn" -> (knnGraph _),
     "q27_nn_descent" -> (nnDescentGraph _)
@@ -1453,13 +1485,14 @@ object IndexQueries {
        |  FROM e a CROSS JOIN e b WHERE a.id != b.id)
        |WHERE rank <= 5 ORDER BY id, rank""".stripMargin
 
-  /** NN-descent unrolled: 4 iterations of candidate generation
-    * (neighbors-of-neighbors over the undirected edge set) + (dist,
-    * id) top-wk pruning, exactly NnDescent.build's loop.
+  /** NN-descent iteration chain over a CTE `b(id, v)` — CTEs `cnt,
+    * e0, u1..e{nIters}`, exactly NnDescent.build's loop: hash-seeded
+    * init, then per round candidate generation (neighbors-of-neighbors
+    * over the undirected edge set) + (dist, id) top-wk pruning.
+    * Shared by q27's oracle and q53's base-layer build.
     */
-  private val nnDescentSql: String = {
-    val wk = 15
-    val iters = (1 to 4).map { r =>
+  private def nndCtes(wk: Int, nIters: Int): String = {
+    val iters = (1 to nIters).map { r =>
       val prev = s"e${r - 1}"
       s"""u$r AS (SELECT id, nb FROM $prev
          |        UNION ALL SELECT nb AS id, id AS nb FROM $prev),
@@ -1476,21 +1509,27 @@ object IndexQueries {
          |   FROM c$r c JOIN b vs ON vs.id = c.src JOIN b vd ON vd.id = c.dst)
          | WHERE rn <= $wk)""".stripMargin
     }.mkString(",\n")
-    s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-       |           FROM embeddings WHERE $bPred),
-       |cnt AS (SELECT count(*) AS n FROM b),
+    s"""cnt AS (SELECT count(*) AS n FROM b),
        |e0 AS (SELECT DISTINCT id, nb FROM (
        |   SELECT b.id, ((b.id + ii.i * 7919) * 2654435761 + 42) % cnt.n AS nb
        |   FROM b CROSS JOIN (SELECT unnest(range(1, ${wk + 1})) AS i) ii
        |          CROSS JOIN cnt) WHERE nb != id),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  /** NN-descent unrolled (q27): [[nndCtes]] at q27's wk=15 / 4 iters,
+    * then the final k=5 rerank — NnDescent.build(k=5) end to end.
+    */
+  private val nnDescentSql: String =
+    s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings WHERE $bPred),
+       |${nndCtes(15, 4)}
        |SELECT id, rank, neighbor_id FROM (
        |  SELECT e.id, e.nb AS neighbor_id,
        |         row_number() OVER (PARTITION BY e.id
        |           ORDER BY list_distance(vs.v, vd.v), e.nb) AS rank
        |  FROM e4 e JOIN b vs ON vs.id = e.id JOIN b vd ON vd.id = e.nb)
        |WHERE rank <= 5 ORDER BY id, rank""".stripMargin
-  }
 
   /** q19 oracle: the layered-graph build + the multi-layer descent
     * unrolled. lh adds the level hash (GraphSearch.levelHash: high
@@ -1503,19 +1542,24 @@ object IndexQueries {
     * visited, (distance, id) tie-breaks throughout — bit-identical to
     * the Spark descent.
     */
-  private val q19Sql: String = {
-    // per-layer kNN at the layer's degree, then SYMMETRIZED (UNION
-    // dedups — Spark's unionByName().distinct())
-    def graphCte(l: Int, from: String, deg: Int): String =
-      s"""k$l AS (SELECT id, neighbor_id FROM (
-         |   SELECT a.id, z.id AS neighbor_id,
-         |          row_number() OVER (PARTITION BY a.id
-         |            ORDER BY list_distance(a.v, z.v), z.id) AS rank
-         |   FROM $from a CROSS JOIN $from z WHERE a.id != z.id)
-         | WHERE rank <= $deg),
-         |g$l AS (SELECT id, neighbor_id FROM k$l
-         |        UNION
-         |        SELECT neighbor_id AS id, id AS neighbor_id FROM k$l)""".stripMargin
+  // per-layer kNN at the layer's degree, then SYMMETRIZED (UNION
+  // dedups — Spark's unionByName().distinct())
+  private def graphCte(l: Int, from: String, deg: Int): String =
+    s"""k$l AS (SELECT id, neighbor_id FROM (
+       |   SELECT a.id, z.id AS neighbor_id,
+       |          row_number() OVER (PARTITION BY a.id
+       |            ORDER BY list_distance(a.v, z.v), z.id) AS rank
+       |   FROM $from a CROSS JOIN $from z WHERE a.id != z.id)
+       | WHERE rank <= $deg),
+       |g$l AS (SELECT id, neighbor_id FROM k$l
+       |        UNION
+       |        SELECT neighbor_id AS id, id AS neighbor_id FROM k$l)""".stripMargin
+
+  /** The layered-stack descent unrolled over a pluggable BASE-layer
+    * graph block (CTEs defining `g0` over `b`): exact build for q19,
+    * NN-descent build for q53 — the search walk is identical.
+    */
+  private def layeredSearchSql(g0Block: String): String = {
     val upperGraphs = (1 until GraphLayers).map { l =>
       val mask = (1L << l) - 1
       s"""m$l AS (SELECT id, v FROM lh WHERE (h & $mask) = 0),
@@ -1544,7 +1588,7 @@ object IndexQueries {
        |      FROM embeddings WHERE $qPred),
        |lh AS (SELECT id, v,
        |         ((id % 1048576) * 2654435761 + 42) >> 20 AS h FROM b),
-       |${graphCte(0, "b", GraphDeg)},
+       |$g0Block,
        |$upperGraphs,
        |s0 AS (SELECT q.query_id, t.id
        |       FROM q CROSS JOIN (SELECT id FROM lh WHERE (h & $topMask) = 0) t),
@@ -1556,6 +1600,26 @@ object IndexQueries {
        |  FROM s${steps.length} s JOIN q USING (query_id) JOIN b USING (id))
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
+
+  private val q19Sql: String = layeredSearchSql(graphCte(0, "b", GraphDeg))
+
+  /** q53 oracle: same descent, base layer from [[nndCtes]] at
+    * wk=GraphDeg (factor 1) / NndIters — NnDescent.build(GraphDeg)'s
+    * final rerank (k0) then symmetrization (g0), mirroring
+    * GraphSearch.buildLayeredGraphsNnd bit for bit.
+    */
+  private val q53Sql: String = layeredSearchSql(
+    s"""${nndCtes(GraphDeg, NndIters)},
+       |k0 AS (SELECT id, nb AS neighbor_id FROM (
+       |   SELECT e.id, e.nb,
+       |          row_number() OVER (PARTITION BY e.id
+       |            ORDER BY list_distance(vs.v, vd.v), e.nb) AS rank
+       |   FROM e$NndIters e JOIN b vs ON vs.id = e.id
+       |                     JOIN b vd ON vd.id = e.nb)
+       | WHERE rank <= $GraphDeg),
+       |g0 AS (SELECT id, neighbor_id FROM k0
+       |       UNION
+       |       SELECT neighbor_id AS id, id AS neighbor_id FROM k0)""".stripMargin)
 
   /** q36 oracle: the two-level descent in SQL — both levels' sample
     * init and argmin assignments, then the p1-cells → p2-leaves probe
@@ -1927,6 +1991,7 @@ object IndexQueries {
     "q29_ivf_upsert_persisted" -> q28Sql,
     "q12_recall_at_k" -> recallSql,
     "q19_graph_search" -> q19Sql,
+    "q53_graph_stack_nnd" -> q53Sql,
     "q20_ivf_flat" -> ivfFlatSql,
     "q52_ivf_range" -> ivfRangeSql,
     "m05_mm_ann" -> mmAnnSql,
