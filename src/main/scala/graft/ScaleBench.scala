@@ -265,7 +265,8 @@ object ScaleBench {
         "packed_hamming_100q", "rp_project", "rp_two_stage_100q",
         "pq_encode", "pq_aniso_encode", "pq_adc_100q",
         "grouped_search_100q", "semdedup",
-        "graph_nnd_build", "graph_stack_search_100q")
+        "graph_nnd_build", "graph_stack_search_100q",
+        "graph_stack_recall_100q")
         .exists(keep)) {
     val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -414,23 +415,42 @@ object ScaleBench {
     // base NN-descent rounds (candidate volume ~ n·(2·wk)² per
     // round); search cost is rounds×(|E|+n) scans — both linear in n,
     // the property these walls gate.
-    if (Seq("graph_nnd_build", "graph_stack_search_100q").exists(keep)) {
+    if (Seq("graph_nnd_build", "graph_stack_search_100q",
+        "graph_stack_recall_100q").exists(keep)) {
       val lv = graft.queries.IndexQueries.levelsFor(n)
+      // convergence knobs, env-overridable for calibration runs: at
+      // the gate scales 2 rounds from random init reach the exact
+      // build's recall, but random init covers ~wk/n of the corpus
+      // per node, so larger n needs more expansion rounds
+      val gIters = sys.env.getOrElse("SPARK_GRAFT_GRAPH_ITERS",
+        graft.queries.IndexQueries.NndIters.toString).toInt
+      val gFactor =
+        sys.env.getOrElse("SPARK_GRAFT_GRAPH_FACTOR", "1").toInt
       var stack: org.apache.spark.sql.DataFrame = null
       timed("graph_nnd_build") {
         stack = graft.operators.GraphSearch.buildLayeredGraphsNnd(
           corpus, lv, graft.queries.IndexQueries.GraphDeg,
           graft.queries.IndexQueries.UpperDeg,
-          graft.queries.IndexQueries.NndIters, workingDegreeFactor = 1)
+          gIters, workingDegreeFactor = gFactor)
           .localCheckpoint(true)
         stack.count()
       }
+      var topk: org.apache.spark.sql.DataFrame = null
       timed("graph_stack_search_100q") {
-        graft.operators.GraphSearch.hierarchicalSearch(
+        topk = graft.operators.GraphSearch.hierarchicalSearch(
           corpus, stack, queries, 10,
           graft.queries.IndexQueries.HierBeam,
           graft.queries.IndexQueries.HierRounds, lv,
-          graft.queries.IndexQueries.UpperBeam).count()
+          graft.queries.IndexQueries.UpperBeam).localCheckpoint(true)
+        topk.count()
+      }
+      // quality gate for the approximate build at THIS scale (the
+      // sf0.01 spec floor doesn't transfer on its own): rows = hits
+      // out of nq*10 vs the exact top-10 — recall = rows / 1000
+      timed("graph_stack_recall_100q") {
+        val exact = KnnSearch.bruteForce(corpus, queries, 10,
+          VecMetric.Euclidean).select("query_id", "neighbor_id")
+        topk.select("query_id", "neighbor_id").intersect(exact).count()
       }
     }
 

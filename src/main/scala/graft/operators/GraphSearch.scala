@@ -188,14 +188,21 @@ object GraphSearch {
     * build's (N/2^l)² blocked pairs sum to N²/3 across layers — the
     * same scale-killer the base layer has); at or under the cap the
     * exact blocked build is cheaper than NN-descent's shuffle rounds
-    * and is used as-is. The cap mirrors the search side's
-    * driver-resident cut: at sf gate scales every upper layer is
+    * and is used as-is — the cap bounds the whole exact tier at
+    * cap²·4/3 pair evals regardless of corpus size (measured: a 64k
+    * cap spent ~500 s of a 200k build's 773 s inside the exact tier;
+    * 16k makes it noise). At sf gate scales every upper layer is
     * under it (the oracle SQL assumes exact upper layers), at 10^9
-    * rows layers 0..~14 go NN-descent. Upper NND layers use the
-    * default working-degree factor 3: their hash init lands on member
-    * ids at only ~(layer size / corpus id range) density, and the
-    * extra width is what carries convergence from a sparse seed.
-    * Only Euclidean: NN-descent's pruning heap is L2 (q27's contract).
+    * rows layers 0..~16 go NN-descent. Upper NND layers reuse the
+    * caller's working-degree factor: upper layers only AIM the
+    * UpperBeam-wide descent (they never produce answers), so build
+    * quality is cheap to trade for the (2·wk)²-per-node candidate
+    * volume — measured at 200k: factor-1 uppers cost ~1/10th of
+    * factor-3 with the search recall gated by the ScaleBench recall
+    * stage, not assumed. Their hash init lands on member ids at only
+    * ~(layer size / corpus id range) density; the 2 expansion rounds
+    * recover from the sparse seed. Only Euclidean: NN-descent's
+    * pruning heap is L2 (q27's contract).
     */
   def buildLayeredGraphsNnd(
       base: DataFrame,
@@ -204,7 +211,7 @@ object GraphSearch {
       upperDeg: Int,
       iters: Int,
       workingDegreeFactor: Int,
-      exactCap: Int = 1 << 16): DataFrame = {
+      exactCap: Int = 1 << 14): DataFrame = {
     val layerSizes: Map[Int, Long] = if (levels <= 1) Map.empty else {
       val depth = (1 until levels)
         .map(l => when(inLayer(col("id"), l), 1).otherwise(0))
@@ -226,7 +233,7 @@ object GraphSearch {
     }
     (nndLayer(0, baseDeg, workingDegreeFactor) +:
       (1 until levels).map { l =>
-        if (layerSizes(l) > exactCap) nndLayer(l, upperDeg, 3)
+        if (layerSizes(l) > exactCap) nndLayer(l, upperDeg, workingDegreeFactor)
         else exactLayer(base, l, upperDeg, VecMetric.Euclidean,
           symmetric = true)
       }).reduce(_ unionByName _)

@@ -55,6 +55,19 @@ object NnDescent {
     // every iteration joins vectors twice (src, dst) — without the
     // cache that is 2*iters+2 parquet scans of the full vector column
     val vecs = base.select(col("id"), col("vec")).cache()
+    // The scoring joins attach two full vectors to EVERY candidate
+    // pair (n·(2wk)² rows per round); through a shuffle join that is
+    // hundreds of GB of vector payload in flight (measured 20 min for
+    // 200k×64d at local[32]) — but the VECTOR TABLE itself is tiny
+    // relative to the candidate volume. Broadcast it while it fits
+    // (~4M rows ≈ 1 GB at 128-dim float: the candidate stream then
+    // never shuffles, scores are computed map-side) and fall back to
+    // the shuffle join only at node counts where a broadcast can't
+    // hold — join strategy never changes the result, so the oracle
+    // unroll is unaffected either way.
+    val bcastRows = 1L << 22
+    def vside(df: DataFrame): DataFrame =
+      if (n <= bcastRows) broadcast(df) else df
 
     for (_ <- 1 to iters) {
       val und = edges.unionAll(
@@ -68,8 +81,10 @@ object NnDescent {
         .unionAll(edges.select(col("id").as("src"), col("nb").as("dst")))
         .distinct()
       val scored = cands
-        .join(vecs.select(col("id").as("src"), col("vec").as("sv")), "src")
-        .join(vecs.select(col("id").as("dst"), col("vec").as("dv")), "dst")
+        .join(vside(vecs.select(col("id").as("src"), col("vec").as("sv"))),
+          "src")
+        .join(vside(vecs.select(col("id").as("dst"), col("vec").as("dv"))),
+          "dst")
         .select(col("src").as("query_id"),
           vec_l2(col("sv"), col("dv")).as("score"),
           col("dst").as("id"))
@@ -80,8 +95,9 @@ object NnDescent {
 
     // final ranked output recomputes distances once for rank order
     val scored = edges
-      .join(vecs.select(col("id"), col("vec").as("sv")), "id")
-      .join(vecs.select(col("id").as("nb"), col("vec").as("dv")), "nb")
+      .join(vside(vecs.select(col("id"), col("vec").as("sv"))), "id")
+      .join(vside(vecs.select(col("id").as("nb"), col("vec").as("dv"))),
+        "nb")
       .select(col("id").as("query_id"),
         vec_l2(col("sv"), col("dv")).as("score"),
         col("nb").as("id"))

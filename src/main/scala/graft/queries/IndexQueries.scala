@@ -432,7 +432,7 @@ object IndexQueries {
   /** q53: the 100 TB stack BUILD, gated — buildLayeredGraphs documents
     * "at 100 TB every layer takes the NN-descent path (q27)"; this
     * entry is that path end-to-end: layer 0 from NN-descent, upper
-    * layers NN-descent too once they exceed the 64k exactCap (exact
+    * layers NN-descent too once they exceed the 16k exactCap (exact
     * blocked under it — at gate scales every upper layer is, which is
     * what the oracle SQL assumes), then the SAME hierarchical descent
     * as q19. Deterministic init + (dist, id) tie-breaks keep even the
