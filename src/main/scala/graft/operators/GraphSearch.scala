@@ -113,6 +113,55 @@ object GraphSearch {
     (KnnSearch.topKOf(visited, k, metric.asc), visitedCounts)
   }
 
+  /** HNSW's neighbor-selection heuristic (Malkov & Yashunin 2018,
+    * SELECT-NEIGHBORS-HEURISTIC) in its non-recursive "simple
+    * pruning" form: candidate i of a node is DROPPED when some
+    * earlier-ranked candidate j is strictly closer to i than the node
+    * itself is — redundant same-direction edges give way to
+    * diverse-direction ones, which is what lets a degree-m
+    * diversified graph match a plain top-(2m) graph's reachability.
+    * The classic heuristic checks only KEPT earlier candidates
+    * (sequential, pointer-chasing); checking ALL earlier candidates
+    * is the order-free variant that is one self-join + one anti-join
+    * — fully parallel, deterministic, SQL-replicable — and prunes a
+    * superset (kept ⊆ classic-kept ⊆ candidates), trading a little
+    * extra sparsity for the batch shape.
+    *
+    * knn: (id, rank, neighbor_id) candidate lists ranked ascending by
+    * (distance, id); base: (id, vec). Returns the same shape,
+    * re-ranked 1..≤m among survivors. Cost: one N·wk²/2 pair
+    * self-join + three vector joins — linear in N at fixed wk.
+    */
+  def diversify(
+      knn: DataFrame,
+      base: DataFrame,
+      m: Int,
+      metric: VecMetric = VecMetric.Euclidean): DataFrame = {
+    val v = base.select(col("id"), col("vec"))
+    val ci = knn.select(col("id"), col("rank").as("ri"),
+      col("neighbor_id").as("ni"))
+    val cj = knn.select(col("id"), col("rank").as("rj"),
+      col("neighbor_id").as("nj"))
+    // prune i when metric ranks (i, j) strictly better than (node, i)
+    val better: (Column, Column) => Column =
+      if (metric.asc) _ < _ else _ > _
+    val pruned = ci.join(cj, Seq("id")).filter(col("rj") < col("ri"))
+      .join(v.select(col("id").as("ni"), col("vec").as("vi")), "ni")
+      .join(v.select(col("id").as("nj"), col("vec").as("vj")), "nj")
+      .join(v.select(col("id"), col("vec").as("v0")), "id")
+      .filter(better(metric.score(col("vi"), col("vj")),
+        metric.score(col("v0"), col("vi"))))
+      .select(col("id"), col("ri")).distinct()
+    import org.apache.spark.sql.expressions.Window
+    knn.join(pruned, knn("id") === pruned("id") &&
+        knn("rank") === pruned("ri"), "left_anti")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id").orderBy("rank")))
+      .filter(col("rank") <= m)
+      .select(col("id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
   // ----- true multi-layer hierarchy (the HNSW layer stack) -----
 
   /** HNSW-style level assignment, deterministic + SQL-replicable: the

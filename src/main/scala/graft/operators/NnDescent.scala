@@ -70,8 +70,26 @@ object NnDescent {
       if (n <= bcastRows) broadcast(df) else df
 
     for (_ <- 1 to iters) {
-      val und = edges.unionAll(
-        edges.select(col("nb").as("id"), col("id").as("nb")))
+      // reverse edges are CAPPED at wk per node before the
+      // neighbor-of-neighbor expansion (Dong et al. 2011's reverse
+      // sampling, made deterministic): a hub pointed at by thousands
+      // of nodes would otherwise contribute deg² candidate pairs —
+      // measured as a spill blowup at 1M nodes (unbounded reverse
+      // degree ⇒ the candidate shuffle outgrew an 80 GB scratch disk
+      // on iteration 5). With the cap the undirected degree is ≤ 2wk
+      // EXACTLY, so candidate volume is ≤ n·(2wk)² per round at any
+      // n. The kept subset is a fixed pseudo-random order over the
+      // pointing nodes (the same bounded multiplicative hash as the
+      // layer assignment — exact in int64, SQL-replicable), ties by
+      // id — deterministic, so the oracle unroll mirrors it.
+      val revOrd = shiftright(
+        pmod(col("nb"), lit(1048576L)) * lit(2654435761L) + lit(97L), 20)
+      val rev = edges.select(col("nb").as("id"), col("id").as("nb"))
+        .withColumn("rr", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("id").orderBy(revOrd, col("nb"))))
+        .filter(col("rr") <= wk).drop("rr")
+      val und = edges.unionAll(rev)
       // candidate pairs: nodes sharing a neighbor (join through mid)
       val a = und.select(col("nb").as("mid"), col("id").as("src"))
       val b = und.select(col("nb").as("mid"), col("id").as("dst"))

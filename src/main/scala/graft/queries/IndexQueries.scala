@@ -453,6 +453,29 @@ object IndexQueries {
       queries, K, HierBeam, HierRounds, levels, UpperBeam))
   }
 
+  // q54's diversified degree: half the candidate width — the
+  // heuristic's value claim is a degree-m diversified graph doing the
+  // work of a wider plain one (gated in IndexSpec)
+  val DivM = 8
+
+  /** q54: HNSW's SELECT-NEIGHBORS-HEURISTIC (the reference's hnsw
+    * engines' M-edge selection; Malkov & Yashunin 2018 §4) as a batch
+    * operator: exact top-GraphDeg candidate lists pruned to a
+    * diverse degree-DivM edge set — candidate i drops when an
+    * earlier candidate j sits strictly closer to i than the node
+    * does. See GraphSearch.diversify for the order-free variant's
+    * contract.
+    */
+  def graphDiversify(s: SparkSession, dir: String): DataFrame = {
+    val (base, _) = baseAndQueries(s, dir)
+    val knn = KnnSearch.bruteForceBlocked(base,
+      base.select(col("id").as("query_id"), col("vec").as("qvec")),
+      GraphDeg, VecMetric.Euclidean,
+      pairFilter = Some(col("id") =!= col("query_id")))
+      .select(col("query_id").as("id"), col("rank"), col("neighbor_id"))
+    GraphSearch.diversify(knn, base, DivM).orderBy("id", "rank")
+  }
+
   /** q28: incremental IVF maintenance — the reference serves CRUD
     * against a BUILT index (base/module.py insert/update/delete)
     * without rebuilding it: only the mutation batch is assigned to the
@@ -1055,6 +1078,7 @@ object IndexQueries {
     "q37_ivf_sq4" -> (ivfSq4 _),
     "q19_graph_search" -> (graphSearch _),
     "q53_graph_stack_nnd" -> (graphStackNnd _),
+    "q54_graph_diversify" -> (graphDiversify _),
     "q24_lsh_minhash" -> (lshMinhash _),
     "q25_graph_knn" -> (knnGraph _),
     "q27_nn_descent" -> (nnDescentGraph _)
@@ -1495,7 +1519,13 @@ object IndexQueries {
     val iters = (1 to nIters).map { r =>
       val prev = s"e${r - 1}"
       s"""u$r AS (SELECT id, nb FROM $prev
-         |        UNION ALL SELECT nb AS id, id AS nb FROM $prev),
+         |        UNION ALL
+         |        SELECT id, nb FROM (
+         |          SELECT p.nb AS id, p.id AS nb,
+         |                 row_number() OVER (PARTITION BY p.nb
+         |                   ORDER BY ((p.id % 1048576) * 2654435761 + 97) >> 20,
+         |                            p.id) AS rr
+         |          FROM $prev p) WHERE rr <= $wk),
          |c$r AS (SELECT DISTINCT src, dst FROM (
          |   SELECT a.src, z.dst FROM
          |     (SELECT nb AS mid, id AS src FROM u$r) a
@@ -1602,6 +1632,33 @@ object IndexQueries {
   }
 
   private val q19Sql: String = layeredSearchSql(graphCte(0, "b", GraphDeg))
+
+  /** q54 oracle: exact top-GraphDeg lists, the all-earlier-candidates
+    * prune (strict <, same float→double distance math as the Spark
+    * kernels), survivors re-ranked 1..DivM.
+    */
+  private val q54Sql: String =
+    s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings WHERE $bPred),
+       |k0 AS (SELECT id, neighbor_id, rank FROM (
+       |   SELECT a.id, z.id AS neighbor_id,
+       |          row_number() OVER (PARTITION BY a.id
+       |            ORDER BY list_distance(a.v, z.v), z.id) AS rank
+       |   FROM b a CROSS JOIN b z WHERE a.id != z.id)
+       | WHERE rank <= $GraphDeg),
+       |pr AS (SELECT DISTINCT ki.id, ki.rank FROM k0 ki
+       |       JOIN k0 kj ON kj.id = ki.id AND kj.rank < ki.rank
+       |       JOIN b vi ON vi.id = ki.neighbor_id
+       |       JOIN b vj ON vj.id = kj.neighbor_id
+       |       JOIN b v0 ON v0.id = ki.id
+       |       WHERE list_distance(vi.v, vj.v) < list_distance(v0.v, vi.v)),
+       |keep AS (SELECT k.id, k.neighbor_id, k.rank FROM k0 k
+       |         WHERE NOT EXISTS (SELECT 1 FROM pr
+       |                           WHERE pr.id = k.id AND pr.rank = k.rank))
+       |SELECT id, rank, neighbor_id FROM (
+       |  SELECT id, neighbor_id, row_number() OVER (PARTITION BY id
+       |           ORDER BY rank) AS rank FROM keep)
+       |WHERE rank <= $DivM ORDER BY id, rank""".stripMargin
 
   /** q53 oracle: same descent, base layer from [[nndCtes]] at
     * wk=GraphDeg (factor 1) / NndIters — NnDescent.build(GraphDeg)'s
@@ -1992,6 +2049,7 @@ object IndexQueries {
     "q12_recall_at_k" -> recallSql,
     "q19_graph_search" -> q19Sql,
     "q53_graph_stack_nnd" -> q53Sql,
+    "q54_graph_diversify" -> q54Sql,
     "q20_ivf_flat" -> ivfFlatSql,
     "q52_ivf_range" -> ivfRangeSql,
     "m05_mm_ann" -> mmAnnSql,

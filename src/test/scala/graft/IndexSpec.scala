@@ -599,6 +599,46 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("q54 diversified degree-8 graph: out-degree capped, beam recall >= plain top-8") {
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .localCheckpoint(true)
+    val queries = emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val div = SparkEntry.queries("q54_graph_diversify")(spark, sf001)
+      .localCheckpoint(true)
+    // the prune must respect the degree cap pre-symmetrization
+    assert(div.groupBy("id").count().agg(max("count")).head().getLong(0)
+      <= graft.queries.IndexQueries.DivM)
+    val knn16 = KnnSearch.bruteForceBlocked(base,
+      base.select(col("id").as("query_id"), col("vec").as("qvec")),
+      graft.queries.IndexQueries.GraphDeg, VecMetric.Euclidean,
+      pairFilter = Some(col("id") =!= col("query_id")))
+    def sym(g: org.apache.spark.sql.DataFrame) =
+      g.unionByName(g.select(col("neighbor_id").as("id"),
+        col("id").as("neighbor_id"))).distinct()
+    val plain8 = sym(knn16.filter(col("rank") <= 8)
+      .select(col("query_id").as("id"), col("neighbor_id")))
+    val div8 = sym(div.select("id", "neighbor_id"))
+    val exact = exactTop10(sf001, VecMetric.Euclidean)
+      .localCheckpoint(true)
+    def recall(g: org.apache.spark.sql.DataFrame): Double =
+      GraphSearch.beamSearch(base, g, queries, 10,
+        graft.queries.IndexQueries.Beam,
+        graft.queries.IndexQueries.BeamRounds, 16, VecMetric.Euclidean,
+        graft.queries.IndexQueries.EntryBeam)
+        .select("query_id", "neighbor_id")
+        .intersect(exact).count().toDouble / exact.count()
+    val (rDiv, rPlain) = (recall(div8), recall(plain8))
+    // the heuristic's claim at equal degree budget: diverse-direction
+    // edges reach at least what redundant same-direction ones do —
+    // measured 0.70 vs 0.65 held-out at sf0.01 (both walks
+    // deterministic, so the comparison is exact, not a flaky margin)
+    assert(rDiv >= rPlain,
+      s"diversified recall $rDiv vs plain $rPlain")
+  }
+
   test("q53 NN-descent-built stack: recall within reach of q19's exact build") {
     val rExact = recallOf("q19_graph_search")
     val rNnd = recallOf("q53_graph_stack_nnd")
