@@ -435,22 +435,34 @@ object ScaleBench {
           .localCheckpoint(true)
         stack.count()
       }
-      var topk: org.apache.spark.sql.DataFrame = null
-      timed("graph_stack_search_100q") {
-        topk = graft.operators.GraphSearch.hierarchicalSearch(
-          corpus, stack, queries, 10,
-          graft.queries.IndexQueries.HierBeam,
-          graft.queries.IndexQueries.HierRounds, lv,
-          graft.queries.IndexQueries.UpperBeam).localCheckpoint(true)
-        topk.count()
-      }
-      // quality gate for the approximate build at THIS scale (the
-      // sf0.01 spec floor doesn't transfer on its own): rows = hits
-      // out of nq*10 vs the exact top-10 — recall = rows / 1000
-      timed("graph_stack_recall_100q") {
-        val exact = KnnSearch.bruteForce(corpus, queries, 10,
-          VecMetric.Euclidean).select("query_id", "neighbor_id")
-        topk.select("query_id", "neighbor_id").intersect(exact).count()
+      // search-effort sweep over ONE build (HNSW's ef knob: recall is
+      // bought by beam width × rounds at query time as much as by
+      // build convergence): "beam:rounds,beam:rounds,..."
+      val effort = sys.env.getOrElse("SPARK_GRAFT_GRAPH_BEAMS",
+        s"${graft.queries.IndexQueries.HierBeam}:" +
+          s"${graft.queries.IndexQueries.HierRounds}")
+        .split(",").map { s =>
+          val Array(b, r) = s.split(":"); (b.trim.toInt, r.trim.toInt)
+        }
+      val exact = KnnSearch.bruteForce(corpus, queries, 10,
+        VecMetric.Euclidean).select("query_id", "neighbor_id")
+        .localCheckpoint(true)
+      for ((beam, rounds) <- effort) {
+        val tag = if (effort.length == 1) ""
+          else s"_b${beam}r$rounds"
+        var topk: org.apache.spark.sql.DataFrame = null
+        timed(s"graph_stack_search_100q$tag") {
+          topk = graft.operators.GraphSearch.hierarchicalSearch(
+            corpus, stack, queries, 10, beam, rounds, lv,
+            graft.queries.IndexQueries.UpperBeam).localCheckpoint(true)
+          topk.count()
+        }
+        // quality gate for the approximate build at THIS scale (the
+        // sf0.01 spec floor doesn't transfer on its own): rows = hits
+        // out of nq*10 vs the exact top-10 — recall = rows / 1000
+        timed(s"graph_stack_recall_100q$tag") {
+          topk.select("query_id", "neighbor_id").intersect(exact).count()
+        }
       }
     }
 
