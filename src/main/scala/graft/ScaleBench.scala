@@ -266,7 +266,8 @@ object ScaleBench {
         "pq_encode", "pq_aniso_encode", "pq_adc_100q",
         "grouped_search_100q", "semdedup",
         "graph_nnd_build", "graph_stack_search_100q",
-        "graph_stack_recall_100q")
+        "graph_stack_recall_100q", "graph_div_build",
+        "graph_div_search_100q", "graph_div_recall_100q")
         .exists(keep)) {
     val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -408,15 +409,23 @@ object ScaleBench {
         blockRows = 4096).count()
     }
 
-    // q53 shape at scale: the NO-N² layered-stack build (NN-descent
-    // base; upper layers NN-descent above the 64k exactCap, exact
-    // blocked under it) + the hierarchical descent with its
-    // driver-resident top of stack. Build cost is dominated by the
-    // base NN-descent rounds (candidate volume ~ n·(2·wk)² per
-    // round); search cost is rounds×(|E|+n) scans — both linear in n,
-    // the property these walls gate.
+    // q53/q55 shape at scale: the NO-N² layered-stack builds
+    // (NN-descent base; upper layers NN-descent above the 16k
+    // exactCap default, exact blocked under it; the `div` variant
+    // prunes every layer's candidate lists with the
+    // SELECT-NEIGHBORS-HEURISTIC to half degree) + the hierarchical
+    // descent with its driver-resident top of stack. Build cost is
+    // dominated by the base NN-descent rounds (candidate volume
+    // ~ n·(2·wk)² per round); search cost is rounds×(|E|+n) scans —
+    // both linear in n, the property these walls gate. Each variant's
+    // build/search/recall stages guard their producers: a stage
+    // filter keeping only a downstream stage computes the upstream
+    // result untimed instead of NPE-ing, and the exact recall
+    // baseline is built only when a recall stage actually runs.
     if (Seq("graph_nnd_build", "graph_stack_search_100q",
-        "graph_stack_recall_100q").exists(keep)) {
+        "graph_stack_recall_100q", "graph_div_build",
+        "graph_div_search_100q", "graph_div_recall_100q")
+        .exists(keep)) {
       val lv = graft.queries.IndexQueries.levelsFor(n)
       // convergence knobs, env-overridable for calibration runs: at
       // the gate scales 2 rounds from random init reach the exact
@@ -426,15 +435,6 @@ object ScaleBench {
         graft.queries.IndexQueries.NndIters.toString).toInt
       val gFactor =
         sys.env.getOrElse("SPARK_GRAFT_GRAPH_FACTOR", "1").toInt
-      var stack: org.apache.spark.sql.DataFrame = null
-      timed("graph_nnd_build") {
-        stack = graft.operators.GraphSearch.buildLayeredGraphsNnd(
-          corpus, lv, graft.queries.IndexQueries.GraphDeg,
-          graft.queries.IndexQueries.UpperDeg,
-          gIters, workingDegreeFactor = gFactor)
-          .localCheckpoint(true)
-        stack.count()
-      }
       // search-effort sweep over ONE build (HNSW's ef knob: recall is
       // bought by beam width × rounds at query time as much as by
       // build convergence): "beam:rounds,beam:rounds,..."
@@ -444,26 +444,57 @@ object ScaleBench {
         .split(",").map { s =>
           val Array(b, r) = s.split(":"); (b.trim.toInt, r.trim.toInt)
         }
-      val exact = KnnSearch.bruteForce(corpus, queries, 10,
+      lazy val exact = KnnSearch.bruteForce(corpus, queries, 10,
         VecMetric.Euclidean).select("query_id", "neighbor_id")
         .localCheckpoint(true)
-      for ((beam, rounds) <- effort) {
-        val tag = if (effort.length == 1) ""
-          else s"_b${beam}r$rounds"
-        var topk: org.apache.spark.sql.DataFrame = null
-        timed(s"graph_stack_search_100q$tag") {
-          topk = graft.operators.GraphSearch.hierarchicalSearch(
-            corpus, stack, queries, 10, beam, rounds, lv,
-            graft.queries.IndexQueries.UpperBeam).localCheckpoint(true)
-          topk.count()
+      // one build + sweep pass, shared by the plain and diversified
+      // variants (`kind` = "stack" for q53's build, "div" for q55's)
+      def graphVariant(kind: String,
+          build: () => org.apache.spark.sql.DataFrame): Unit = {
+        val buildName =
+          if (kind == "stack") "graph_nnd_build" else "graph_div_build"
+        val searchPre = s"graph_${kind}_search_100q"
+        val recallPre = s"graph_${kind}_recall_100q"
+        val wanted = effort.map { case (b, r) =>
+          (b, r, if (effort.length == 1) "" else s"_b${b}r$r")
+        }.filter { case (_, _, t) =>
+          keep(s"$searchPre$t") || keep(s"$recallPre$t") }
+        if (!keep(buildName) && wanted.isEmpty) return
+        var stack: org.apache.spark.sql.DataFrame = null
+        def doBuild(): Long = {
+          stack = build().localCheckpoint(true); stack.count()
         }
-        // quality gate for the approximate build at THIS scale (the
-        // sf0.01 spec floor doesn't transfer on its own): rows = hits
-        // out of nq*10 vs the exact top-10 — recall = rows / 1000
-        timed(s"graph_stack_recall_100q$tag") {
-          topk.select("query_id", "neighbor_id").intersect(exact).count()
+        if (keep(buildName)) timed(buildName)(doBuild()) else doBuild()
+        for ((beam, rounds, tag) <- wanted) {
+          var topk: org.apache.spark.sql.DataFrame = null
+          def doSearch(): Long = {
+            topk = graft.operators.GraphSearch.hierarchicalSearch(
+              corpus, stack, queries, 10, beam, rounds, lv,
+              graft.queries.IndexQueries.UpperBeam).localCheckpoint(true)
+            topk.count()
+          }
+          if (keep(s"$searchPre$tag")) timed(s"$searchPre$tag")(doSearch())
+          else doSearch()
+          // quality gate for the approximate build at THIS scale (the
+          // sf0.01 spec floor doesn't transfer on its own): rows =
+          // hits out of nq*10 vs the exact top-10 — recall = rows/1000
+          timed(s"$recallPre$tag") {
+            topk.select("query_id", "neighbor_id").intersect(exact).count()
+          }
         }
       }
+      graphVariant("stack", () =>
+        graft.operators.GraphSearch.buildLayeredGraphsNnd(
+          corpus, lv, graft.queries.IndexQueries.GraphDeg,
+          graft.queries.IndexQueries.UpperDeg,
+          gIters, workingDegreeFactor = gFactor))
+      graphVariant("div", () =>
+        graft.operators.GraphSearch.buildLayeredGraphsDiversified(
+          corpus, lv, graft.queries.IndexQueries.GraphDeg,
+          graft.queries.IndexQueries.DivM,
+          graft.queries.IndexQueries.UpperCand,
+          graft.queries.IndexQueries.UpperDeg,
+          gIters, workingDegreeFactor = gFactor))
     }
 
     timed("packed_hamming_100q") {

@@ -132,11 +132,20 @@ object GraphSearch {
     * re-ranked 1..≤m among survivors. Cost: one N·wk²/2 pair
     * self-join + three vector joins — linear in N at fixed wk.
     */
+  /** `backfill` = the paper's keepPrunedConnections flag (Malkov &
+    * Yashunin Alg. 4): when the prune leaves fewer than m survivors,
+    * refill the open slots with the closest PRUNED candidates —
+    * survivors first, then pruned, both in candidate-rank order. The
+    * kept set is then exactly min(m, candidates) wide, which matters
+    * where diversity starves degree (small layers, aggressive
+    * order-free pruning). Default off: q54 gates the strict variant.
+    */
   def diversify(
       knn: DataFrame,
       base: DataFrame,
       m: Int,
-      metric: VecMetric = VecMetric.Euclidean): DataFrame = {
+      metric: VecMetric = VecMetric.Euclidean,
+      backfill: Boolean = false): DataFrame = {
     val v = base.select(col("id"), col("vec"))
     val ci = knn.select(col("id"), col("rank").as("ri"),
       col("neighbor_id").as("ni"))
@@ -153,6 +162,16 @@ object GraphSearch {
         metric.score(col("v0"), col("vi"))))
       .select(col("id"), col("ri")).distinct()
     import org.apache.spark.sql.expressions.Window
+    if (backfill) {
+      knn.join(pruned.withColumnRenamed("ri", "rank")
+          .withColumn("pruned", lit(1)), Seq("id", "rank"), "left")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("id")
+            .orderBy(coalesce(col("pruned"), lit(0)), col("rank"))))
+        .filter(col("rank") <= m)
+        .select(col("id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    } else
     knn.join(pruned, knn("id") === pruned("id") &&
         knn("rank") === pruned("ri"), "left_anti")
       .withColumn("rank", row_number().over(
@@ -288,13 +307,86 @@ object GraphSearch {
       }).reduce(_ unionByName _)
   }
 
+  /** The COMPOSED HNSW build (Malkov & Yashunin 2018 §4 — the build
+    * the reference's hnsw engines actually run, milvus-hnsw family):
+    * candidate generation THEN SELECT-NEIGHBORS-HEURISTIC edge
+    * selection, with the paper's keepPrunedConnections backfill on by
+    * default. The heuristic runs on the NN-descent tier — the base
+    * layer and any upper layer over `exactCap` members (the no-N²
+    * path, [[buildLayeredGraphsNnd]]'s tiering; at 100 TB that is
+    * every layer): `baseCand`/`upperCand`-wide NND lists pruned by
+    * [[diversify]] to `baseM`/`upperM` and symmetrized. Exact-tier
+    * uppers (≤ `exactCap` members) keep their exact top-`upperM`
+    * lists unpruned — they only aim the descent and pruning their
+    * short exact lists measured strictly worse (see `layer` below).
+    * This retires the all-pairs candidate stage the standalone
+    * diversify entry (q54) uses: at any corpus size the candidate
+    * volume is NN-descent's structural n·(2wk)² bound, and the prune
+    * itself is one n·cand²/2 pair self-join — linear in n at fixed
+    * width. Deterministic end to end (NND's hash init, (dist, id)
+    * tie-breaks, the order-free prune + rank-ordered backfill), so
+    * oracle-replicable.
+    */
+  def buildLayeredGraphsDiversified(
+      base: DataFrame,
+      levels: Int,
+      baseCand: Int,
+      baseM: Int,
+      upperCand: Int,
+      upperM: Int,
+      iters: Int,
+      workingDegreeFactor: Int,
+      exactCap: Int = 1 << 14,
+      backfill: Boolean = true): DataFrame = {
+    val layerSizes: Map[Int, Long] = if (levels <= 1) Map.empty else {
+      val depth = (1 until levels)
+        .map(l => when(inLayer(col("id"), l), 1).otherwise(0))
+        .reduce(_ + _)
+      val hist = base.select(depth.as("d")).groupBy("d").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (1 until levels)
+        .map(l => l -> hist.filter(_._1 >= l).values.sum).toMap
+    }
+    def layer(l: Int, cand: Int, m: Int): DataFrame = {
+      val members =
+        if (l == 0) base else base.filter(inLayer(col("id"), l))
+      // the heuristic runs exactly where candidates are approximate
+      // and redundant — the NN-descent tier (base layer; any upper
+      // layer over exactCap, i.e. EVERY layer at 100 TB). Exact-tier
+      // uppers (≤ exactCap members, gate scales) keep their exact
+      // top-m lists as-is: they only AIM the descent, their lists are
+      // short, and pruning measured −0.02 recall vs +0.02 from
+      // diversifying the base (sf0.01, equal degree and beam budget).
+      val kept =
+        if (l == 0 || layerSizes(l) > exactCap)
+          diversify(
+            NnDescent.build(members, cand, iters, workingDegreeFactor,
+              nKnown = layerSizes.getOrElse(l, -1L)),
+            members, m, backfill = backfill)
+            .select(col("id"), col("neighbor_id"))
+        else
+          KnnSearch.bruteForceBlocked(members,
+            members.select(col("id").as("query_id"), col("vec").as("qvec")),
+            m, VecMetric.Euclidean,
+            pairFilter = Some(col("id") =!= col("query_id")))
+            .select(col("query_id").as("id"), col("neighbor_id"))
+      kept.unionByName(kept.select(col("neighbor_id").as("id"),
+        col("id").as("neighbor_id"))).distinct()
+        .select(lit(l).as("layer"), col("id"), col("neighbor_id"))
+    }
+    (layer(0, baseCand, baseM) +:
+      (1 until levels).map(l => layer(l, upperCand, upperM)))
+      .reduce(_ unionByName _)
+  }
+
   /** Scalar twins of [[levelHash]]/[[inLayer]] for the driver-resident
     * top-of-stack phase — same bounded multiplicative hash, exact in
     * int64 (the product is < 2^52, so >> == >>> and the SQL replica
-    * agrees bit for bit).
+    * agrees bit for bit; floorMod matches the Column twin's pmod for
+    * negative ids too, where Java's sign-following % would diverge).
     */
   def levelHashLocal(id: Long): Long =
-    ((id % 1048576L) * 2654435761L + 42L) >> 20
+    (Math.floorMod(id, 1048576L) * 2654435761L + 42L) >> 20
   def inLayerLocal(id: Long, l: Int): Boolean =
     (levelHashLocal(id) & ((1L << l) - 1)) == 0L
 

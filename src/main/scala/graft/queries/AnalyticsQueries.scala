@@ -59,8 +59,10 @@ object AnalyticsQueries {
       .agg(
         count(lit(1)).as("n"),
         percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.9)).as("p90"),
         percentile(col("v"), lit(0.95)).as("p95"),
-        percentile(col("v"), lit(0.99)).as("p99"))
+        percentile(col("v"), lit(0.99)).as("p99"),
+        percentile(col("v"), lit(0.999)).as("p999"))
       .orderBy("event_type")
 
   /** a03: gap-based sessionization (30 min) of the event stream —
@@ -274,7 +276,8 @@ object AnalyticsQueries {
     * updates and deletes applied one at a time to the op LOG
     * (MutationLog — the per-op path of a log-structured index; the
     * batch compaction twin is q30), each append timed, percentiles
-    * per op class. Latencies are wall-clock (no SQL oracle by
+    * per op class at the reference's full grid (p50/p90/p95/p99/p999
+    * + ops-per-second, plotting/metrics.py:51,71,101). Latencies are wall-clock (no SQL oracle by
     * nature — the reference stores, not recomputes, them); the
     * DETERMINISTIC effect of the op stream is gated instead: the
     * merged post-state's row count and id checksum ride along in
@@ -315,11 +318,12 @@ object AnalyticsQueries {
     }
     Seq(("delete", deleteNs), ("insert", insertNs), ("update", updateNs))
       .map { case (op, ns) =>
-        (op, ns.length.toLong, pct(ns, 0.5), pct(ns, 0.95), pct(ns, 0.99),
-          ns.max / 1000, finalRows, idChecksum)
+        (op, ns.length.toLong, pct(ns, 0.5), pct(ns, 0.9), pct(ns, 0.95),
+          pct(ns, 0.99), pct(ns, 0.999), ns.max / 1000,
+          ns.length.toDouble * 1e9 / ns.sum, finalRows, idChecksum)
       }
-      .toDF("op", "n_ops", "p50_us", "p95_us", "p99_us", "max_us",
-        "final_rows", "id_checksum")
+      .toDF("op", "n_ops", "p50_us", "p90_us", "p95_us", "p99_us",
+        "p999_us", "max_us", "ops_per_sec", "final_rows", "id_checksum")
       .orderBy("op")
   }
 
@@ -367,10 +371,14 @@ object AnalyticsQueries {
       srt(math.min(srt.length - 1,
         math.ceil(q * srt.length).toInt - 1).max(0)) / 1000
     }
+    // qps = the reference's queries_per_second metric
+    // (plotting/metrics.py:51): n_ops over the summed serving wall
     Seq(("single_query", walls.length.toLong, pct(walls, 0.5),
-      pct(walls, 0.95), pct(walls, 0.99), walls.max / 1000, hits, ck))
-      .toDF("op", "n_ops", "p50_us", "p95_us", "p99_us", "max_us",
-        "total_hits", "id_checksum")
+      pct(walls, 0.9), pct(walls, 0.95), pct(walls, 0.99),
+      pct(walls, 0.999), walls.max / 1000,
+      walls.length.toDouble * 1e9 / walls.sum, hits, ck))
+      .toDF("op", "n_ops", "p50_us", "p90_us", "p95_us", "p99_us",
+        "p999_us", "max_us", "qps", "total_hits", "id_checksum")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -575,8 +583,10 @@ object AnalyticsQueries {
     "a02_latency_percentiles" ->
       """SELECT event_type, count(*) AS n,
         |       quantile_cont(v, 0.5) AS p50,
+        |       quantile_cont(v, 0.9) AS p90,
         |       quantile_cont(v, 0.95) AS p95,
-        |       quantile_cont(v, 0.99) AS p99
+        |       quantile_cont(v, 0.99) AS p99,
+        |       quantile_cont(v, 0.999) AS p999
         |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a03_sessionize" ->

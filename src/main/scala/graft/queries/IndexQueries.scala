@@ -476,6 +476,41 @@ object IndexQueries {
     GraphSearch.diversify(knn, base, DivM).orderBy("id", "rank")
   }
 
+  // q55's NND-tier upper-layer candidate width: 2x the kept degree,
+  // the same candidates-to-kept ratio as the base layer
+  // (GraphDeg=2*DivM) — HNSW's efConstruction > M contract
+  val UpperCand = 2 * UpperDeg
+
+  /** q55: the COMPOSED HNSW build — q53's no-N² layer stack with
+    * q54's SELECT-NEIGHBORS-HEURISTIC (+ the paper's
+    * keepPrunedConnections backfill) applied on the NN-descent tier
+    * (Malkov & Yashunin §4: candidate generation then heuristic edge
+    * selection — the build the reference's hnsw engines run, README
+    * "Supported Databases"). The base layer — and at scale every
+    * layer over the exactCap, i.e. every layer at 100 TB — prunes
+    * GraphDeg/UpperCand-wide NND lists to DivM/UpperDeg diverse
+    * edges; exact-tier uppers keep their exact top-UpperDeg lists
+    * (they only aim the descent; pruning them measured strictly
+    * worse). Then the SAME hierarchical descent as q19/q53 over the
+    * half-degree base. This retires q54's exact-N² candidate stage:
+    * no stage here exceeds NN-descent's structural n·(2wk)² candidate
+    * bound or the prune's n·cand²/2 pair join.
+    */
+  def graphStackDiversified(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    val (path, levels) = cached(dir, "layered-graph-div-path") {
+      val lv = levelsFor(base.count())
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_layer_graph_div").toString
+      GraphSearch.buildLayeredGraphsDiversified(base, lv, GraphDeg, DivM,
+        UpperCand, UpperDeg, NndIters, workingDegreeFactor = 1)
+        .write.mode("overwrite").partitionBy("layer").parquet(p)
+      (p, lv)
+    }
+    ranked(GraphSearch.hierarchicalSearch(base, s.read.parquet(path),
+      queries, K, HierBeam, HierRounds, levels, UpperBeam))
+  }
+
   /** q28: incremental IVF maintenance — the reference serves CRUD
     * against a BUILT index (base/module.py insert/update/delete)
     * without rebuilding it: only the mutation batch is assigned to the
@@ -1079,6 +1114,7 @@ object IndexQueries {
     "q19_graph_search" -> (graphSearch _),
     "q53_graph_stack_nnd" -> (graphStackNnd _),
     "q54_graph_diversify" -> (graphDiversify _),
+    "q55_graph_stack_diversified" -> (graphStackDiversified _),
     "q24_lsh_minhash" -> (lshMinhash _),
     "q25_graph_knn" -> (knnGraph _),
     "q27_nn_descent" -> (nnDescentGraph _)
@@ -1585,16 +1621,64 @@ object IndexQueries {
        |        UNION
        |        SELECT neighbor_id AS id, id AS neighbor_id FROM k$l)""".stripMargin
 
+  /** Layer-l member CTE m$l (over the level-hash CTE `lh`). */
+  private def memberCte(l: Int): String = {
+    val mask = (1L << l) - 1
+    s"m$l AS (SELECT id, v FROM lh WHERE (h & $mask) = 0)"
+  }
+
+  /** Default upper-layer block: exact per-layer kNN at UpperDeg,
+    * symmetrized (q19/q53's upper tier).
+    */
+  private def upperGraphExact(l: Int): String =
+    s"""${memberCte(l)},
+       |${graphCte(l, s"m$l", UpperDeg)}""".stripMargin
+
+  /** The diversify prune over a candidate CTE `$cand(id, neighbor_id,
+    * rank)` — GraphSearch.diversify's order-free
+    * SELECT-NEIGHBORS-HEURISTIC: drop candidate i when some
+    * earlier-ranked j sits strictly closer to i than the node does
+    * (vectors from `b`; member ids always resolve there), survivors
+    * re-ranked 1..≤m into dv$tag. `backfill` mirrors the Scala
+    * keepPrunedConnections flag: survivors first, then pruned
+    * candidates, both in candidate-rank order, top m.
+    */
+  private def diversifyCtes(tag: String, cand: String, m: Int,
+      backfill: Boolean = false): String = {
+    val keep = if (backfill)
+      s"""dv$tag AS (SELECT id, neighbor_id FROM (
+         |   SELECT k.id, k.neighbor_id,
+         |          row_number() OVER (PARTITION BY k.id
+         |            ORDER BY (CASE WHEN p.rank IS NULL THEN 0 ELSE 1 END),
+         |                     k.rank) AS rn
+         |   FROM $cand k LEFT JOIN pr$tag p
+         |     ON p.id = k.id AND p.rank = k.rank)
+         | WHERE rn <= $m)""".stripMargin
+    else
+      s"""dv$tag AS (SELECT id, neighbor_id FROM (
+         |   SELECT k.id, k.neighbor_id,
+         |          row_number() OVER (PARTITION BY k.id ORDER BY k.rank) AS rn
+         |   FROM $cand k
+         |   WHERE NOT EXISTS (SELECT 1 FROM pr$tag
+         |                     WHERE pr$tag.id = k.id AND pr$tag.rank = k.rank))
+         | WHERE rn <= $m)""".stripMargin
+    s"""pr$tag AS (SELECT DISTINCT ki.id, ki.rank FROM $cand ki
+       |       JOIN $cand kj ON kj.id = ki.id AND kj.rank < ki.rank
+       |       JOIN b vi ON vi.id = ki.neighbor_id
+       |       JOIN b vj ON vj.id = kj.neighbor_id
+       |       JOIN b v0 ON v0.id = ki.id
+       |       WHERE list_distance(vi.v, vj.v) < list_distance(v0.v, vi.v)),
+       |$keep""".stripMargin
+  }
+
   /** The layered-stack descent unrolled over a pluggable BASE-layer
     * graph block (CTEs defining `g0` over `b`): exact build for q19,
-    * NN-descent build for q53 — the search walk is identical.
+    * NN-descent build for q53 — the search walk is identical. The
+    * upper tier is pluggable too (q55 diversifies it).
     */
-  private def layeredSearchSql(g0Block: String): String = {
-    val upperGraphs = (1 until GraphLayers).map { l =>
-      val mask = (1L << l) - 1
-      s"""m$l AS (SELECT id, v FROM lh WHERE (h & $mask) = 0),
-         |${graphCte(l, s"m$l", UpperDeg)}""".stripMargin
-    }.mkString(",\n")
+  private def layeredSearchSql(g0Block: String,
+      upperBlock: Int => String = upperGraphExact): String = {
+    val upperGraphs = (1 until GraphLayers).map(upperBlock).mkString(",\n")
     // descent schedule: one step per upper layer (top-down), then the
     // base rounds — identical to GraphSearch.hierarchicalSearch
     val steps = ((GraphLayers - 1) to 1 by -1).map(l => (l, UpperBeam)) ++
@@ -1677,6 +1761,28 @@ object IndexQueries {
        |g0 AS (SELECT id, neighbor_id FROM k0
        |       UNION
        |       SELECT neighbor_id AS id, id AS neighbor_id FROM k0)""".stripMargin)
+
+  /** q55 oracle: the composed build — q53's NN-descent base candidates
+    * (same [[nndCtes]] chain, RANK KEPT) through the q54 prune with
+    * backfill ([[diversifyCtes]]) to DivM; upper layers are all
+    * exact-tier at gate scale (every layer ≤ exactCap members) so
+    * they are q19/q53's exact top-UpperDeg blocks unpruned; then the
+    * identical descent walk. Mirrors
+    * GraphSearch.buildLayeredGraphsDiversified bit for bit.
+    */
+  private val q55Sql: String = layeredSearchSql(
+    s"""${nndCtes(GraphDeg, NndIters)},
+       |kc0 AS (SELECT id, nb AS neighbor_id, rank FROM (
+       |   SELECT e.id, e.nb,
+       |          row_number() OVER (PARTITION BY e.id
+       |            ORDER BY list_distance(vs.v, vd.v), e.nb) AS rank
+       |   FROM e$NndIters e JOIN b vs ON vs.id = e.id
+       |                     JOIN b vd ON vd.id = e.nb)
+       | WHERE rank <= $GraphDeg),
+       |${diversifyCtes("c0", "kc0", DivM, backfill = true)},
+       |g0 AS (SELECT id, neighbor_id FROM dvc0
+       |       UNION
+       |       SELECT neighbor_id AS id, id AS neighbor_id FROM dvc0)""".stripMargin)
 
   /** q36 oracle: the two-level descent in SQL — both levels' sample
     * init and argmin assignments, then the p1-cells → p2-leaves probe
@@ -2050,6 +2156,7 @@ object IndexQueries {
     "q19_graph_search" -> q19Sql,
     "q53_graph_stack_nnd" -> q53Sql,
     "q54_graph_diversify" -> q54Sql,
+    "q55_graph_stack_diversified" -> q55Sql,
     "q20_ivf_flat" -> ivfFlatSql,
     "q52_ivf_range" -> ivfRangeSql,
     "m05_mm_ann" -> mmAnnSql,

@@ -17,6 +17,38 @@ import graft.EventTime
 object EventStream {
   private val nameCounter = new AtomicInteger(0)
 
+  /** State-partition count for a stateful streaming query over the
+    * parquet source at `path`. Spark fixes the streaming state layout
+    * at query start (state stores cannot be re-partitioned by AQE),
+    * so size it from the source's plan-stats footprint the same way
+    * t11 auto-sizes its pack buckets: one state partition per ~64 MB
+    * of source, floored at 8 and capped at 4096. The floor matters at
+    * gate scales — every state partition pays fixed store-commit cost
+    * per micro-batch (a stream-stream join keeps 4 stores per
+    * partition), and the 32-partition session default measured 5.4 s
+    * of q40's 5.4 s sf0.1 wall in pure store commits (2.1 s at 8) —
+    * while the byte-driven term is what a 100 TB/day deployment
+    * needs: state volume, not a constant, picks the count there.
+    */
+  private def statePartitionsFor(spark: SparkSession, path: String): Int = {
+    val bytes = spark.read.parquet(path)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    (bytes / (64L << 20)).min(4096).max(8).toInt
+  }
+
+  /** Run `body` with spark.sql.shuffle.partitions = `n` (the knob
+    * streaming state layout is taken from at query start), restoring
+    * the session default after — batch entries on the shared session
+    * keep their own sizing.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)
+      (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Tumbling 1-hour window per event_type: count + value sum (in
     * integer cents, so results are order-independent and exact).
     */
@@ -251,15 +283,23 @@ object EventStream {
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src() = spark.readStream.schema(schema)
+    // ONE streaming source split by filter into the two sides (a
+    // streaming self-join): both sides share a single
+    // FileStreamSource, so each micro-batch lists and admits the
+    // input files once instead of once per side — two independent
+    // src() instances each re-list and re-scan the directory per
+    // batch, which at AvailableNow single-batch replay doubled the
+    // wall. Each side still carries its OWN watermark on its own
+    // event-time column (Spark's multi-watermark min policy).
+    val ev = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("event_time", EventTime.eventTime(schema))
-    val errors = src().filter(col("event_type") === "error")
+    val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("event_id").as("error_id"),
         col("event_time").as("error_time"))
       .withWatermark("error_time", "1 hour")
-    val clicks = src().filter(col("event_type") === "click")
+    val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("event_time").as("click_time"))
       .withWatermark("click_time", "1 hour")
@@ -271,15 +311,18 @@ object EventStream {
         unix_micros(col("error_time")).as("error_us"),
         unix_micros(col("click_time")).as("click_us"))
     val sink = s"graft_ssjoin_${nameCounter.incrementAndGet()}"
-    Checkpoints.withEphemeral("graft_chk_") { chk =>
-      val q = joined.writeStream
-        .option("checkpointLocation", chk)
-        .outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    val parts = statePartitionsFor(spark, s"$sfDir/events.parquet")
+    withStatePartitions(spark, parts) {
+      Checkpoints.withEphemeral("graft_chk_") { chk =>
+        val q = joined.writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .format("memory")
+          .queryName(sink)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     spark.table(sink).orderBy("error_id", "click_id")
   }

@@ -134,15 +134,25 @@ class AnalyticsSpec extends AnyFunSuite {
     val wantRows = baseIds.length + 32 - 32
     val wantCk = baseIds.sum + insIds.sum - delIds.sum
     got.foreach { r =>
-      assert(r.getLong(1) == 32)
-      assert(r.getLong(6) == wantRows, s"final_rows ${r.getLong(6)}")
-      assert(r.getLong(7) == wantCk, s"id_checksum ${r.getLong(7)}")
-      val (p50, p95, p99, mx) =
-        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
-      assert(p50 <= p95 && p95 <= p99 && p99 <= mx,
-        s"percentiles not ordered: $p50 $p95 $p99 $mx")
+      assert(r.getAs[Long]("n_ops") == 32)
+      assert(r.getAs[Long]("final_rows") == wantRows,
+        s"final_rows ${r.getAs[Long]("final_rows")}")
+      assert(r.getAs[Long]("id_checksum") == wantCk,
+        s"id_checksum ${r.getAs[Long]("id_checksum")}")
+      val ps = Seq("p50_us", "p90_us", "p95_us", "p99_us", "p999_us",
+        "max_us").map(r.getAs[Long])
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b },
+        s"percentiles not ordered: $ps")
+      // ops_per_sec must be consistent with the series it rides on:
+      // n_ops appends in n_ops/qps seconds means the mean is between
+      // p50 and max
+      val qps = r.getAs[Double]("ops_per_sec")
+      val meanUs = 1e6 / qps
+      assert(qps > 0 && meanUs <= ps.last && meanUs + 1 >= ps.head,
+        s"ops_per_sec $qps inconsistent with series $ps")
       // a log append is NOT a Spark job: single-digit-millis budget
-      assert(p99 < 100000, s"p99 ${p99}us — append is not O(op bytes)")
+      assert(r.getAs[Long]("p99_us") < 100000,
+        s"p99 ${r.getAs[Long]("p99_us")}us — append is not O(op bytes)")
     }
   }
 
@@ -152,11 +162,17 @@ class AnalyticsSpec extends AnyFunSuite {
     val got = SparkEntry.queries("a13_ann_query_latency")(spark, sf).collect()
     assert(got.length == 1 && got(0).getString(0) == "single_query")
     val r = got(0)
-    assert(r.getLong(1) == AnalyticsQueries.A13NQ)
-    val (p50, p95, p99, mx) =
-      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
-    assert(p50 > 0 && p50 <= p95 && p95 <= p99 && p99 <= mx,
-      s"percentiles not ordered: $p50 $p95 $p99 $mx")
+    assert(r.getAs[Long]("n_ops") == AnalyticsQueries.A13NQ)
+    val ps = Seq("p50_us", "p90_us", "p95_us", "p99_us", "p999_us",
+      "max_us").map(r.getAs[Long])
+    assert(ps.head > 0 && ps.zip(ps.tail).forall { case (a, b) => a <= b },
+      s"percentiles not ordered: $ps")
+    // the reference's queries_per_second metric: mean serving wall
+    // (1e6/qps us) must sit inside the series' [p50, max] envelope
+    val qps = r.getAs[Double]("qps")
+    val meanUs = 1e6 / qps
+    assert(qps > 0 && meanUs <= ps.last && meanUs + 1 >= ps.head,
+      s"qps $qps inconsistent with series $ps")
     // deterministic effect recomputed independently through the BATCH
     // path (IvfIndex composed directly — not VectorCollection): same
     // base split, same sample centroids, same nlist/nprobe/k
@@ -169,7 +185,9 @@ class AnalyticsSpec extends AnyFunSuite {
     val ids = IvfIndex.search(IvfIndex.assign(base, "vec", cents), qs,
       cents, 10, 6, VecMetric.Euclidean)
       .select("neighbor_id").collect().map(_.getLong(0))
-    assert(r.getLong(6) == ids.length, s"total_hits ${r.getLong(6)}")
-    assert(r.getLong(7) == ids.sum, s"id_checksum ${r.getLong(7)}")
+    assert(r.getAs[Long]("total_hits") == ids.length,
+      s"total_hits ${r.getAs[Long]("total_hits")}")
+    assert(r.getAs[Long]("id_checksum") == ids.sum,
+      s"id_checksum ${r.getAs[Long]("id_checksum")}")
   }
 }
