@@ -435,6 +435,17 @@ object ScaleBench {
         graft.queries.IndexQueries.NndIters.toString).toInt
       val gFactor =
         sys.env.getOrElse("SPARK_GRAFT_GRAPH_FACTOR", "1").toInt
+      // Dong et al. sampling at the pair-join key (0 = off): caps
+      // candidate volume at n·midCap² per round structurally — the
+      // knob that keeps the candidate shuffle inside a fixed scratch
+      // budget as n grows past the 1M calibration point
+      val gMidCap =
+        sys.env.getOrElse("SPARK_GRAFT_NND_MIDCAP", "0").toInt
+      // vector-broadcast ceiling (rows): above the 4M default the
+      // scoring falls back to shuffle joins, which at >4M rows is
+      // the wall — raise it while executor memory holds the table
+      val gBcast = sys.env.getOrElse("SPARK_GRAFT_NND_BCAST_ROWS",
+        (1L << 22).toString).toLong
       // search-effort sweep over ONE build (HNSW's ef knob: recall is
       // bought by beam width × rounds at query time as much as by
       // build convergence): "beam:rounds,beam:rounds,..."
@@ -487,14 +498,16 @@ object ScaleBench {
         graft.operators.GraphSearch.buildLayeredGraphsNnd(
           corpus, lv, graft.queries.IndexQueries.GraphDeg,
           graft.queries.IndexQueries.UpperDeg,
-          gIters, workingDegreeFactor = gFactor))
+          gIters, workingDegreeFactor = gFactor,
+          midCap = gMidCap, bcastRows = gBcast))
       graphVariant("div", () =>
         graft.operators.GraphSearch.buildLayeredGraphsDiversified(
           corpus, lv, graft.queries.IndexQueries.GraphDeg,
           graft.queries.IndexQueries.DivM,
           graft.queries.IndexQueries.UpperCand,
           graft.queries.IndexQueries.UpperDeg,
-          gIters, workingDegreeFactor = gFactor))
+          gIters, workingDegreeFactor = gFactor,
+          midCap = gMidCap, bcastRows = gBcast))
     }
 
     timed("packed_hamming_100q") {

@@ -145,8 +145,16 @@ object GraphSearch {
       base: DataFrame,
       m: Int,
       metric: VecMetric = VecMetric.Euclidean,
-      backfill: Boolean = false): DataFrame = {
-    val v = base.select(col("id"), col("vec"))
+      backfill: Boolean = false,
+      nKnown: Long = -1L,
+      bcastRows: Long = 1L << 22): DataFrame = {
+    // the pair stream is n·cand²/2 rows; each of the three vector
+    // joins would shuffle it WITH vector payload unless the (much
+    // smaller) vector table is broadcast. Callers that know the
+    // member count pass it in (nKnown) and the table is broadcast
+    // while it fits — join strategy only, never changes the result.
+    val vraw = base.select(col("id"), col("vec"))
+    val v = if (nKnown > 0 && nKnown <= bcastRows) broadcast(vraw) else vraw
     val ci = knn.select(col("id"), col("rank").as("ri"),
       col("neighbor_id").as("ni"))
     val cj = knn.select(col("id"), col("rank").as("rj"),
@@ -279,21 +287,24 @@ object GraphSearch {
       upperDeg: Int,
       iters: Int,
       workingDegreeFactor: Int,
-      exactCap: Int = 1 << 14): DataFrame = {
+      exactCap: Int = 1 << 14,
+      midCap: Int = 0,
+      bcastRows: Long = 1L << 22): DataFrame = {
     val layerSizes: Map[Int, Long] = if (levels <= 1) Map.empty else {
       val depth = (1 until levels)
         .map(l => when(inLayer(col("id"), l), 1).otherwise(0))
         .reduce(_ + _)
       val hist = base.select(depth.as("d")).groupBy("d").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      (1 until levels)
+      (0 until levels)
         .map(l => l -> hist.filter(_._1 >= l).values.sum).toMap
     }
     def nndLayer(l: Int, deg: Int, factor: Int): DataFrame = {
       val members =
         if (l == 0) base else base.filter(inLayer(col("id"), l))
       val knn = NnDescent.build(members, deg, iters, factor,
-        nKnown = layerSizes.getOrElse(l, -1L))
+        nKnown = layerSizes.getOrElse(l, -1L),
+        midCap = midCap, bcastRows = bcastRows)
         .select(col("id"), col("neighbor_id"))
       knn.unionByName(knn.select(col("neighbor_id").as("id"),
         col("id").as("neighbor_id"))).distinct()
@@ -337,14 +348,16 @@ object GraphSearch {
       iters: Int,
       workingDegreeFactor: Int,
       exactCap: Int = 1 << 14,
-      backfill: Boolean = true): DataFrame = {
+      backfill: Boolean = true,
+      midCap: Int = 0,
+      bcastRows: Long = 1L << 22): DataFrame = {
     val layerSizes: Map[Int, Long] = if (levels <= 1) Map.empty else {
       val depth = (1 until levels)
         .map(l => when(inLayer(col("id"), l), 1).otherwise(0))
         .reduce(_ + _)
       val hist = base.select(depth.as("d")).groupBy("d").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      (1 until levels)
+      (0 until levels)
         .map(l => l -> hist.filter(_._1 >= l).values.sum).toMap
     }
     def layer(l: Int, cand: Int, m: Int): DataFrame = {
@@ -361,8 +374,10 @@ object GraphSearch {
         if (l == 0 || layerSizes(l) > exactCap)
           diversify(
             NnDescent.build(members, cand, iters, workingDegreeFactor,
-              nKnown = layerSizes.getOrElse(l, -1L)),
-            members, m, backfill = backfill)
+              nKnown = layerSizes.getOrElse(l, -1L),
+              midCap = midCap, bcastRows = bcastRows),
+            members, m, backfill = backfill,
+            nKnown = layerSizes.getOrElse(l, -1L), bcastRows = bcastRows)
             .select(col("id"), col("neighbor_id"))
         else
           KnnSearch.bruteForceBlocked(members,

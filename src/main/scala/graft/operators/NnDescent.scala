@@ -21,6 +21,25 @@ object NnDescent {
   /** base: (id, vec). Returns (id, rank, neighbor_id) approximate
     * top-k graph. Deterministic: hash-seeded init, (dist, id)
     * tie-breaks everywhere.
+    *
+    * `midCap` (0 = off, the gate default) is Dong et al. 2011's
+    * sample rate applied AT THE JOIN KEY: at most `midCap` sources
+    * are kept per shared-neighbor group before the
+    * neighbor-of-neighbor pair join, chosen in a fixed
+    * bounded-multiplicative-hash order (deterministic, ties by id).
+    * The reverse-degree cap alone bounds each node's OUT-edges at
+    * 2wk, but the pair join groups by the EDGE TARGET, whose
+    * in-degree through the forward lists is not capped — a popular
+    * node sitting in thousands of top-wk lists still contributes
+    * in-degree² pairs. The mid cap closes that hole: candidate
+    * volume is ≤ n·midCap² + n·wk per round STRUCTURALLY, the bound
+    * a 100 TB build needs. Recall cost is the sampling tradeoff
+    * (measured in ScaleBench; spec-floored at sf0.01).
+    *
+    * `bcastRows` is the vector-broadcast ceiling (rows): corpora at
+    * or under it compute candidate scores map-side against a
+    * broadcast vector table; larger corpora fall back to shuffle
+    * joins. Join strategy only — never changes results.
     */
   def build(
       base: DataFrame,
@@ -28,7 +47,9 @@ object NnDescent {
       iters: Int = 4,
       workingDegreeFactor: Int = 3,
       seed: Long = 42L,
-      nKnown: Long = -1L): DataFrame = {
+      nKnown: Long = -1L,
+      midCap: Int = 0,
+      bcastRows: Long = 1L << 22): DataFrame = {
     // iterate with a larger working degree than the requested k —
     // on high-intrinsic-dimension data the neighbor-of-neighbor
     // signal is weak, and the extra width is what carries convergence
@@ -65,7 +86,6 @@ object NnDescent {
     // the shuffle join only at node counts where a broadcast can't
     // hold — join strategy never changes the result, so the oracle
     // unroll is unaffected either way.
-    val bcastRows = 1L << 22
     def vside(df: DataFrame): DataFrame =
       if (n <= bcastRows) broadcast(df) else df
 
@@ -89,7 +109,22 @@ object NnDescent {
           org.apache.spark.sql.expressions.Window
             .partitionBy("id").orderBy(revOrd, col("nb"))))
         .filter(col("rr") <= wk).drop("rr")
-      val und = edges.unionAll(rev)
+      val undAll = edges.unionAll(rev)
+      // mid-key sampling (midCap > 0): keep at most midCap sources
+      // per shared-neighbor group, fixed hash order, ties by id —
+      // the group size AT the pair-join key is then capped, so the
+      // join fans out to ≤ midCap² pairs per mid no matter how
+      // popular the mid is. The current edge list is always scored
+      // regardless (the unionAll add-back below), so every node's
+      // kept list still refines monotonically.
+      val und = if (midCap <= 0) undAll else {
+        val midOrd = shiftright(
+          pmod(col("id"), lit(1048576L)) * lit(2654435761L) + lit(131L), 20)
+        undAll.withColumn("mr", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("nb").orderBy(midOrd, col("id"))))
+          .filter(col("mr") <= midCap).drop("mr")
+      }
       // candidate pairs: nodes sharing a neighbor (join through mid)
       val a = und.select(col("nb").as("mid"), col("id").as("src"))
       val b = und.select(col("nb").as("mid"), col("id").as("dst"))
