@@ -13,6 +13,35 @@ import graft.EventTime
   * time windows + watermark (bounded state at any corpus size).
   * For verification the finite events table drives the stream with
   * Trigger.AvailableNow into a memory sink.
+  *
+  * MEMORY-SINK INVENTORY (the staging rule): a memory sink is a
+  * DRIVER-RESIDENT result table, so it is allowed here only where
+  * the query's OUTPUT cardinality is aggregate/join-bounded — the
+  * result of a groupBy, a latest-wins merge, or an interval join,
+  * never the re-emitted stream itself. Any future streaming entry
+  * whose output grows with the stream must take the q43 file-sink
+  * path ([[hourlyAggFileSink]] — parquet out, nothing on the
+  * driver). Current sinks and their bounds (StreamingSinkSpec pins
+  * this list and the bounds):
+  *
+  *  - [[hourlyAgg]] (q31): groupBy(type, 1h window) — rows ≤
+  *    |types| × |windows in the event-time span|.
+  *  - [[streamDedup]] (q33): per-key aggregate over the dedup key —
+  *    rows ≤ |distinct keys|, itself watermark-bounded state.
+  *  - [[streamUpsert]] (q34): latest-wins merge — rows ≤ |distinct
+  *    ids touched|.
+  *  - [[enrichedHourlyAgg]] (q38): dimension join then rollup —
+  *    rows ≤ |regions| × |windows|.
+  *  - [[streamStreamJoin]] (q40): two-sided interval join — rows =
+  *    matched (error, click) pairs inside the ±interval band; the
+  *    band and both watermarks bound state AND output rate.
+  *  - [[sessionWindows]] (q32): session_window aggregate — rows ≤
+  *    sessions = gap-separated runs, ≤ |events| but emitted as
+  *    per-session aggregates (one row per closed session).
+  *  - DocStream.streamNearDedup (q44): LSH-bucket match pairs —
+  *    rows ≤ near-duplicate pairs found, state LSH-keyed.
+  *
+  * ProfStream's sink is a diagnostic main (not a gated entry).
   */
 object EventStream {
   private val nameCounter = new AtomicInteger(0)
