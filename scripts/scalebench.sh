@@ -1,0 +1,18 @@
+#!/bin/bash
+# Raw-JVM ScaleBench runner: same JVM flags sbt's fork would inject
+# (build.sbt jdk17AddOpens), but without holding the sbt project lock,
+# so tests/compiles can run concurrently with a long measurement.
+#   SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 scripts/scalebench.sh 5000000 64 'graph_'
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp target/scala-2.13/classes:'/opt/spark/jars/*' \
+  graft.ScaleBench "$@"

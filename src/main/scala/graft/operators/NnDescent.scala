@@ -98,12 +98,20 @@ object NnDescent {
       // degree ⇒ the candidate shuffle outgrew an 80 GB scratch disk
       // on iteration 5). With the cap the undirected degree is ≤ 2wk
       // EXACTLY, so candidate volume is ≤ n·(2wk)² per round at any
-      // n. The kept subset is a fixed pseudo-random order over the
-      // pointing nodes (the same bounded multiplicative hash as the
-      // layer assignment — exact in int64, SQL-replicable), ties by
-      // id — deterministic, so the oracle unroll mirrors it.
-      val revOrd = shiftright(
-        pmod(col("nb"), lit(1048576L)) * lit(2654435761L) + lit(97L), 20)
+      // n. The kept subset is a deterministic pseudo-random order
+      // over the pointing nodes, RE-SEEDED PER ROUND (Dong et al.
+      // re-draw their samples each iteration). The order must take
+      // the product MOD 2^20, not its high bits: ((x mod 2^20)·M)>>20
+      // is strictly monotone in x (slope M/2^20 ≈ 2532, never wraps),
+      // so the earlier high-bits form ordered by plain id — every
+      // round kept the same wk SMALLEST-id pointers, a systematically
+      // biased sample (measured: bit-identical graphs under seed
+      // shifts, and the midCap recall crash below). The post-mod
+      // makes it a bijective scramble of id mod 2^20 — exact in int64
+      // (product < 2^52), SQL-replicable, ties by id.
+      val revOrd = pmod(
+        pmod(col("nb"), lit(1048576L)) * lit(2654435761L) +
+          lit(97L + it * 7919L), lit(1048576L))
       val rev = edges.select(col("nb").as("id"), col("id").as("nb"))
         .withColumn("rr", row_number().over(
           org.apache.spark.sql.expressions.Window
@@ -111,24 +119,21 @@ object NnDescent {
         .filter(col("rr") <= wk).drop("rr")
       val undAll = edges.unionAll(rev)
       // mid-key sampling (midCap > 0): keep at most midCap sources
-      // per shared-neighbor group, deterministic hash order, ties by
-      // id — the group size AT the pair-join key is then capped, so
-      // the join fans out to ≤ midCap² pairs per mid no matter how
-      // popular the mid is. The hash is RE-SEEDED PER ITERATION
-      // (Dong et al. re-draw their samples each round): a fixed order
-      // freezes the sampling pattern, so pairs outside the first
-      // round's sample can never form no matter how many rounds run —
-      // measured as the midCap=16 recall crash (0.867 → 0.392 at
-      // 200k). Per-round re-seeding keeps the same structural
-      // midCap² bound while letting coverage accumulate across
-      // rounds, and stays deterministic (seed = iteration index).
-      // The current edge list is always scored regardless (the
-      // unionAll add-back below), so every node's kept list still
-      // refines monotonically.
+      // per shared-neighbor group, deterministic scrambled order
+      // (same post-mod form as revOrd — the high-bits form was
+      // monotone, i.e. "keep the midCap smallest ids", which starved
+      // every high-id node of exploration through popular mids and
+      // crashed recall: 0.867 → 0.392 at 200k midCap=16), re-seeded
+      // per round so coverage accumulates across iterations, ties by
+      // id. The group size AT the pair-join key is capped, so the
+      // join fans out to ≤ midCap² pairs per mid no matter how
+      // popular the mid is. The current edge list is always scored
+      // regardless (the unionAll add-back below), so every node's
+      // kept list still refines monotonically.
       val und = if (midCap <= 0) undAll else {
-        val midOrd = shiftright(
-          pmod(col("id") + lit(it * 7919L), lit(1048576L)) *
-            lit(2654435761L) + lit(131L), 20)
+        val midOrd = pmod(
+          pmod(col("id"), lit(1048576L)) * lit(2654435761L) +
+            lit(131L + it * 7919L), lit(1048576L))
         undAll.withColumn("mr", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("nb").orderBy(midOrd, col("id"))))
