@@ -11,8 +11,12 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# maxResultSize: broadcasting a >4M-row vector table (the NND scoring
+# fast path) collects >1 GB of task results; the 1g default killed the
+# 5M build at the broadcast stage.
 exec java $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.driver.maxResultSize=8g \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp target/scala-2.13/classes:'/opt/spark/jars/*' \
   graft.ScaleBench "$@"

@@ -18,6 +18,36 @@ import graft.functions._
   */
 object NnDescent {
 
+  /** The deterministic sample order both caps rank by: a bijective
+    * scramble of `x mod 2^20` — multiply by an odd constant and take
+    * the product MOD 2^20 (odd multiplier ⇒ bijection on the ring).
+    * Exact in int64 (product < 2^52) and SQL-replicable verbatim.
+    * Two degeneracies this form dodges, both caught by
+    * NnDescentSpec's order-shape guard:
+    * (1) NOT the high bits: `(x·M) >> 20` is strictly monotone in x
+    *     (slope M/2^20 ≈ 2532, never wraps), so ranking by it is
+    *     ranking by plain id — the bias that silently turned both
+    *     caps into "keep the smallest ids".
+    * (2) The per-round re-draw must vary the MULTIPLIER: any affine
+    *     reseed ((x+a)·M + c ≡ x·M + const mod 2^20) merely ROTATES
+    *     the order, so round-to-round only the ~Δ/2^20 of ids nearest
+    *     the wrap point ever change — frozen sampling again. [[mult]]
+    *     adds 2·7919·round to M (even increment keeps M odd ⇒ still a
+    *     bijection; the odd factor 7919 spreads the order delta
+    *     x·15838 mod 2^20 over 2^19 values), giving each round a
+    *     genuinely different permutation, as Dong et al. 2011's
+    *     per-iteration sample re-draw requires.
+    */
+  def sampleOrder(x: org.apache.spark.sql.Column, salt: Long,
+      round: Int = 0): org.apache.spark.sql.Column =
+    pmod(pmod(x, lit(1048576L)) * lit(mult(round)) + lit(salt),
+      lit(1048576L))
+
+  /** Per-round odd multiplier for [[sampleOrder]] (< 2^32, so the
+    * ring product stays exact in int64).
+    */
+  def mult(round: Int): Long = 2654435761L + 15838L * round
+
   /** base: (id, vec). Returns (id, rank, neighbor_id) approximate
     * top-k graph. Deterministic: hash-seeded init, (dist, id)
     * tie-breaks everywhere.
@@ -98,20 +128,11 @@ object NnDescent {
       // degree ⇒ the candidate shuffle outgrew an 80 GB scratch disk
       // on iteration 5). With the cap the undirected degree is ≤ 2wk
       // EXACTLY, so candidate volume is ≤ n·(2wk)² per round at any
-      // n. The kept subset is a deterministic pseudo-random order
-      // over the pointing nodes, RE-SEEDED PER ROUND (Dong et al.
-      // re-draw their samples each iteration). The order must take
-      // the product MOD 2^20, not its high bits: ((x mod 2^20)·M)>>20
-      // is strictly monotone in x (slope M/2^20 ≈ 2532, never wraps),
-      // so the earlier high-bits form ordered by plain id — every
-      // round kept the same wk SMALLEST-id pointers, a systematically
-      // biased sample (measured: bit-identical graphs under seed
-      // shifts, and the midCap recall crash below). The post-mod
-      // makes it a bijective scramble of id mod 2^20 — exact in int64
-      // (product < 2^52), SQL-replicable, ties by id.
-      val revOrd = pmod(
-        pmod(col("nb"), lit(1048576L)) * lit(2654435761L) +
-          lit(97L + it * 7919L), lit(1048576L))
+      // n. The kept subset follows [[sampleOrder]] (bijective
+      // scramble, re-seeded per round as Dong et al. re-draw their
+      // samples each iteration), ties by id — deterministic, and
+      // mirrored verbatim in the q27/q53/q55 oracle unrolls.
+      val revOrd = sampleOrder(col("nb"), 97L, it)
       val rev = edges.select(col("nb").as("id"), col("id").as("nb"))
         .withColumn("rr", row_number().over(
           org.apache.spark.sql.expressions.Window
@@ -119,21 +140,15 @@ object NnDescent {
         .filter(col("rr") <= wk).drop("rr")
       val undAll = edges.unionAll(rev)
       // mid-key sampling (midCap > 0): keep at most midCap sources
-      // per shared-neighbor group, deterministic scrambled order
-      // (same post-mod form as revOrd — the high-bits form was
-      // monotone, i.e. "keep the midCap smallest ids", which starved
-      // every high-id node of exploration through popular mids and
-      // crashed recall: 0.867 → 0.392 at 200k midCap=16), re-seeded
-      // per round so coverage accumulates across iterations, ties by
+      // per shared-neighbor group in [[sampleOrder]] (re-seeded per
+      // round so coverage accumulates across iterations), ties by
       // id. The group size AT the pair-join key is capped, so the
       // join fans out to ≤ midCap² pairs per mid no matter how
       // popular the mid is. The current edge list is always scored
       // regardless (the unionAll add-back below), so every node's
       // kept list still refines monotonically.
       val und = if (midCap <= 0) undAll else {
-        val midOrd = pmod(
-          pmod(col("id"), lit(1048576L)) * lit(2654435761L) +
-            lit(131L + it * 7919L), lit(1048576L))
+        val midOrd = sampleOrder(col("id"), 131L, it)
         undAll.withColumn("mr", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("nb").orderBy(midOrd, col("id"))))

@@ -1559,8 +1559,9 @@ object IndexQueries {
          |        SELECT id, nb FROM (
          |          SELECT p.nb AS id, p.id AS nb,
          |                 row_number() OVER (PARTITION BY p.nb
-         |                   ORDER BY ((p.id % 1048576) * 2654435761
-         |                             + ${97L + r * 7919L}) % 1048576,
+         |                   ORDER BY ((p.id % 1048576)
+         |                             * ${graft.operators.NnDescent.mult(r)}
+         |                             + 97) % 1048576,
          |                            p.id) AS rr
          |          FROM $prev p) WHERE rr <= $wk),
          |c$r AS (SELECT DISTINCT src, dst FROM (

@@ -42,6 +42,35 @@ class NnDescentSpec extends AnyFunSuite {
     assert(again.exceptAll(capped).count() == 0)
   }
 
+  test("sampleOrder is a non-monotone bijection that varies by seed") {
+    import graft.operators.NnDescent
+    // Drift guard for the monotone-order bug (PLANS round-13): the
+    // high-bits form ((x mod 2^20)·M) >> 20 is strictly increasing in
+    // x, so ranking by it silently kept the SMALLEST ids — every
+    // round, the same biased sample; and an additive-only reseed just
+    // ROTATES the order (caught by this spec's first run: 98.5%
+    // adjacent-order agreement between rounds). A real sample order
+    // must (a) be a bijection on the ring (no rank collisions beyond
+    // id ties), (b) have plenty of inversions vs plain id order,
+    // (c) genuinely permute between rounds (per-round re-draw).
+    val xs = spark.range(4096).select(col("id"),
+      NnDescent.sampleOrder(col("id"), 97L, 1).as("h1"),
+      NnDescent.sampleOrder(col("id"), 97L, 2).as("h2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(xs.map(_._2).distinct.length == xs.length, "h1 not injective")
+    val inv = xs.map(_._2).sliding(2).count(p => p(0) > p(1))
+    assert(inv > xs.length / 4,
+      s"order nearly monotone in id: only $inv descents in ${xs.length}")
+    assert(xs.count { case (_, h1, h2) => h1 != h2 } > xs.length / 2,
+      "seed change barely moves the order")
+    // rank agreement: the fraction of adjacent-id pairs whose ORDER
+    // survives must sit near 1/2 (uncorrelated), nowhere near 1
+    val agree = xs.sliding(2).count(p =>
+      (p(0)._2 < p(1)._2) == (p(0)._3 < p(1)._3)).toDouble / (xs.length - 1)
+    assert(agree < 0.8, s"seeded orders nearly identical ($agree)")
+  }
+
   test("diversify's broadcast vector side (nKnown) changes the plan, not the result") {
     import graft.operators.{GraphSearch, NnDescent}
     val emb = Tables.embeddings(spark, sf)
