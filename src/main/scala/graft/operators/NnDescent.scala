@@ -173,6 +173,15 @@ object NnDescent {
       edges = KnnSearch.topKOf(scored, wk, asc = true)
         .select(col("query_id").as("id"), col("neighbor_id").as("nb"))
         .localCheckpoint(true)
+      // nudge the ContextCleaner: the previous round's candidate and
+      // top-k shuffle files (the two big per-round spills — tens of
+      // GB per round at millions of nodes) are only deleted after
+      // their now-unreachable RDDs are collected. Without this, two
+      // rounds of shuffle coexist on scratch disk and the peak
+      // doubles (measured at 5M/midCap=24: >74 GB by round 2 vs a
+      // ~single-round working set). Semantics-free — results are
+      // checkpointed before the old lineage is dropped.
+      System.gc()
     }
 
     // final ranked output recomputes distances once for rank order
