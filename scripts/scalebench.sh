@@ -14,6 +14,10 @@ done
 # maxResultSize: broadcasting a >4M-row vector table (the NND scoring
 # fast path) collects >1 GB of task results; the 1g default killed the
 # 5M build at the broadcast stage.
+# Do NOT add -XX:+DisableExplicitGC here: NnDescent's per-round
+# ContextCleaner nudge (System.gc() at multi-GB candidate volumes)
+# becomes a silent no-op under it and two rounds of shuffle spill
+# coexist on scratch — the measured 43.7-vs-26.7 GB peak regression.
 exec java $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Dspark.driver.maxResultSize=8g \

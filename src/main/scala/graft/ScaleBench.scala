@@ -215,6 +215,48 @@ object ScaleBench {
       operators.Dedup.exactSubstringOverlap(corpus, ev, 50).count()
     }
 
+    // p01 at generated scale: the COMPLETE composed curation pass —
+    // the same set algebra as TextQueries.p01 (d01 exact-dup keep ∩
+    // ¬(d03→d06→d07 near-dup drop) ∩ ¬eval ∩ ¬contaminated [t08] ∩
+    // quality gate [t01], survivors carrying pred_lang [t03]) — over
+    // the planted corpus. Every leg is id-keyed set algebra, so the
+    // composition stays one-bounded-shuffle-per-leg at any n; the
+    // planted near-dups (n/10 pairs) make the cluster/survivor legs
+    // do real work, and the n/50 eval slice drives the decontam leg.
+    // Wall must track the sum of the leg walls (no cross-leg
+    // multiplication), the composition property this stage gates.
+    timed("curation_pipeline") {
+      val docs = plantedDocs
+      val sh = operators.Dedup.shingles(docs)
+      val exactKeep = operators.Dedup.exact(docs).select("doc_id")
+      val clusters = operators.Dedup.connectedComponents(
+        operators.Dedup.minhashLshOf(sh, 0.8))
+      val quality = operators.TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("quality"))
+      val survivors = clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(max(struct(col("quality"), col("doc_id"))).as("w"))
+        .select(col("cluster_id"), col("w.doc_id").as("survivor_id"))
+      val nearDupDrop = clusters.join(survivors, "cluster_id")
+        .filter(col("doc_id") =!= col("survivor_id"))
+        .select("doc_id")
+      val contaminated = operators.Dedup.crossOverlap(sh,
+        col("doc_id") % 50 === 0, 2L)
+        .select("doc_id").distinct()
+      val lang = operators.TextAnalysis.langId(docs)
+        .select("doc_id", "pred_lang")
+      docs.select("doc_id")
+        .join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(nearDupDrop, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(quality, "doc_id")
+        .filter(col("quality") >= 0.5)
+        .join(lang, "doc_id")
+        .select(col("doc_id"), col("pred_lang"), col("quality"))
+        .count()
+    }
+
     // --- q44 streaming near-dedup at generated scale: the planted
     // corpus laid out as many single-file slices (doc_id mod nSlices,
     // so a planted pair's members land in DIFFERENT micro-batches and

@@ -37,16 +37,25 @@ object NnDescent {
     *     x·15838 mod 2^20 over 2^19 values), giving each round a
     *     genuinely different permutation, as Dong et al. 2011's
     *     per-iteration sample re-draw requires.
+    * The SALT must fold into the multiplier too, for the same
+    * rotation-not-redraw reason WITHIN a round: the reverse cap
+    * (salt 97) and the mid cap (salt 131) run in the same iteration,
+    * and an additive-only salt would rank both by the same rotated
+    * permutation — correlated samples where Dong et al. need two
+    * independent draws. [[mult]] mixes 2·104729·salt into M (even ⇒
+    * still odd/bijective; 104729 coprime to the round factor 7919,
+    * so no (round, salt) pair collides for |Δround| < 104729).
     */
   def sampleOrder(x: org.apache.spark.sql.Column, salt: Long,
       round: Int = 0): org.apache.spark.sql.Column =
-    pmod(pmod(x, lit(1048576L)) * lit(mult(round)) + lit(salt),
+    pmod(pmod(x, lit(1048576L)) * lit(mult(round, salt)) + lit(salt),
       lit(1048576L))
 
-  /** Per-round odd multiplier for [[sampleOrder]] (< 2^32, so the
-    * ring product stays exact in int64).
+  /** Per-(round, salt) odd multiplier for [[sampleOrder]] (< 2^32 for
+    * the salts in use, so the ring product stays exact in int64).
     */
-  def mult(round: Int): Long = 2654435761L + 15838L * round
+  def mult(round: Int, salt: Long = 0L): Long =
+    2654435761L + 15838L * round + 209458L * salt
 
   /** base: (id, vec). Returns (id, rank, neighbor_id) approximate
     * top-k graph. Deterministic: hash-seeded init, (dist, id)
@@ -119,6 +128,22 @@ object NnDescent {
     def vside(df: DataFrame): DataFrame =
       if (n <= bcastRows) broadcast(df) else df
 
+    // ContextCleaner nudge gate: the per-iteration System.gc() below
+    // is only worth its stop-the-world pause when a round's shuffle
+    // spill is actually multi-GB — i.e. when the structural per-round
+    // candidate volume (n·midCap² capped, n·(2wk)² uncapped) crosses
+    // ~2^28 pairs (≈ tens of GB of candidate+top-k shuffle at 64d).
+    // Gate-scale builds (sf0.1: ~5e7 pairs) skip it and stop paying
+    // a fixed multi-hundred-ms full-GC per round; every measured
+    // multi-GB config (1M uncapped 9e8, 1M mc24 5.8e8, 5M mc16
+    // 1.3e9) stays above the threshold and keeps the nudge. NOTE:
+    // under -XX:+DisableExplicitGC the nudge is a silent no-op and
+    // the two-rounds-of-spill peak returns — scalebench.sh documents
+    // the incompatibility.
+    val perRoundCand =
+      n * (if (midCap > 0) midCap.toLong * midCap else 4L * wk * wk)
+    val gcNudge = perRoundCand >= (1L << 28)
+
     for (it <- 1 to iters) {
       // reverse edges are CAPPED at wk per node before the
       // neighbor-of-neighbor expansion (Dong et al. 2011's reverse
@@ -180,8 +205,10 @@ object NnDescent {
       // rounds of shuffle coexist on scratch disk and the peak
       // doubles (measured at 5M/midCap=24: >74 GB by round 2 vs a
       // ~single-round working set). Semantics-free — results are
-      // checkpointed before the old lineage is dropped.
-      System.gc()
+      // checkpointed before the old lineage is dropped. Skipped at
+      // small candidate volumes (see gcNudge above): there the spill
+      // is sub-GB and the full-GC pause is pure fixed cost.
+      if (gcNudge) System.gc()
     }
 
     // final ranked output recomputes distances once for rank order

@@ -361,7 +361,8 @@ object IndexQueries {
     val emb = Tables.embeddings(s, dir)
       .filter(Split.isTrain(col("vec_id")))
     val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    NnDescent.build(base, k = 5).orderBy("id", "rank")
+    NnDescent.build(base, k = 5, midCap = OracledMidCap)
+      .orderBy("id", "rank")
   }
 
   // calibrated OUT-OF-SAMPLE on the unstructured corpus (the hard
@@ -396,6 +397,12 @@ object IndexQueries {
   // node, the same order as q27's, so the sf0.1 wall stays in q27's
   // band instead of 10× it
   val NndIters = 2
+  // the oracled NN-descent builds (q27/q53/q55) must run with the
+  // mid-key sampling OFF: nndCtes mirrors only the reverse-cap
+  // window. Shared through this constant so enabling midCap at a
+  // call site requires touching it — which trips nndCtes's require.
+  // (midCap is a ScaleBench/100 TB knob; see NnDescent.build.)
+  val OracledMidCap = 0
 
   def levelsFor(n: Long): Int =
     math.max(1, math.round(math.log(n / 16.0) / math.log(2)).toInt)
@@ -445,7 +452,7 @@ object IndexQueries {
       val p = java.nio.file.Files
         .createTempDirectory("graft_layer_graph_nnd").toString
       GraphSearch.buildLayeredGraphsNnd(base, lv, GraphDeg, UpperDeg,
-        NndIters, workingDegreeFactor = 1)
+        NndIters, workingDegreeFactor = 1, midCap = OracledMidCap)
         .write.mode("overwrite").partitionBy("layer").parquet(p)
       (p, lv)
     }
@@ -465,6 +472,12 @@ object IndexQueries {
     * earlier candidate j sits strictly closer to i than the node
     * does. See GraphSearch.diversify for the order-free variant's
     * contract.
+    *
+    * DELIBERATELY EXACT candidates: this standalone entry feeds the
+    * heuristic from the exact N² top-GraphDeg lists so the prune
+    * itself is oracle-isolated — the q25↔q27 pattern; q55 is the
+    * scale path, running the same prune on NN-descent candidates
+    * inside the composed no-N² build.
     */
   def graphDiversify(s: SparkSession, dir: String): DataFrame = {
     val (base, _) = baseAndQueries(s, dir)
@@ -503,7 +516,8 @@ object IndexQueries {
       val p = java.nio.file.Files
         .createTempDirectory("graft_layer_graph_div").toString
       GraphSearch.buildLayeredGraphsDiversified(base, lv, GraphDeg, DivM,
-        UpperCand, UpperDeg, NndIters, workingDegreeFactor = 1)
+        UpperCand, UpperDeg, NndIters, workingDegreeFactor = 1,
+        midCap = OracledMidCap)
         .write.mode("overwrite").partitionBy("layer").parquet(p)
       (p, lv)
     }
@@ -1550,8 +1564,18 @@ object IndexQueries {
     * init, then per round candidate generation (neighbors-of-neighbors
     * over the undirected edge set) + (dist, id) top-wk pruning.
     * Shared by q27's oracle and q53's base-layer build.
+    *
+    * The chain mirrors ONLY the reverse-cap sampling window (salt
+    * 97); NnDescent's midCap window (salt 131) has no SQL
+    * counterpart here, so every oracled build must run with
+    * midCap = [[OracledMidCap]] = 0 — the require below makes
+    * enabling it fail loudly at oracle-construction time instead of
+    * silently hash-diverging.
     */
   private def nndCtes(wk: Int, nIters: Int): String = {
+    require(OracledMidCap == 0,
+      "nndCtes has no midCap window — mirror NnDescent's salt-131 " +
+        "sampling in SQL before enabling midCap in oracled builds")
     val iters = (1 to nIters).map { r =>
       val prev = s"e${r - 1}"
       s"""u$r AS (SELECT id, nb FROM $prev
@@ -1560,7 +1584,7 @@ object IndexQueries {
          |          SELECT p.nb AS id, p.id AS nb,
          |                 row_number() OVER (PARTITION BY p.nb
          |                   ORDER BY ((p.id % 1048576)
-         |                             * ${graft.operators.NnDescent.mult(r)}
+         |                             * ${graft.operators.NnDescent.mult(r, 97L)}
          |                             + 97) % 1048576,
          |                            p.id) AS rr
          |          FROM $prev p) WHERE rr <= $wk),

@@ -96,6 +96,14 @@ object DocStream {
       .toDF("doc_a", "doc_b")
 
     val sink = s"graft_neardup_${nameCounter.incrementAndGet()}"
+    // LSH-bucket state partitions sized from the document corpus's
+    // byte footprint (EventStream.statePartitionsFor): per-partition
+    // store-commit cost is paid every micro-batch — especially under
+    // maxFilesPerTrigger=1, where the spec's multi-batch layout
+    // commits each partition once per file
+    EventStream.withStatePartitions(spark,
+      EventStream.statePartitionsForGlob(spark, sfDir,
+        "documents*.parquet", EventStream.coresFloor(spark))) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = pairs.writeStream
         .option("checkpointLocation", chk)
@@ -105,6 +113,7 @@ object DocStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+    }
     }
     // a pair colliding in several bands is emitted once per bucket
     // group — exactly the batch LSH candidate multiplicity, resolved

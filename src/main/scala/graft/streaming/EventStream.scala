@@ -51,26 +51,51 @@ object EventStream {
     * at query start (state stores cannot be re-partitioned by AQE),
     * so size it from the source's plan-stats footprint the same way
     * t11 auto-sizes its pack buckets: one state partition per ~64 MB
-    * of source, floored at 8 and capped at 4096. The floor matters at
-    * gate scales — every state partition pays fixed store-commit cost
-    * per micro-batch (a stream-stream join keeps 4 stores per
-    * partition), and the 32-partition session default measured 5.4 s
-    * of q40's 5.4 s sf0.1 wall in pure store commits (2.1 s at 8) —
-    * while the byte-driven term is what a 100 TB/day deployment
-    * needs: state volume, not a constant, picks the count there.
+    * of source, capped at 4096 — at 100 TB/day the byte term picks
+    * the count; state volume, not a constant, must size the layout.
+    *
+    * `floor` is the gate-scale (bytes « 64 MB·cores) knob, and the
+    * right floor depends on the query's STORES-PER-PARTITION — both
+    * directions measured at sf0.1, same window:
+    *  - q40's stream-stream join keeps 4 stores per partition, so
+    *    per-partition commit cost dominates: 32 partitions measured
+    *    5.4 s of its 5.4 s wall in pure store commits vs 2.1 s at 8
+    *    → floor 8.
+    *  - single-store entries (windowed aggs, dropDuplicates,
+    *    flatMapGroupsWithState) pay 1/4 of that commit constant and
+    *    are PARALLELISM-bound instead: flooring them at 8 measured
+    *    q34 3.42 s vs 1.25 s, q33 2.88 vs 1.77, q32 3.69 vs 2.38 at
+    *    the 32-partition default (only 8 of 32 cores doing the
+    *    stateful stage) → floor defaultParallelism.
     */
-  private def statePartitionsFor(spark: SparkSession, path: String): Int = {
-    val bytes = spark.read.parquet(path)
-      .queryExecution.optimizedPlan.stats.sizeInBytes
-    (bytes / (64L << 20)).min(4096).max(8).toInt
-  }
+  private[streaming] def statePartitionsFor(
+      spark: SparkSession, path: String, floor: Int): Int =
+    sizePartitions(spark.read.parquet(path)
+      .queryExecution.optimizedPlan.stats.sizeInBytes, floor)
+
+  /** The single-store floor: every core runs a state partition. */
+  private[streaming] def coresFloor(spark: SparkSession): Int =
+    spark.sparkContext.defaultParallelism
+
+  /** [[statePartitionsFor]] over a directory + glob — the layout the
+    * document stream reads (documents*.parquet slices, one per
+    * micro-batch in the multi-batch spec), where sizing from the
+    * first slice alone would undercount the corpus.
+    */
+  private[streaming] def statePartitionsForGlob(
+      spark: SparkSession, dir: String, glob: String, floor: Int): Int =
+    sizePartitions(spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .queryExecution.optimizedPlan.stats.sizeInBytes, floor)
+
+  private def sizePartitions(bytes: BigInt, floor: Int): Int =
+    (bytes / (64L << 20)).min(4096).max(floor).toInt
 
   /** Run `body` with spark.sql.shuffle.partitions = `n` (the knob
     * streaming state layout is taken from at query start), restoring
     * the session default after — batch entries on the shared session
     * keep their own sizing.
     */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)
+  private[streaming] def withStatePartitions[T](spark: SparkSession, n: Int)
       (body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -100,15 +125,22 @@ object EventStream {
         unix_timestamp(col("w.start")).as("hour_start"),
         col("event_type"), col("n_events"), col("value_cents"))
     val sink = s"graft_stream_${nameCounter.incrementAndGet()}"
-    Checkpoints.withEphemeral("graft_chk_") { chk =>
-      val q = agg.writeStream
-        .option("checkpointLocation", chk)
-        .outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    // state partitions sized from the source's byte footprint (see
+    // statePartitionsFor): every stateful entry pays per-partition
+    // store-commit cost each micro-batch, so the count must track
+    // state volume, not the session's batch-shuffle default
+    withStatePartitions(spark,
+      statePartitionsFor(spark, s"$sfDir/events.parquet", coresFloor(spark))) {
+      Checkpoints.withEphemeral("graft_chk_") { chk =>
+        val q = agg.writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("complete")
+          .format("memory")
+          .queryName(sink)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     spark.table(sink).orderBy("hour_start", "event_type")
   }
@@ -140,14 +172,19 @@ object EventStream {
         col("event_type"), col("n_events"), col("value_cents"))
     val out = java.nio.file.Files
       .createTempDirectory("graft_file_sink").toString
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/chk")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // byte-driven state sizing (same rationale as hourlyAgg); also
+    // bounds the file count the parquet sink emits per window flush
+    withStatePartitions(spark,
+      statePartitionsFor(spark, s"$sfDir/events.parquet", coresFloor(spark))) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // the data dir must outlive this call (the returned DataFrame scans
     // it lazily); the commit-log/checkpoint side is done once the query
     // terminates
@@ -173,6 +210,8 @@ object EventStream {
       .dropDuplicates("user_id", "event_type", "hour_start")
       .select("user_id", "event_type", "hour_start")
     val sink = s"graft_dedup_${nameCounter.incrementAndGet()}"
+    withStatePartitions(spark,
+      statePartitionsFor(spark, s"$sfDir/events.parquet", coresFloor(spark))) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = deduped.writeStream
         .option("checkpointLocation", chk)
@@ -182,6 +221,7 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+    }
     }
     spark.table(sink).orderBy("user_id", "event_type", "hour_start")
   }
@@ -226,6 +266,8 @@ object EventStream {
       }
       .toDF("user_id", "ts_us", "event_id", "event_type", "value_cents")
     val sink = s"graft_upsert_${nameCounter.incrementAndGet()}"
+    withStatePartitions(spark,
+      statePartitionsFor(spark, s"$sfDir/events.parquet", coresFloor(spark))) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = merged.writeStream
         .option("checkpointLocation", chk)
@@ -235,6 +277,7 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+    }
     }
     // latest-wins across the per-batch emissions (struct max orders by
     // (ts_us, event_id) — unique, so deterministic); tombstoned keys
@@ -284,6 +327,8 @@ object EventStream {
         unix_timestamp(col("w.start")).as("hour_start"),
         col("c_mktsegment").as("segment"), col("n_events"), col("value_cents"))
     val sink = s"graft_enrich_${nameCounter.incrementAndGet()}"
+    withStatePartitions(spark,
+      statePartitionsFor(spark, s"$sfDir/events.parquet", coresFloor(spark))) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = agg.writeStream
         .option("checkpointLocation", chk)
@@ -293,6 +338,7 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+    }
     }
     spark.table(sink).orderBy("hour_start", "segment")
   }
@@ -340,7 +386,10 @@ object EventStream {
         unix_micros(col("error_time")).as("error_us"),
         unix_micros(col("click_time")).as("click_us"))
     val sink = s"graft_ssjoin_${nameCounter.incrementAndGet()}"
-    val parts = statePartitionsFor(spark, s"$sfDir/events.parquet")
+    // floor 8, NOT coresFloor: the interval join keeps 4 state stores
+    // per partition, so the commit constant dominates at gate scale
+    // (measured 5.4 s at 32 partitions vs 2.1 s at 8)
+    val parts = statePartitionsFor(spark, s"$sfDir/events.parquet", 8)
     withStatePartitions(spark, parts) {
       Checkpoints.withEphemeral("graft_chk_") { chk =>
         val q = joined.writeStream
@@ -378,6 +427,8 @@ object EventStream {
         unix_micros(col("session_window.end")).as("end_us"),
         col("user_id"), col("n_events"))
     val sink = s"graft_sessions_${nameCounter.incrementAndGet()}"
+    withStatePartitions(spark,
+      statePartitionsFor(spark, s"$sfDir/events.parquet", coresFloor(spark))) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = agg.writeStream
         .option("checkpointLocation", chk)
@@ -387,6 +438,7 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+    }
     }
     spark.table(sink).orderBy("user_id", "start_us")
   }

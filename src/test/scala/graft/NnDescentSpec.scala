@@ -69,6 +69,19 @@ class NnDescentSpec extends AnyFunSuite {
     val agree = xs.sliding(2).count(p =>
       (p(0)._2 < p(1)._2) == (p(0)._3 < p(1)._3)).toDouble / (xs.length - 1)
     assert(agree < 0.8, s"seeded orders nearly identical ($agree)")
+    // WITHIN-round salt independence (the reverse cap and mid cap run
+    // in the same iteration with salts 97/131): an additive-only salt
+    // rotates the same permutation, so order agreement would sit near
+    // 1 — the salt must fold into the multiplier too
+    val ys = spark.range(4096).select(col("id"),
+      NnDescent.sampleOrder(col("id"), 97L, 1).as("hr"),
+      NnDescent.sampleOrder(col("id"), 131L, 1).as("hm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val saltAgree = ys.sliding(2).count(p =>
+      (p(0)._2 < p(1)._2) == (p(0)._3 < p(1)._3)).toDouble / (ys.length - 1)
+    assert(saltAgree < 0.8,
+      s"rev/mid cap orders nearly identical within a round ($saltAgree)")
   }
 
   test("diversify's broadcast vector side (nKnown) changes the plan, not the result") {
