@@ -9,7 +9,11 @@ cd "$(dirname "$0")/.."
 LOG=target/r14_5m_recipe.log
 SCRATCH=target/r14_5m_scratch.log
 : > "$SCRATCH"
-SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 \
+# 80g, not r13's 48g: the decorrelated cap samples (round-14 fix)
+# produce more DISTINCT candidate pairs per round — the same capped
+# counts but fewer duplicates — and the 5M top-k aggregate OOM'd a
+# 48g heap in round 2 (TopKHeap.fromBytes) on the first attempt.
+SPARK_DRIVER_MEM=80g SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_GRAPH_ITERS=9 SPARK_GRAFT_NND_MIDCAP=16 \
   SPARK_GRAFT_NND_BCAST_ROWS=6000000 \
   SPARK_GRAFT_GRAPH_BEAMS="16:4,32:6" \
