@@ -23,7 +23,18 @@ object ScaleBench {
     val nlist = 64
     val nprobe = 8
     val nq = 100
-    val spark = GraftSession.create(appName = "graft-scale-bench")
+    // shuffle-partition override for the largest campaigns: the
+    // default (one partition per core) is right for wall-clock at the
+    // calibration scales, but a 5M NN-descent round streams ~1.3e9
+    // candidate rows — at 32 partitions that is ~40M rows per task,
+    // and the unmanaged object churn of the top-k aggregate's typed
+    // buffers OOM'd an 80 GB heap mid-build. More partitions shrink
+    // the per-task working set at unchanged parallelism — exactly the
+    // "size shuffle partitions so a partition fits executor memory"
+    // rule a real cluster applies.
+    val spark = GraftSession.create(appName = "graft-scale-bench",
+      shufflePartitions =
+        sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.trim.toInt))
 
     def timed(name: String)(f: => Long): Unit = if (keep(name)) {
       val t0 = System.nanoTime()
