@@ -135,13 +135,18 @@ object NnDescent {
     // ~2^28 pairs (≈ tens of GB of candidate+top-k shuffle at 64d).
     // Gate-scale builds (sf0.1: ~5e7 pairs) skip it and stop paying
     // a fixed multi-hundred-ms full-GC per round; every measured
-    // multi-GB config (1M uncapped 9e8, 1M mc24 5.8e8, 5M mc16
-    // 1.3e9) stays above the threshold and keeps the nudge. NOTE:
-    // under -XX:+DisableExplicitGC the nudge is a silent no-op and
-    // the two-rounds-of-spill peak returns — scalebench.sh documents
-    // the incompatibility.
+    // multi-GB config (1M uncapped 9e8, 1M mc24 5.9e8, 1M mc16
+    // 2.7e8, 5M mc16 1.3e9) stays above the threshold and keeps the
+    // nudge. The +n·wk term is the current-edge add-back and is NOT
+    // decorative: 1M·16² alone is 2.56e8 — a hair under the gate —
+    // and a round-14 1M mc16 run with the term dropped measured a
+    // 39 GB two-rounds-coexist peak where the nudged bound is ~20.
+    // NOTE: under -XX:+DisableExplicitGC the nudge is a silent no-op
+    // and the two-rounds-of-spill peak returns — scalebench.sh
+    // documents the incompatibility.
     val perRoundCand =
-      n * (if (midCap > 0) midCap.toLong * midCap else 4L * wk * wk)
+      n * (if (midCap > 0) midCap.toLong * midCap else 4L * wk * wk) +
+        n * wk
     val gcNudge = perRoundCand >= (1L << 28)
 
     for (it <- 1 to iters) {
