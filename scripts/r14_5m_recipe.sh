@@ -13,7 +13,15 @@ SCRATCH=target/r14_5m_scratch.log
 # produce more DISTINCT candidate pairs per round — the same capped
 # counts but fewer duplicates — and the 5M top-k aggregate OOM'd a
 # 48g heap in round 2 (TopKHeap.fromBytes) on the first attempt.
-SPARK_DRIVER_MEM=80g SPARK_GRAFT_CPUS=32 \
+# Shuffle width: since round 15 NnDescent auto-sizes its own build
+# width from the per-round candidate volume (~10M rows/task), so this
+# template no longer needs SPARK_GRAFT_SHUFFLE_PARTITIONS — exporting
+# it would OVERRIDE the auto-sizer (manual calibration only).
+# SPARK_LOCAL_DIR scopes the scratch watchdog to THIS run (a
+# concurrent Spark job's /tmp dirs must not trip the guard).
+LOCALDIR=/tmp/graft_r14_recipe_local
+mkdir -p "$LOCALDIR"
+SPARK_DRIVER_MEM=80g SPARK_GRAFT_CPUS=32 SPARK_LOCAL_DIR="$LOCALDIR" \
   SPARK_GRAFT_GRAPH_ITERS=9 SPARK_GRAFT_NND_MIDCAP=16 \
   SPARK_GRAFT_NND_BCAST_ROWS=6000000 \
   SPARK_GRAFT_GRAPH_BEAMS="16:4,32:6" \
@@ -23,7 +31,7 @@ PID=$!
 echo "scalebench pid $PID" >> "$SCRATCH"
 PEAK=0
 while kill -0 $PID 2>/dev/null; do
-  KB=$(du -sk /tmp/blockmgr-* /tmp/spark-* 2>/dev/null | awk '{s+=$1} END {print s+0}')
+  KB=$(du -sk "$LOCALDIR" 2>/dev/null | awk '{s+=$1} END {print s+0}')
   GB=$((KB / 1048576))
   [ "$GB" -gt "$PEAK" ] && PEAK=$GB
   echo "$(date +%H:%M:%S) scratch_gb=$GB peak_gb=$PEAK" >> "$SCRATCH"

@@ -18,9 +18,14 @@ done
 # ContextCleaner nudge (System.gc() at multi-GB candidate volumes)
 # becomes a silent no-op under it and two rounds of shuffle spill
 # coexist on scratch — the measured 43.7-vs-26.7 GB peak regression.
+# SPARK_LOCAL_DIR (optional): scope this run's shuffle/blockmgr
+# scratch to its own directory so a campaign watchdog can du THIS
+# run's usage without counting concurrent Spark jobs' /tmp dirs.
+LOCALDIR_OPT=""
+[ -n "${SPARK_LOCAL_DIR:-}" ] && LOCALDIR_OPT="-Dspark.local.dir=$SPARK_LOCAL_DIR"
 exec java $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Dspark.driver.maxResultSize=8g \
+  -Dspark.driver.maxResultSize=8g $LOCALDIR_OPT \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp target/scala-2.13/classes:'/opt/spark/jars/*' \
   graft.ScaleBench "$@"

@@ -55,11 +55,17 @@ object Bench {
         // tightens the min at a cost only the noisy queries pay.
         // The per-query spread (max/min) is recorded in bench.json so
         // cross-window readers can discount noisy readings directly.
+        // a failed EXTRA draw is dropped, not recorded: the adaptive
+        // sample exists purely to tighten a noisy min, and a transient
+        // failure on that draw must not flip a query whose base runs
+        // both passed from pass to err (a stricter bar applied only to
+        // the noisy queries)
         val samples =
           if (base.forall(_._1) && base.nonEmpty &&
-              base.map(_._2).max > 1.5 * base.map(_._2).min)
-            base :+ sample()
-          else base
+              base.map(_._2).max > 1.5 * base.map(_._2).min) {
+            val extra = sample()
+            if (extra._1) base :+ extra else base
+          } else base
         System.err.println(s"bench $name runs=" +
           samples.map(s => f"${s._2}%.2f").mkString(",") +
           " gcMs=" + samples.map(_._3).mkString(","))

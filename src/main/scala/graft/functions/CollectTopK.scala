@@ -40,12 +40,17 @@ case class CollectTopK(
     val s = left.eval(input)
     val id = right.eval(input)
     if (s != null && id != null) {
+      CollectTopK.observeRows(1)
       buf.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
     }
     buf
   }
 
   override def merge(buf: TopKHeap, other: TopKHeap): TopKHeap = {
+    // the merge fan-in (deserialized partial buffers) counts against
+    // the same per-task budget as update rows — the round-14 OOM
+    // surfaced in exactly this path (TopKHeap.fromBytes)
+    CollectTopK.observeRows(other.size)
     buf.mergeFrom(other); buf
   }
 
@@ -76,6 +81,74 @@ case class CollectTopK(
   override def prettyName: String = "collect_topk"
 }
 
+object CollectTopK {
+  /** Rows one task may stream through collect_topk buffers before a
+    * sizing warning is logged. The heap buffers are unmanaged JVM
+    * objects (TypedImperativeAggregate) that Spark's memory manager
+    * cannot see, so a task fed far past the sizing target (~10M
+    * rows/task, NnDescent.RowsPerTaskTarget) fails as an OPAQUE
+    * executor OOM instead of spilling — the round-14 5M build OOM'd
+    * an 80 GB heap at ~44M rows/task with no earlier signal. The
+    * aggregate now flags the mis-sizing itself, while the job is
+    * still alive and the fix (more shuffle partitions) is actionable.
+    * Default 32M: ~3x the safe chunk, under the measured OOM point.
+    * Override with GRAFT_TOPK_WARN_ROWS; specs set the var directly.
+    */
+  @volatile var warnRowsPerTask: Long =
+    sys.env.get("GRAFT_TOPK_WARN_ROWS").flatMap(_.trim.toLongOption)
+      .getOrElse(32L * 1000 * 1000)
+
+  /** Total sizing warnings logged in this JVM (spec observability). */
+  val warningCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[CollectTopK])
+
+  private final class TaskRows {
+    var attempt: Long = Long.MinValue
+    var rows: Long = 0L
+    var pending: Int = 0
+    var warned: Boolean = false
+  }
+  private val taskRows: ThreadLocal[TaskRows] =
+    ThreadLocal.withInitial(() => new TaskRows)
+
+  /** Count `n` rows against the current task's top-k row budget. Hot
+    * path (once per update row): one ThreadLocal read plus a field
+    * increment; the TaskContext lookup and threshold check amortize
+    * over 65,536-row quanta. Tasks run one-per-thread, so a thread
+    * switch is a task switch and the attempt-id check below keeps
+    * counts per-task (a stale sub-quantum carryover of < 65,536 rows
+    * is immaterial against a multi-million-row threshold).
+    */
+  private[functions] def observeRows(n: Int): Unit = {
+    val c = taskRows.get()
+    c.pending += n
+    if (c.pending >= 65536) flush(c)
+  }
+
+  private def flush(c: TaskRows): Unit = {
+    val add = c.pending
+    c.pending = 0
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc == null) return
+    if (c.attempt != tc.taskAttemptId()) {
+      c.attempt = tc.taskAttemptId(); c.rows = 0L; c.warned = false
+    }
+    c.rows += add
+    if (!c.warned && c.rows > warnRowsPerTask) {
+      c.warned = true
+      warningCount.incrementAndGet()
+      log.warn(s"collect_topk: task ${tc.taskAttemptId()} (stage " +
+        s"${tc.stageId()}, partition ${tc.partitionId()}) streamed " +
+        s"${c.rows} rows through typed top-k buffers (threshold " +
+        s"$warnRowsPerTask). These buffers are unmanaged JVM heap — an " +
+        "undersized shuffle width fails as an executor OOM, not a " +
+        "spill. Raise spark.sql.shuffle.partitions toward ~10M " +
+        "rows/task (NnDescent.autoShufflePartitions derives this).")
+    }
+  }
+}
+
 /** Bounded binary heap of (score, id), worst element at root so a
   * better candidate evicts it in O(log k). Flat primitive arrays —
   * no boxing on the hot path.
@@ -84,6 +157,9 @@ final class TopKHeap(k: Int, asc: Boolean) {
   private val scores = new Array[Double](k)
   private val ids = new Array[Long](k)
   private var n = 0
+
+  /** Elements currently held (≤ k) — the merge fan-in unit. */
+  def size: Int = n
 
   /** a strictly worse than b? (worse = later in final ranking) */
   @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =

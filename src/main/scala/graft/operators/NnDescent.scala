@@ -57,6 +57,28 @@ object NnDescent {
   def mult(round: Int, salt: Long = 0L): Long =
     2654435761L + 15838L * round + 209458L * salt
 
+  /** Candidate rows one shuffle task should stream through the top-k
+    * aggregate per round — the measured-safe chunk. The 5M div build
+    * (perRoundCand 1.4e9) OOM'd an 80 GB heap at 32 partitions (~44M
+    * rows/task through the typed top-k buffers, unmanaged JVM heap
+    * Spark's memory manager can't see) and completed comfortably at
+    * 128 (~11M rows/task) — so the operator targets ~10M and derives
+    * its own width instead of relying on a human-exported env var.
+    */
+  val RowsPerTaskTarget: Long = 10L * 1000 * 1000
+
+  /** Shuffle-partition count for one NN-descent build: enough tasks
+    * that no task streams more than ~[[RowsPerTaskTarget]] candidate
+    * rows, never below the session default (small builds keep the
+    * session's parallelism — AQE coalesces any excess), capped at
+    * 4096 like every other auto-sizer in the repo (t11's pack
+    * buckets, the streaming state layout).
+    */
+  def autoShufflePartitions(perRoundCand: Long, sessionDefault: Int): Int = {
+    val derived = (perRoundCand + RowsPerTaskTarget - 1) / RowsPerTaskTarget
+    derived.max(sessionDefault.toLong).min(4096L).toInt
+  }
+
   /** base: (id, vec). Returns (id, rank, neighbor_id) approximate
     * top-k graph. Deterministic: hash-seeded init, (dist, id)
     * tie-breaks everywhere.
@@ -79,6 +101,12 @@ object NnDescent {
     * or under it compute candidate scores map-side against a
     * broadcast vector table; larger corpora fall back to shuffle
     * joins. Join strategy only — never changes results.
+    *
+    * Shuffle width is self-sized ([[autoShufflePartitions]] from the
+    * structural per-round candidate volume) — a build at the next
+    * scale tier picks its own partition count instead of OOMing
+    * behind a missing env var; SPARK_GRAFT_SHUFFLE_PARTITIONS
+    * overrides for calibration.
     */
   def build(
       base: DataFrame,
@@ -96,6 +124,64 @@ object NnDescent {
     // nKnown > 0 skips the count job — callers that already ran a
     // membership histogram (buildLayeredGraphsNnd) pass the size in
     val n = if (nKnown > 0) nKnown else base.count()
+
+    // ContextCleaner nudge gate + shuffle-width sizing share the same
+    // structural number: the per-round candidate volume (n·midCap²
+    // capped, n·(2wk)² uncapped, + the n·wk current-edge add-back —
+    // NOT decorative: 1M·16² alone is 2.56e8, a hair under the GC
+    // gate, and a round-14 1M mc16 run with the term dropped measured
+    // a 39 GB two-rounds-coexist peak where the nudged bound is ~20).
+    val perRoundCand =
+      n * (if (midCap > 0) midCap.toLong * midCap else 4L * wk * wk) +
+        n * wk
+    // The per-iteration System.gc() below is only worth its
+    // stop-the-world pause when a round's shuffle spill is actually
+    // multi-GB — i.e. past ~2^28 pairs (tens of GB of candidate+top-k
+    // shuffle at 64d). Gate-scale builds (sf0.1: ~5e7 pairs) skip it;
+    // every measured multi-GB config (1M uncapped 9e8, 1M mc24
+    // 5.9e8, 1M mc16 2.7e8, 5M mc16 1.4e9) keeps the nudge.
+    // NOTE: under -XX:+DisableExplicitGC the nudge is a silent no-op
+    // and the two-rounds-of-spill peak returns — scalebench.sh
+    // documents the incompatibility.
+    val gcNudge = perRoundCand >= (1L << 28)
+    // Shuffle width is derived from the SAME formula, not left to a
+    // human: each round streams perRoundCand rows through the typed
+    // top-k aggregate, whose heap buffers are unmanaged JVM objects —
+    // a task fed too many rows fails as an opaque executor OOM (the
+    // 5M div build at the 32-partition session default, round 14)
+    // instead of spilling. Target ~10M rows/task; the session default
+    // is the floor (gate-scale builds keep their parallelism, AQE
+    // coalesces any excess); SPARK_GRAFT_SHUFFLE_PARTITIONS remains
+    // the manual override for calibration runs. Partitioning is join
+    // strategy only — never changes results (oracle-mirrored builds
+    // stay hash-identical at any width).
+    val spark = base.sparkSession
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val sessionParts = spark.conf.get(shuffleKey).toInt
+    val buildParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .flatMap(_.trim.toIntOption)
+      .getOrElse(autoShufflePartitions(perRoundCand, sessionParts))
+
+    spark.conf.set(shuffleKey, buildParts.toString)
+    try buildAt(base, wk, k, n, iters, seed, midCap, bcastRows, gcNudge)
+    finally spark.conf.set(shuffleKey, sessionParts.toString)
+  }
+
+  /** The build body, run under [[build]]'s derived shuffle width
+    * (every shuffle below — init distinct, candidate join, top-k
+    * aggregation — executes eagerly through the per-round
+    * localCheckpoints, so the width override covers the whole build).
+    */
+  private def buildAt(
+      base: DataFrame,
+      wk: Int,
+      k: Int,
+      n: Long,
+      iters: Int,
+      seed: Long,
+      midCap: Int,
+      bcastRows: Long,
+      gcNudge: Boolean): DataFrame = {
     // deterministic pseudo-random init: k candidates per node from a
     // multiplicative hash, self-loops dropped. `i` folds into the
     // multiplicand (id + i*7919) so the wk targets of one node SPREAD
@@ -127,27 +213,6 @@ object NnDescent {
     // unroll is unaffected either way.
     def vside(df: DataFrame): DataFrame =
       if (n <= bcastRows) broadcast(df) else df
-
-    // ContextCleaner nudge gate: the per-iteration System.gc() below
-    // is only worth its stop-the-world pause when a round's shuffle
-    // spill is actually multi-GB — i.e. when the structural per-round
-    // candidate volume (n·midCap² capped, n·(2wk)² uncapped) crosses
-    // ~2^28 pairs (≈ tens of GB of candidate+top-k shuffle at 64d).
-    // Gate-scale builds (sf0.1: ~5e7 pairs) skip it and stop paying
-    // a fixed multi-hundred-ms full-GC per round; every measured
-    // multi-GB config (1M uncapped 9e8, 1M mc24 5.9e8, 1M mc16
-    // 2.7e8, 5M mc16 1.3e9) stays above the threshold and keeps the
-    // nudge. The +n·wk term is the current-edge add-back and is NOT
-    // decorative: 1M·16² alone is 2.56e8 — a hair under the gate —
-    // and a round-14 1M mc16 run with the term dropped measured a
-    // 39 GB two-rounds-coexist peak where the nudged bound is ~20.
-    // NOTE: under -XX:+DisableExplicitGC the nudge is a silent no-op
-    // and the two-rounds-of-spill peak returns — scalebench.sh
-    // documents the incompatibility.
-    val perRoundCand =
-      n * (if (midCap > 0) midCap.toLong * midCap else 4L * wk * wk) +
-        n * wk
-    val gcNudge = perRoundCand >= (1L << 28)
 
     for (it <- 1 to iters) {
       // reverse edges are CAPPED at wk per node before the

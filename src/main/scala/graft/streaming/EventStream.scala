@@ -67,6 +67,10 @@ object EventStream {
     *    q34 3.42 s vs 1.25 s, q33 2.88 vs 1.77, q32 3.69 vs 2.38 at
     *    the 32-partition default (only 8 of 32 cores doing the
     *    stateful stage) → floor defaultParallelism.
+    *  - EXCEPT single-store entries whose SINK commit scales with the
+    *    partition count: complete-mode rewrites (q38) and per-flush
+    *    file commits (q43) behave commit-bound at gate scale despite
+    *    the single store → floor 8, measured at their call sites.
     */
   private[streaming] def statePartitionsFor(
       spark: SparkSession, path: String, floor: Int): Int =
@@ -88,7 +92,10 @@ object EventStream {
       .queryExecution.optimizedPlan.stats.sizeInBytes, floor)
 
   private def sizePartitions(bytes: BigInt, floor: Int): Int =
-    (bytes / (64L << 20)).min(4096).max(floor).toInt
+    // floor first, cap last: the 4096 ceiling must bind even when the
+    // floor itself is large (a cluster whose defaultParallelism
+    // exceeds 4096 would otherwise smuggle the floor past the cap)
+    (bytes / (64L << 20)).max(floor).min(4096).toInt
 
   /** Run `body` with spark.sql.shuffle.partitions = `n` (the knob
     * streaming state layout is taken from at query start), restoring
@@ -172,10 +179,15 @@ object EventStream {
         col("event_type"), col("n_events"), col("value_cents"))
     val out = java.nio.file.Files
       .createTempDirectory("graft_file_sink").toString
-    // byte-driven state sizing (same rationale as hourlyAgg); also
-    // bounds the file count the parquet sink emits per window flush
+    // byte-driven state sizing, but floor 8, not coresFloor: the
+    // parquet sink commits one FILE per non-empty partition per flush
+    // (plus the sink-log entry), so at gate scale this entry is
+    // commit/file-bound like q40, not parallelism-bound (same-window
+    // A/B at sf0.1: 1.79 s at floor 8 vs 2.41 at defaultParallelism).
+    // The byte term still governs at real scale, where it also bounds
+    // the file count per window flush.
     withStatePartitions(spark,
-      statePartitionsFor(spark, s"$sfDir/events.parquet", coresFloor(spark))) {
+      statePartitionsFor(spark, s"$sfDir/events.parquet", 8)) {
       val q = agg.writeStream
         .outputMode("append")
         .format("parquet")
@@ -327,8 +339,14 @@ object EventStream {
         unix_timestamp(col("w.start")).as("hour_start"),
         col("c_mktsegment").as("segment"), col("n_events"), col("value_cents"))
     val sink = s"graft_enrich_${nameCounter.incrementAndGet()}"
+    // floor 8, not coresFloor: this entry is single-store but COMPLETE
+    // mode — every commit rewrites the whole per-partition result into
+    // the sink, so like q40's multi-store join it is commit-bound at
+    // gate scale, not parallelism-bound (same-window A/B at sf0.1:
+    // 1.37 s at floor 8 vs 1.73 at defaultParallelism). The byte term
+    // still governs at real scale.
     withStatePartitions(spark,
-      statePartitionsFor(spark, s"$sfDir/events.parquet", coresFloor(spark))) {
+      statePartitionsFor(spark, s"$sfDir/events.parquet", 8)) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = agg.writeStream
         .option("checkpointLocation", chk)

@@ -84,6 +84,51 @@ class NnDescentSpec extends AnyFunSuite {
       s"rev/mid cap orders nearly identical within a round ($saltAgree)")
   }
 
+  test("auto shuffle width derives from the per-round candidate volume") {
+    import graft.operators.NnDescent
+    // gate-scale volumes keep the session's parallelism (AQE
+    // coalesces any excess; fewer tasks than cores would idle them)
+    assert(NnDescent.autoShufflePartitions(5L * 1000 * 1000, 32) == 32)
+    // the round-14 5M config that OOM'd at the 32-partition default:
+    // perRoundCand = 5e6*(16^2 + 16) = 1.36e9 -> 136 tasks (~10M
+    // rows/task; the human-exported rescue value was 128)
+    assert(NnDescent.autoShufflePartitions(1360000000L, 32) == 136)
+    // the mc24 width point: 5e6*(24^2 + 16) = 2.96e9 -> 296
+    assert(NnDescent.autoShufflePartitions(2960000000L, 32) == 296)
+    // a session already wider than the formula keeps its width
+    assert(NnDescent.autoShufflePartitions(1360000000L, 200) == 200)
+    // capped at 4096 like every other auto-sizer in the repo
+    assert(NnDescent.autoShufflePartitions(Long.MaxValue / 4, 32) == 4096)
+    // exact multiples don't round up a phantom task
+    assert(NnDescent.autoShufflePartitions(
+      140L * NnDescent.RowsPerTaskTarget, 32) == 140)
+  }
+
+  test("build restores the session shuffle width and width never changes the graph") {
+    import graft.operators.NnDescent
+    val emb = Tables.embeddings(spark, sf)
+      .filter(graft.queries.Split.isTrain(col("vec_id")))
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .localCheckpoint(true)
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val a = NnDescent.build(base, k = 5)
+      .select("id", "rank", "neighbor_id").localCheckpoint(true)
+    assert(spark.conf.get(key) == before,
+      "build must restore the session shuffle width it overrides")
+    // partitioning is join strategy only: a build under a different
+    // session width (which the auto-sizer floors at) must produce the
+    // SAME graph — the property that keeps q27/q53/q55 oracle-green
+    // at any derived width
+    spark.conf.set(key, "7")
+    try {
+      val b = NnDescent.build(base, k = 5)
+        .select("id", "rank", "neighbor_id").localCheckpoint(true)
+      assert(b.exceptAll(a).count() == 0 && a.exceptAll(b).count() == 0,
+        "shuffle width changed the graph")
+    } finally spark.conf.set(key, before)
+  }
+
   test("diversify's broadcast vector side (nKnown) changes the plan, not the result") {
     import graft.operators.{GraphSearch, NnDescent}
     val emb = Tables.embeddings(spark, sf)
