@@ -162,6 +162,13 @@ object NnDescent {
       .flatMap(_.trim.toIntOption)
       .getOrElse(autoShufflePartitions(perRoundCand, sessionParts))
 
+    if (buildParts != sessionParts)
+      // operational record: the derived width is the number a cluster
+      // operator would otherwise have to compute by hand — log it so
+      // a build's sizing is auditable from its log alone
+      System.err.println(s"nn-descent: n=$n perRoundCand=$perRoundCand " +
+        s"-> shuffle width $buildParts (session $sessionParts, " +
+        s"~${perRoundCand / buildParts / 1000000}M rows/task)")
     spark.conf.set(shuffleKey, buildParts.toString)
     try buildAt(base, wk, k, n, iters, seed, midCap, bcastRows, gcNudge)
     finally spark.conf.set(shuffleKey, sessionParts.toString)
