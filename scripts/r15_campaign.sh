@@ -19,8 +19,13 @@
 #     other shuffle-heavy leg; no measured point past 1M).
 # Scratch watchdog scoped to THIS campaign's spark.local.dir
 # (ADVICE r14: a shared /tmp du can abort an innocent run).
+# Usage: r15_campaign.sh [stage-regex]  — run only matching stages
+# (div_mc16|stack_mc24|d02); default all. Lets a later session pick
+# up the stages an earlier one already measured without re-paying
+# the ~1.2h div build.
 set -uo pipefail
 cd "$(dirname "$0")/.."
+ONLY=${1:-.}
 RUNDIR=/tmp/graft_r15_local
 mkdir -p "$RUNDIR"
 SCRATCH=target/r15_scratch.log
@@ -29,6 +34,10 @@ SCRATCH=target/r15_scratch.log
 run_stage() { # name filter [VAR=VAL ...]
   local name=$1 filter=$2
   shift 2
+  if ! echo "$name" | grep -Eq "$ONLY"; then
+    echo "skip $name (stage filter '$ONLY')" >> "$SCRATCH"
+    return 0
+  fi
   local log=target/r15_${name}.log
   env SPARK_DRIVER_MEM=80g SPARK_GRAFT_CPUS=32 \
     SPARK_LOCAL_DIR="$RUNDIR" "$@" \
