@@ -79,6 +79,53 @@ object NnDescent {
     derived.max(sessionDefault.toLong).min(4096L).toInt
   }
 
+  /** Chunk count for SHUFFLE-PATH scoring (corpora above the
+    * vector-broadcast ceiling — i.e. the only path a 100 TB base
+    * layer can take). The scoring joins attach a full vector to every
+    * candidate row, and the second join's shuffle WRITE carries that
+    * payload: ~(4·dim + 64) bytes per candidate row in flight per
+    * round. At 10M×64d / midCap 12 that is ~1.5e9 rows ≈ 0.5 TB —
+    * measured as "No space left on device" at 73 GB of local scratch
+    * (round-15 attempt 3). Splitting the candidate set into
+    * hash-disjoint chunks scored SEQUENTIALLY bounds the in-flight
+    * bytes at est/chunks; per-query top-k over the union of per-chunk
+    * top-k lists is EXACT (each candidate row lands in exactly one
+    * chunk), so chunking is join scheduling, never semantics.
+    * Capped at 64: past that the per-chunk fixed costs (job launch,
+    * checkpoint) dominate and the right fix is more scratch, not more
+    * chunks.
+    */
+  def scoreChunksFor(candRows: Long, dim: Int, budgetBytes: Long): Int = {
+    val bytesPerRow = 4L * dim + 64L
+    if (budgetBytes <= 0L) 1
+    else {
+      // rows-per-chunk form, not est-bytes form: candRows*bytesPerRow
+      // can overflow int64 at adversarial inputs
+      val rowsPerChunk = (budgetBytes / bytesPerRow).max(1L)
+      ((candRows + rowsPerChunk - 1) / rowsPerChunk).max(1L).min(64L).toInt
+    }
+  }
+
+  /** Scratch budget for one scoring pass: the env override if set,
+    * else 40% of the usable space of the FIRST configured Spark
+    * local dir — exact in local mode (the gate and campaign shape);
+    * on a real cluster per-executor scratch aggregates across the
+    * fleet, so the driver-disk default is conservative and the env
+    * var is the honest knob (set it to the fleet's aggregate
+    * scratch).
+    */
+  def scratchBudgetBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    sys.env.get("SPARK_GRAFT_NND_SCRATCH_GB")
+      .flatMap(_.trim.toLongOption)
+      .map(_ * (1L << 30))
+      .getOrElse {
+        val dir = spark.conf.getOption("spark.local.dir")
+          .orElse(sys.props.get("spark.local.dir"))
+          .getOrElse(System.getProperty("java.io.tmpdir"))
+          .split(',').head.trim
+        (new java.io.File(dir).getUsableSpace * 2) / 5
+      }
+
   /** base: (id, vec). Returns (id, rank, neighbor_id) approximate
     * top-k graph. Deterministic: hash-seeded init, (dist, id)
     * tie-breaks everywhere.
@@ -116,7 +163,8 @@ object NnDescent {
       seed: Long = 42L,
       nKnown: Long = -1L,
       midCap: Int = 0,
-      bcastRows: Long = 1L << 22): DataFrame = {
+      bcastRows: Long = 1L << 22,
+      scratchBudget: Long = 0L): DataFrame = {
     // iterate with a larger working degree than the requested k —
     // on high-intrinsic-dimension data the neighbor-of-neighbor
     // signal is weak, and the extra width is what carries convergence
@@ -169,8 +217,31 @@ object NnDescent {
       System.err.println(s"nn-descent: n=$n perRoundCand=$perRoundCand " +
         s"-> shuffle width $buildParts (session $sessionParts, " +
         s"~${perRoundCand / buildParts / 1000000}M rows/task)")
+    // Shuffle-path scoring (n > bcastRows) must also bound its
+    // SCRATCH, not just its heap: each round shuffles the candidate
+    // stream with a vector attached (see [[scoreChunksFor]]). Derive
+    // the chunk counts from the same structural volumes. The dim
+    // probe is one 1-row job, paid only on the shuffle path (the
+    // broadcast path never shuffles vector payload).
+    val (roundChunks, finalChunks) =
+      if (n <= bcastRows) (1, 1)
+      else {
+        val dim = base.select(size(col("vec")).cast("int").as("d"))
+          .head().getInt(0)
+        val budget =
+          if (scratchBudget > 0L) scratchBudget else scratchBudgetBytes(spark)
+        val rc = scoreChunksFor(perRoundCand, dim, budget)
+        val fc = scoreChunksFor(n * wk, dim, budget)
+        if (rc > 1 || fc > 1)
+          System.err.println(s"nn-descent: shuffle-path scoring " +
+            s"chunked $rc/round, $fc final (dim=$dim, budget " +
+            s"${budget >> 20} MB — est per-round in-flight " +
+            s"${perRoundCand * (4L * dim + 64) >> 20} MB)")
+        (rc, fc)
+      }
     spark.conf.set(shuffleKey, buildParts.toString)
-    try buildAt(base, wk, k, n, iters, seed, midCap, bcastRows, gcNudge)
+    try buildAt(base, wk, k, n, iters, seed, midCap, bcastRows, gcNudge,
+      roundChunks, finalChunks)
     finally spark.conf.set(shuffleKey, sessionParts.toString)
   }
 
@@ -188,7 +259,9 @@ object NnDescent {
       seed: Long,
       midCap: Int,
       bcastRows: Long,
-      gcNudge: Boolean): DataFrame = {
+      gcNudge: Boolean,
+      roundChunks: Int = 1,
+      finalChunks: Int = 1): DataFrame = {
     // deterministic pseudo-random init: k candidates per node from a
     // multiplicative hash, self-loops dropped. `i` folds into the
     // multiplicand (id + i*7919) so the wk targets of one node SPREAD
@@ -220,6 +293,46 @@ object NnDescent {
     // unroll is unaffected either way.
     def vside(df: DataFrame): DataFrame =
       if (n <= bcastRows) broadcast(df) else df
+
+    def scoredOf(c: DataFrame): DataFrame = c
+      .join(vside(vecs.select(col("id").as("src"), col("vec").as("sv"))),
+        "src")
+      .join(vside(vecs.select(col("id").as("dst"), col("vec").as("dv"))),
+        "dst")
+      .select(col("src").as("query_id"),
+        vec_l2(col("sv"), col("dv")).as("score"),
+        col("dst").as("id"))
+
+    // Per-query top-k of the scored candidate set, optionally in
+    // `chunks` hash-disjoint SEQUENTIAL passes (shuffle path only —
+    // see [[scoreChunksFor]]): each pass bounds the vector-carrying
+    // shuffle at est/chunks bytes, its top-k list is checkpointed
+    // (N·k rows, tiny), the gcNudge frees the pass's shuffle files
+    // before the next pass starts, and the merged top-k over the
+    // union of per-chunk lists is exactly the unchunked top-k (each
+    // candidate row lands in exactly one chunk; (score, id) ties
+    // break identically). The chunk key scrambles src (the
+    // sampleOrder ring trick) so contiguous id ranges spread evenly.
+    def topKScored(c: DataFrame, kk: Int, chunks: Int): DataFrame =
+      if (chunks <= 1) KnnSearch.topKOf(scoredOf(c), kk, asc = true)
+      else {
+        val cm = c.localCheckpoint(true) // compute the pair join once
+        val key = pmod(
+          pmod(col("src"), lit(1048576L)) * lit(40503L) + col("dst"),
+          lit(chunks.toLong))
+        val parts = (0 until chunks).map { ch =>
+          val t = KnnSearch.topKOf(
+            scoredOf(cm.filter(key === lit(ch.toLong))), kk, asc = true)
+            .localCheckpoint(true)
+          if (gcNudge) System.gc()
+          t
+        }
+        KnnSearch.topKOf(
+          parts.reduce(_ unionAll _)
+            .select(col("query_id"), col("score"),
+              col("neighbor_id").as("id")),
+          kk, asc = true)
+      }
 
     for (it <- 1 to iters) {
       // reverse edges are CAPPED at wk per node before the
@@ -264,15 +377,7 @@ object NnDescent {
         .select("src", "dst")
         .unionAll(edges.select(col("id").as("src"), col("nb").as("dst")))
         .distinct()
-      val scored = cands
-        .join(vside(vecs.select(col("id").as("src"), col("vec").as("sv"))),
-          "src")
-        .join(vside(vecs.select(col("id").as("dst"), col("vec").as("dv"))),
-          "dst")
-        .select(col("src").as("query_id"),
-          vec_l2(col("sv"), col("dv")).as("score"),
-          col("dst").as("id"))
-      edges = KnnSearch.topKOf(scored, wk, asc = true)
+      edges = topKScored(cands, wk, roundChunks)
         .select(col("query_id").as("id"), col("neighbor_id").as("nb"))
         .localCheckpoint(true)
       // nudge the ContextCleaner: the previous round's candidate and
@@ -289,16 +394,13 @@ object NnDescent {
     }
 
     // final ranked output recomputes distances once for rank order
-    val scored = edges
-      .join(vside(vecs.select(col("id"), col("vec").as("sv"))), "id")
-      .join(vside(vecs.select(col("id").as("nb"), col("vec").as("dv"))),
-        "nb")
-      .select(col("id").as("query_id"),
-        vec_l2(col("sv"), col("dv")).as("score"),
-        col("nb").as("id"))
+    // (through the same chunked path — n·wk vector-carrying rows is
+    // itself ~150 GB in flight at the 10M tier)
     // materialise the (small, N x k) result so the vector cache can be
     // released before returning — no storage pinned past the build
-    val out = KnnSearch.topKOf(scored, k, asc = true)
+    val out = topKScored(
+      edges.select(col("id").as("src"), col("nb").as("dst")),
+      k, finalChunks)
       .select(col("query_id").as("id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"))
       .localCheckpoint(true)

@@ -104,6 +104,43 @@ class NnDescentSpec extends AnyFunSuite {
       140L * NnDescent.RowsPerTaskTarget, 32) == 140)
   }
 
+  test("shuffle-path score chunking derives from bytes and never changes the graph") {
+    import graft.operators.NnDescent
+    // the chunk-count formula: bytes per candidate row = 4*dim + 64
+    // (the vector payload the second scoring join shuffles)
+    // 10M-tier attempt-3 shape: 1.5e9 cand rows x 64d = ~447 GB of
+    // in-flight payload; a 72 GB scratch budget needs 7 passes
+    assert(NnDescent.scoreChunksFor(1500000000L, 64, 72L << 30) == 7)
+    // fits the budget -> one pass, the plan of today
+    assert(NnDescent.scoreChunksFor(1000000L, 64, 72L << 30) == 1)
+    // degenerate budget -> capped at 64 chunks, never unbounded
+    assert(NnDescent.scoreChunksFor(Long.MaxValue / 1024, 64, 1) == 64)
+    // no budget information -> no chunking (never divide by zero)
+    assert(NnDescent.scoreChunksFor(1500000000L, 64, 0) == 1)
+
+    val emb = Tables.embeddings(spark, sf)
+      .filter(graft.queries.Split.isTrain(col("vec_id")))
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .localCheckpoint(true)
+    // broadcast path (the gate default), shuffle path unchunked, and
+    // shuffle path FORCED into multiple sequential chunks (a 1 MB
+    // budget at this sf) must all produce the identical graph:
+    // chunking partitions the candidate set hash-disjointly and merges
+    // per-chunk top-k exactly, so it is join scheduling, not semantics
+    val bcast = NnDescent.build(base, k = 5, midCap = 8)
+      .localCheckpoint(true)
+    val shuffle = NnDescent.build(base, k = 5, midCap = 8, bcastRows = 1)
+      .localCheckpoint(true)
+    val chunked = NnDescent.build(base, k = 5, midCap = 8, bcastRows = 1,
+      scratchBudget = 1L << 20).localCheckpoint(true)
+    assert(shuffle.exceptAll(bcast).count() == 0 &&
+      bcast.exceptAll(shuffle).count() == 0,
+      "join strategy (broadcast vs shuffle) changed the graph")
+    assert(chunked.exceptAll(bcast).count() == 0 &&
+      bcast.exceptAll(chunked).count() == 0,
+      "sequential score chunking changed the graph")
+  }
+
   test("build restores the session shuffle width and width never changes the graph") {
     import graft.operators.NnDescent
     val emb = Tables.embeddings(spark, sf)
