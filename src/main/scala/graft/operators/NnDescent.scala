@@ -101,8 +101,24 @@ object NnDescent {
     else {
       // rows-per-chunk form, not est-bytes form: candRows*bytesPerRow
       // can overflow int64 at adversarial inputs
-      val rowsPerChunk = (budgetBytes / bytesPerRow).max(1L)
-      ((candRows + rowsPerChunk - 1) / rowsPerChunk).max(1L).min(64L).toInt
+      val unchunkedRows = (budgetBytes / bytesPerRow).max(1L)
+      if (candRows <= unchunkedRows) 1
+      else {
+        // the chunked path materialises the candidate ids ONCE
+        // (serialized DISK_ONLY, ~24 B/row measured) and that
+        // footprint coexists with every chunk's shuffle — the 10M
+        // first cut that budgeted only the shuffle ENOSPC'd on the
+        // checkpoint + first chunk together. At least an eighth of
+        // the budget always goes to the shuffle term so a checkpoint
+        // bigger than the budget degrades to max chunks, not to a
+        // division by zero.
+        val ckptBytes =
+          if (candRows > Long.MaxValue / 32L) Long.MaxValue / 2L
+          else candRows * 24L
+        val forShuffle = (budgetBytes - ckptBytes).max(budgetBytes / 8)
+        val rowsPerChunk = (forShuffle / bytesPerRow).max(1L)
+        ((candRows + rowsPerChunk - 1) / rowsPerChunk).max(1L).min(64L).toInt
+      }
     }
   }
 
@@ -316,7 +332,22 @@ object NnDescent {
     def topKScored(c: DataFrame, kk: Int, chunks: Int): DataFrame =
       if (chunks <= 1) KnnSearch.topKOf(scoredOf(c), kk, asc = true)
       else {
-        val cm = c.localCheckpoint(true) // compute the pair join once
+        // Free the PREVIOUS round's candidate blocks before writing
+        // this round's: the loop body is a closure frame, so the
+        // prior round's checkpoint+distinct-shuffle (~50 GB at 10M)
+        // only become unreachable when that frame exits — without
+        // this nudge the two rounds' candidate sets coexist on disk
+        // exactly during the new checkpoint's write (the widest
+        // window of the build).
+        if (gcNudge) System.gc()
+        // compute the pair join once, stored SERIALIZED on disk: the
+        // default deserialized block format is ~3x the size of two
+        // packed longs and the 10M checkpoint alone filled the
+        // scratch disk before the first chunk scored; the eager cut
+        // also lets the gcNudge free the distinct's shuffle
+        val cm = c.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        if (gcNudge) System.gc()
         val key = pmod(
           pmod(col("src"), lit(1048576L)) * lit(40503L) + col("dst"),
           lit(chunks.toLong))

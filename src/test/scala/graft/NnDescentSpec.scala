@@ -107,12 +107,20 @@ class NnDescentSpec extends AnyFunSuite {
   test("shuffle-path score chunking derives from bytes and never changes the graph") {
     import graft.operators.NnDescent
     // the chunk-count formula: bytes per candidate row = 4*dim + 64
-    // (the vector payload the second scoring join shuffles)
+    // (the vector payload the second scoring join shuffles), and the
+    // chunked path's one-time candidate-id checkpoint (~24 B/row,
+    // serialized DISK_ONLY) coexists with every chunk's shuffle so
+    // it comes out of the budget first.
     // 10M-tier attempt-3 shape: 1.5e9 cand rows x 64d = ~447 GB of
-    // in-flight payload; a 72 GB scratch budget needs 7 passes
-    assert(NnDescent.scoreChunksFor(1500000000L, 64, 72L << 30) == 7)
-    // fits the budget -> one pass, the plan of today
+    // in-flight payload; a 72 GB budget leaves 72-33.5=38.5 GB for
+    // the shuffle term -> 12 passes
+    assert(NnDescent.scoreChunksFor(1500000000L, 64, 72L << 30) == 12)
+    // fits the budget -> one pass (and no checkpoint at all)
     assert(NnDescent.scoreChunksFor(1000000L, 64, 72L << 30) == 1)
+    // checkpoint alone exceeds the budget -> an eighth of the budget
+    // still goes to the shuffle term (degrade to more chunks, never
+    // divide by zero); the 64-chunk cap binds
+    assert(NnDescent.scoreChunksFor(1600000000L, 64, 30L << 30) == 64)
     // degenerate budget -> capped at 64 chunks, never unbounded
     assert(NnDescent.scoreChunksFor(Long.MaxValue / 1024, 64, 1) == 64)
     // no budget information -> no chunking (never divide by zero)
