@@ -23,8 +23,13 @@ done
 # run's usage without counting concurrent Spark jobs' /tmp dirs.
 LOCALDIR_OPT=""
 [ -n "${SPARK_LOCAL_DIR:-}" ] && LOCALDIR_OPT="-Dspark.local.dir=$SPARK_LOCAL_DIR"
+# rdd.compress: the chunked shuffle-path scorer checkpoints the
+# candidate-id set serialized to disk (~24 B/row raw at 10M = tens of
+# GB); lz4 on those long-pair blocks roughly halves the largest fixed
+# scratch item. Semantics-free (storage codec only).
 exec java $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.rdd.compress=true \
   -Dspark.driver.maxResultSize=8g $LOCALDIR_OPT \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp target/scala-2.13/classes:'/opt/spark/jars/*' \

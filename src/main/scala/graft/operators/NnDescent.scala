@@ -320,15 +320,20 @@ object NnDescent {
         col("dst").as("id"))
 
     // Per-query top-k of the scored candidate set, optionally in
-    // `chunks` hash-disjoint SEQUENTIAL passes (shuffle path only —
-    // see [[scoreChunksFor]]): each pass bounds the vector-carrying
-    // shuffle at est/chunks bytes, its top-k list is checkpointed
-    // (N·k rows, tiny), the gcNudge frees the pass's shuffle files
-    // before the next pass starts, and the merged top-k over the
-    // union of per-chunk lists is exactly the unchunked top-k (each
-    // candidate row lands in exactly one chunk; (score, id) ties
-    // break identically). The chunk key scrambles src (the
-    // sampleOrder ring trick) so contiguous id ranges spread evenly.
+    // `chunks` SEQUENTIAL passes split by SRC hash (shuffle path
+    // only — see [[scoreChunksFor]]): each pass bounds the
+    // vector-carrying shuffle at est/chunks bytes. Chunking on the
+    // QUERY key, not the pair, is load-bearing twice over: every
+    // query's candidates stay whole inside one pass, so (a) each
+    // pass's checkpointed output is exactly (n/chunks)·k rows —
+    // a pair-hash split leaves ~cands/chunks rows per pass (a
+    // query's candidates scatter, few heaps fill to k) and the
+    // partials accumulate to the FULL candidate volume on disk
+    // (measured: the 10M round climbed right back to the watchdog
+    // line) — and (b) per-pass ranks are globally exact, so the
+    // merge is a plain union, no second top-k shuffle. The chunk
+    // key scrambles src (the sampleOrder ring trick) so contiguous
+    // id ranges spread evenly.
     def topKScored(c: DataFrame, kk: Int, chunks: Int): DataFrame =
       if (chunks <= 1) KnnSearch.topKOf(scoredOf(c), kk, asc = true)
       else {
@@ -349,20 +354,16 @@ object NnDescent {
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
         if (gcNudge) System.gc()
         val key = pmod(
-          pmod(col("src"), lit(1048576L)) * lit(40503L) + col("dst"),
+          pmod(pmod(col("src"), lit(1048576L)) * lit(40503L),
+            lit(1048576L)),
           lit(chunks.toLong))
-        val parts = (0 until chunks).map { ch =>
+        (0 until chunks).map { ch =>
           val t = KnnSearch.topKOf(
             scoredOf(cm.filter(key === lit(ch.toLong))), kk, asc = true)
             .localCheckpoint(true)
           if (gcNudge) System.gc()
           t
-        }
-        KnnSearch.topKOf(
-          parts.reduce(_ unionAll _)
-            .select(col("query_id"), col("score"),
-              col("neighbor_id").as("id")),
-          kk, asc = true)
+        }.reduce(_ unionAll _)
       }
 
     for (it <- 1 to iters) {
