@@ -122,6 +122,36 @@ object NnDescent {
     }
   }
 
+  /** Root directory for the chunked scorer's partitioned candidate
+    * spill, or None to fall back to checkpoint-and-filter. An
+    * explicit SPARK_GRAFT_NND_SPILL_DIR wins (on a cluster it MUST
+    * be a shared filesystem — executors read each other's
+    * partitions); otherwise local mode spills beside the configured
+    * local dir (single JVM, so a local path is safe), and cluster
+    * mode without the env gets None.
+    */
+  def spillRoot(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    // "-" disables the spill (JVM property so the spec can exercise
+    // the checkpoint-and-filter fallback — the cluster-without-
+    // shared-fs path — without forking)
+    if (sys.props.get("graft.nnd.spill").contains("-")) None
+    else sys.env.get("SPARK_GRAFT_NND_SPILL_DIR").map(_.trim)
+      .filter(_.nonEmpty)
+      .orElse {
+        if (spark.sparkContext.isLocal)
+          Some(spark.conf.getOption("spark.local.dir")
+            .orElse(sys.props.get("spark.local.dir"))
+            .getOrElse(System.getProperty("java.io.tmpdir"))
+            .split(',').head.trim)
+        else None
+      }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Scratch budget for one scoring pass: the env override if set,
     * else 40% of the usable space of the FIRST configured Spark
     * local dir — exact in local mode (the gate and campaign shape);
@@ -339,31 +369,65 @@ object NnDescent {
       else {
         // Free the PREVIOUS round's candidate blocks before writing
         // this round's: the loop body is a closure frame, so the
-        // prior round's checkpoint+distinct-shuffle (~50 GB at 10M)
-        // only become unreachable when that frame exits — without
-        // this nudge the two rounds' candidate sets coexist on disk
-        // exactly during the new checkpoint's write (the widest
-        // window of the build).
+        // prior round's candidate spill (~tens of GB at 10M) only
+        // becomes unreachable when that frame exits — without this
+        // nudge two rounds' candidate sets coexist on disk exactly
+        // during the new spill's write (the widest window of the
+        // build).
         if (gcNudge) System.gc()
-        // compute the pair join once, stored SERIALIZED on disk: the
-        // default deserialized block format is ~3x the size of two
-        // packed longs and the 10M checkpoint alone filled the
-        // scratch disk before the first chunk scored; the eager cut
-        // also lets the gcNudge free the distinct's shuffle
-        val cm = c.localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        if (gcNudge) System.gc()
+        val spark = c.sparkSession
         val key = pmod(
           pmod(pmod(col("src"), lit(1048576L)) * lit(40503L),
             lit(1048576L)),
           lit(chunks.toLong))
-        (0 until chunks).map { ch =>
-          val t = KnnSearch.topKOf(
-            scoredOf(cm.filter(key === lit(ch.toLong))), kk, asc = true)
-            .localCheckpoint(true)
-          if (gcNudge) System.gc()
-          t
-        }.reduce(_ unionAll _)
+        val parts = spillRoot(spark) match {
+          case Some(root) =>
+            // Preferred: materialise the pair join ONCE as a parquet
+            // spill PARTITIONED BY the chunk key — each pass then
+            // reads 1/chunks of the bytes via partition pruning
+            // instead of filtering a full scan (the checkpoint
+            // fallback below re-reads the whole candidate set per
+            // pass: ~1.3 TB of reads per round at the 10M tier's 64
+            // chunks). Local-mode always qualifies; on a cluster the
+            // spill dir must be a SHARED filesystem, so it is env-
+            // gated (a per-node local path would strand partitions
+            // on the executors that wrote them).
+            val dir = s"$root/nnd-spill-${java.util.UUID.randomUUID}"
+            c.withColumn("ck", key).write.partitionBy("ck").parquet(dir)
+            val back = spark.read.parquet(dir)
+            val out = (0 until chunks).map { ch =>
+              val t = KnnSearch.topKOf(
+                scoredOf(back.filter(col("ck") === lit(ch.toLong))
+                  .select("src", "dst")), kk, asc = true)
+                .localCheckpoint(true)
+              if (gcNudge) System.gc()
+              t
+            }
+            deleteRecursively(new java.io.File(dir))
+            out
+          case None =>
+            // Fallback: the pair join checkpointed SERIALIZED (the
+            // default deserialized block format is ~3x the size of
+            // two packed longs and the 10M checkpoint alone filled
+            // the scratch disk before the first chunk scored); each
+            // pass filters a full scan of it.
+            val cm = c.localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.DISK_ONLY)
+            if (gcNudge) System.gc()
+            (0 until chunks).map { ch =>
+              val t = KnnSearch.topKOf(
+                scoredOf(cm.filter(key === lit(ch.toLong))),
+                kk, asc = true)
+                .localCheckpoint(true)
+              if (gcNudge) System.gc()
+              t
+            }
+        }
+        // chunking is on the QUERY key, so each pass's ranks are
+        // globally exact and the merge is a plain union — no second
+        // top-k shuffle (and every per-pass list is already
+        // checkpointed, so deleting the spill above is safe)
+        parts.reduce(_ unionAll _)
       }
 
     for (it <- 1 to iters) {

@@ -141,12 +141,25 @@ class NnDescentSpec extends AnyFunSuite {
       .localCheckpoint(true)
     val chunked = NnDescent.build(base, k = 5, midCap = 8, bcastRows = 1,
       scratchBudget = 1L << 20).localCheckpoint(true)
+    // and the checkpoint-and-filter fallback (clusters without a
+    // shared spill filesystem take it) — same graph again
+    val nospill = try {
+      sys.props("graft.nnd.spill") = "-"
+      assert(NnDescent.spillRoot(spark).isEmpty)
+      NnDescent.build(base, k = 5, midCap = 8, bcastRows = 1,
+        scratchBudget = 1L << 20).localCheckpoint(true)
+    } finally sys.props.remove("graft.nnd.spill")
+    assert(NnDescent.spillRoot(spark).nonEmpty,
+      "local mode should default to the pruned parquet spill")
     assert(shuffle.exceptAll(bcast).count() == 0 &&
       bcast.exceptAll(shuffle).count() == 0,
       "join strategy (broadcast vs shuffle) changed the graph")
     assert(chunked.exceptAll(bcast).count() == 0 &&
       bcast.exceptAll(chunked).count() == 0,
       "sequential score chunking changed the graph")
+    assert(nospill.exceptAll(bcast).count() == 0 &&
+      bcast.exceptAll(nospill).count() == 0,
+      "the checkpoint-and-filter fallback changed the graph")
   }
 
   test("build restores the session shuffle width and width never changes the graph") {
