@@ -124,7 +124,20 @@ object Bench {
       System.err.println(s"bench: could not write target/bench.json: $e")
     }
     System.err.println(fullRecord)
-    val line = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpus":${GraftSession.cpus},"queries":$qsShort,"failed":$failed,"sf":"$sfDir"}"""
+    // window-quality summary for the DRIVER-captured line (the full
+    // per-query spread map lives in target/bench.json; it cannot fit
+    // the 1900-char stdout budget): median and max of the per-query
+    // max/min wall ratios plus the count of noisy (>1.5x) queries.
+    // A loaded window reads as a high median across mostly-untouched
+    // queries — the r15 +23% driver-window drift would have been
+    // self-documenting with this field in the record.
+    val spreadVals = results.collect {
+      case (_, Right((_, _, _, sp))) => sp }.sorted
+    val spreadSummary = if (spreadVals.isEmpty) "" else {
+      val med = spreadVals(spreadVals.length / 2)
+      s""","spread_med":${fmt2(med)},"spread_max":${fmt2(spreadVals.last)},"noisy":${spreadVals.count(_ > 1.5)}"""
+    }
+    val line = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpus":${GraftSession.cpus},"queries":$qsShort$spreadSummary,"failed":$failed,"sf":"$sfDir"}"""
     if (line.length > 1900) // belt-and-braces: never regress the record
       System.err.println(s"bench: WARNING final line ${line.length} chars " +
         "exceeds the 1900 budget; the driver tail-capture may truncate it")

@@ -131,25 +131,39 @@ object NnDescent {
     * mode without the env gets None.
     */
   def spillRoot(spark: org.apache.spark.sql.SparkSession): Option[String] =
-    // "-" disables the spill (JVM property so the spec can exercise
-    // the checkpoint-and-filter fallback — the cluster-without-
-    // shared-fs path — without forking)
-    if (sys.props.get("graft.nnd.spill").contains("-")) None
-    else sys.env.get("SPARK_GRAFT_NND_SPILL_DIR").map(_.trim)
-      .filter(_.nonEmpty)
-      .orElse {
-        if (spark.sparkContext.isLocal)
-          Some(spark.conf.getOption("spark.local.dir")
-            .orElse(sys.props.get("spark.local.dir"))
-            .getOrElse(System.getProperty("java.io.tmpdir"))
-            .split(',').head.trim)
-        else None
-      }
+    // JVM-property test hook (specs can't set env vars in-process):
+    // "-" disables the spill to exercise the checkpoint-and-filter
+    // fallback — the cluster-without-shared-fs path — and any other
+    // value IS the root (e.g. a file: URI, exercising the Hadoop-FS
+    // cleanup path the hdfs://s3a:// cluster shape takes)
+    sys.props.get("graft.nnd.spill").map(_.trim).filter(_.nonEmpty) match {
+      case Some("-") => None
+      case Some(root) => Some(root)
+      case None => sys.env.get("SPARK_GRAFT_NND_SPILL_DIR").map(_.trim)
+        .filter(_.nonEmpty)
+        .orElse {
+          if (spark.sparkContext.isLocal)
+            Some(spark.conf.getOption("spark.local.dir")
+              .orElse(sys.props.get("spark.local.dir"))
+              .getOrElse(System.getProperty("java.io.tmpdir"))
+              .split(',').head.trim)
+          else None
+        }
+    }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
-    f.delete(): Unit
+  /** Delete the spill dir through the HADOOP filesystem layer, not
+    * java.io.File: the spill is WRITTEN via the Spark writer (which
+    * resolves SPARK_GRAFT_NND_SPILL_DIR through Hadoop FS, so an
+    * hdfs:// or s3a:// URI — the documented cluster shape — works),
+    * and a java.io.File delete silently no-ops on any non-POSIX URI,
+    * leaking a tens-of-GB nnd-spill dir per chunked round on exactly
+    * the shared store the env var exists for.
+    */
+  private def deleteSpill(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true): Unit
   }
 
   /** Scratch budget for one scoring pass: the env override if set,
@@ -158,7 +172,12 @@ object NnDescent {
     * on a real cluster per-executor scratch aggregates across the
     * fleet, so the driver-disk default is conservative and the env
     * var is the honest knob (set it to the fleet's aggregate
-    * scratch).
+    * scratch). A local dir that does not exist yet (Spark creates it
+    * lazily) reports 0 usable space, so the probe walks up to the
+    * nearest EXISTING ancestor — the volume the dir will land on —
+    * instead of returning a 0 that would silently disable chunking
+    * (build() separately refuses to run the shuffle path on a 0
+    * budget).
     */
   def scratchBudgetBytes(spark: org.apache.spark.sql.SparkSession): Long =
     sys.env.get("SPARK_GRAFT_NND_SCRATCH_GB")
@@ -169,7 +188,9 @@ object NnDescent {
           .orElse(sys.props.get("spark.local.dir"))
           .getOrElse(System.getProperty("java.io.tmpdir"))
           .split(',').head.trim
-        (new java.io.File(dir).getUsableSpace * 2) / 5
+        var f = new java.io.File(dir).getAbsoluteFile
+        while (f != null && !f.exists()) f = f.getParentFile
+        if (f == null) 0L else (f.getUsableSpace * 2) / 5
       }
 
   /** base: (id, vec). Returns (id, rank, neighbor_id) approximate
@@ -274,8 +295,20 @@ object NnDescent {
       else {
         val dim = base.select(size(col("vec")).cast("int").as("d"))
           .head().getInt(0)
+        // an explicit nonzero override wins; 0 = auto-probe; anything
+        // that RESOLVES non-positive fails the require below
         val budget =
-          if (scratchBudget > 0L) scratchBudget else scratchBudgetBytes(spark)
+          if (scratchBudget != 0L) scratchBudget else scratchBudgetBytes(spark)
+        // a 0 budget would make scoreChunksFor return 1 — chunking
+        // silently OFF on the one path whose scratch is structurally
+        // unbounded, reintroducing the ENOSPC this machinery exists
+        // to prevent. Fail loud instead: a 0 here means the local-dir
+        // probe found no usable space (or a bad env value), and the
+        // operator must say what the fleet's scratch actually is.
+        require(budget > 0L,
+          "nn-descent shuffle path: scratch budget resolved to 0 " +
+            "(local-dir probe found no usable space); set " +
+            "SPARK_GRAFT_NND_SCRATCH_GB to the aggregate executor scratch")
         val rc = scoreChunksFor(perRoundCand, dim, budget)
         val fc = scoreChunksFor(n * wk, dim, budget)
         if (rc > 1 || fc > 1)
@@ -393,35 +426,49 @@ object NnDescent {
             // gated (a per-node local path would strand partitions
             // on the executors that wrote them).
             val dir = s"$root/nnd-spill-${java.util.UUID.randomUUID}"
-            c.withColumn("ck", key).write.partitionBy("ck").parquet(dir)
-            val back = spark.read.parquet(dir)
-            val out = (0 until chunks).map { ch =>
-              val t = KnnSearch.topKOf(
-                scoredOf(back.filter(col("ck") === lit(ch.toLong))
-                  .select("src", "dst")), kk, asc = true)
-                .localCheckpoint(true)
-              if (gcNudge) System.gc()
-              t
-            }
-            deleteRecursively(new java.io.File(dir))
-            out
+            val spilled = c.withColumn("ck", key)
+            // cleanup goes through the Hadoop FS layer (the writer
+            // resolved the dir through it, so cleanup must too — a
+            // java.io.File delete no-ops on hdfs://s3a:// URIs) and
+            // sits in a finally: per-pass results are checkpointed,
+            // so on ANY exit the spill is dead weight
+            try {
+              spilled.write.partitionBy("ck").parquet(dir)
+              // pin the schema: an empty candidate set writes a
+              // parquet dir with no data files, and schema inference
+              // over it throws instead of returning 0 rows
+              val back = spark.read.schema(spilled.schema).parquet(dir)
+              (0 until chunks).map { ch =>
+                val t = KnnSearch.topKOf(
+                  scoredOf(back.filter(col("ck") === lit(ch.toLong))
+                    .select("src", "dst")), kk, asc = true)
+                  .localCheckpoint(true)
+                if (gcNudge) System.gc()
+                t
+              }
+            } finally deleteSpill(spark, dir)
           case None =>
-            // Fallback: the pair join checkpointed SERIALIZED (the
-            // default deserialized block format is ~3x the size of
-            // two packed longs and the 10M checkpoint alone filled
-            // the scratch disk before the first chunk scored); each
-            // pass filters a full scan of it.
-            val cm = c.localCheckpoint(true,
+            // Fallback: the pair join persisted SERIALIZED to disk
+            // (the default deserialized block format is ~3x the size
+            // of two packed longs and the 10M materialisation alone
+            // filled the scratch disk before the first chunk
+            // scored); each pass filters a full scan of it. persist
+            // rather than localCheckpoint so the blocks can be freed
+            // EXPLICITLY below — checkpoint blocks only die when the
+            // GC collects the RDD, which the gcNudge skips at small
+            // candidate volumes (chunking forced by a small budget).
+            val cm = c.persist(
               org.apache.spark.storage.StorageLevel.DISK_ONLY)
+            cm.count(): Unit // materialise before the pass loop
             if (gcNudge) System.gc()
-            (0 until chunks).map { ch =>
+            try (0 until chunks).map { ch =>
               val t = KnnSearch.topKOf(
                 scoredOf(cm.filter(key === lit(ch.toLong))),
                 kk, asc = true)
                 .localCheckpoint(true)
               if (gcNudge) System.gc()
               t
-            }
+            } finally cm.unpersist()
         }
         // chunking is on the QUERY key, so each pass's ranks are
         // globally exact and the merge is a plain union — no second

@@ -162,6 +162,65 @@ class NnDescentSpec extends AnyFunSuite {
       "the checkpoint-and-filter fallback changed the graph")
   }
 
+  test("spill cleanup goes through the Hadoop FS layer and survives a file: URI") {
+    import graft.operators.NnDescent
+    // the cluster shape sets SPARK_GRAFT_NND_SPILL_DIR to a SHARED
+    // filesystem URI (hdfs://, s3a://); cleanup must resolve the same
+    // Hadoop FS the writer did — a java.io.File delete silently
+    // no-ops on any URI and leaks one tens-of-GB spill dir per
+    // chunked round. file: is the URI scheme this container can
+    // exercise; the FS-resolution path is identical.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nnd_spill_uri_").toString
+    val emb = Tables.embeddings(spark, sf)
+      .filter(graft.queries.Split.isTrain(col("vec_id")))
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .localCheckpoint(true)
+    val bcast = NnDescent.build(base, k = 5, midCap = 8)
+      .localCheckpoint(true)
+    val viaUri = try {
+      sys.props("graft.nnd.spill") = s"file:$root"
+      assert(NnDescent.spillRoot(spark).contains(s"file:$root"))
+      NnDescent.build(base, k = 5, midCap = 8, bcastRows = 1,
+        scratchBudget = 1L << 20).localCheckpoint(true)
+    } finally sys.props.remove("graft.nnd.spill")
+    assert(viaUri.exceptAll(bcast).count() == 0 &&
+      bcast.exceptAll(viaUri).count() == 0,
+      "URI-rooted spill changed the graph")
+    val leaked = new java.io.File(root).listFiles()
+    assert(leaked == null || leaked.isEmpty,
+      s"spill dirs leaked under file: root: ${leaked.map(_.getName).toSeq}")
+    graft.streaming.Checkpoints.deleteRecursively(root)
+  }
+
+  test("scratch-budget probe walks to an existing parent; a 0 budget fails loud") {
+    import graft.operators.NnDescent
+    // Spark creates local dirs lazily, so the configured dir may not
+    // exist yet; getUsableSpace on a missing path is 0, and a 0
+    // budget would silently disable chunking — the exact ENOSPC the
+    // feature prevents. The probe must walk up to the volume the dir
+    // will land on.
+    val had = sys.props.get("spark.local.dir")
+    try {
+      sys.props("spark.local.dir") =
+        System.getProperty("java.io.tmpdir") + "/graft_missing/sub/dir"
+      assert(NnDescent.scratchBudgetBytes(spark) > 0L,
+        "probe must walk up to an existing ancestor, not report 0")
+    } finally had match {
+      case Some(v) => sys.props("spark.local.dir") = v
+      case None => sys.props.remove("spark.local.dir")
+    }
+    // and when the budget still resolves non-positive on the shuffle
+    // path, the build refuses instead of silently running unchunked
+    val emb = Tables.embeddings(spark, sf)
+      .filter(graft.queries.Split.isTrain(col("vec_id")))
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val e = intercept[IllegalArgumentException] {
+      NnDescent.build(base, k = 5, bcastRows = 1, scratchBudget = -1L)
+    }
+    assert(e.getMessage.contains("SPARK_GRAFT_NND_SCRATCH_GB"))
+  }
+
   test("build restores the session shuffle width and width never changes the graph") {
     import graft.operators.NnDescent
     val emb = Tables.embeddings(spark, sf)
