@@ -554,4 +554,116 @@ object GraphSearch {
       driverTopRows: Int = 1 << 16): DataFrame =
     hierarchicalSearchWithVisited(base, graphs, queries, k, beam, rounds,
       levels, upperBeam, metric, driverTopRows)._1
+
+  /** HNSW INSERT (Malkov & Yashunin 2018 Alg. 1), batch-shaped: add
+    * new rows to a BUILT layer stack without rebuilding it — the
+    * graph-family twin of q28's IVF upsert (the reference's mutation
+    * workloads, module.py insert/update/delete, run against hnsw
+    * engines too, and a 100 TB ANN store re-indexes or goes stale
+    * without an O(batch) insert path).
+    *
+    * The paper's insert is: assign the node a level, descend the
+    * stack as a QUERY, and at each layer ≤ its level link it to the
+    * nearest nodes the search visited (heuristic-pruned at the base),
+    * adding the reverse edges too. This operator runs that descent
+    * for the WHOLE batch at once — the same shared per-round joins as
+    * [[hierarchicalSearchWithVisited]] (each round is one edge-list
+    * scan + one vector scan for ALL queries, so the per-batch cost is
+    * O(rounds × (|E| + N)) scans and O(batch · beam · degree) link
+    * work, never a rebuild) — and derives links per layer:
+    *
+    *  - level assignment is [[levelHash]] — the SAME deterministic
+    *    rule the stack was built with, so membership keeps nesting
+    *    and a new top-mask node joins future entry scans by id alone;
+    *  - at each upper layer l the node's links are the top-`upperDeg`
+    *    of everything the walk has visited by the end of that layer's
+    *    step (nesting ⇒ all of it is layer-l members) — the paper's
+    *    ef-search result at that layer;
+    *  - at the base the top-`baseCand` visited feed the
+    *    SELECT-NEIGHBORS-HEURISTIC ([[diversify]], backfill on) and
+    *    `baseM` survive — q55's edge discipline;
+    *  - every kept link is symmetrized (the stack's bidirectional
+    *    contract); the caller unions the result onto the stack.
+    *
+    * Each node's links depend ONLY on the pre-insert stack, so the
+    * result is BATCHING-INDEPENDENT: insert(B1 ∪ B2) =
+    * insert(B1) ∪ insert(B2) exactly — a batch never sees its own
+    * members (the documented tradeoff vs the paper's sequential
+    * insert; intra-batch neighborhoods arrive at the next rebuild,
+    * and the recall floor against a fresh build is spec-gated).
+    * Deterministic throughout ((score, id) tie-breaks, the fixed
+    * level hash), so the link rule replicates in SQL.
+    *
+    * base: (id, vec) EXISTING rows only; graphs: (layer, id,
+    * neighbor_id) the built stack; batch: (id, vec) new rows (ids
+    * disjoint from base). Returns the NEW edges (layer, id,
+    * neighbor_id), both directions, deduped.
+    */
+  def insertBatch(
+      base: DataFrame,
+      graphs: DataFrame,
+      batch: DataFrame,
+      levels: Int,
+      baseCand: Int,
+      baseM: Int,
+      upperDeg: Int,
+      beam: Int,
+      rounds: Int,
+      upperBeam: Int,
+      metric: VecMetric = VecMetric.Euclidean,
+      backfill: Boolean = true): DataFrame = {
+    val vecs = base.select(col("id"), col("vec"))
+    val queries = batch.select(col("id").as("query_id"),
+      col("vec").as("qvec"))
+
+    def score(cand: DataFrame): DataFrame =
+      vecs.join(broadcast(cand), "id")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("id"),
+          metric.score(col("qvec"), col("vec")).as("score"))
+
+    def step(visited: DataFrame, layer: Int, width: Int): DataFrame = {
+      val beamIds = KnnSearch.topKOf(visited, width, metric.asc)
+        .select(col("query_id"), col("neighbor_id").as("id"))
+      val cand = graphs.filter(col("layer") === layer)
+        .join(broadcast(beamIds), "id")
+        .select(col("query_id"), col("neighbor_id").as("id"))
+        .distinct()
+      val fresh = cand.join(visited.select("query_id", "id"),
+        Seq("query_id", "id"), "left_anti")
+      visited.unionByName(score(fresh)).localCheckpoint(true)
+    }
+
+    val entries = vecs.filter(inLayer(col("id"), levels)).select("id")
+    var visited = score(entries.crossJoin(queries.select("query_id")))
+      .localCheckpoint(true)
+    // upper-layer links, captured mid-descent: after the layer-l step
+    // the visited set is exactly the layer-l candidate pool (every
+    // expansion so far went through a layer ≥ l, and membership
+    // nests), and only batch nodes whose level reaches l link there
+    var links = List.empty[DataFrame]
+    for (l <- (levels - 1) to 1 by -1) {
+      visited = step(visited, l, upperBeam)
+      links ::= KnnSearch.topKOf(
+        visited.filter(inLayer(col("query_id"), l)), upperDeg, metric.asc)
+        .select(lit(l).as("layer"), col("query_id").as("id"),
+          col("neighbor_id"))
+    }
+    for (_ <- 1 to rounds)
+      visited = step(visited, 0, beam)
+    // base layer: candidate list from the finished walk, pruned by
+    // the heuristic — the prune scores candidate-candidate distances
+    // AND node-candidate distances, so the vector side must cover the
+    // batch ids too (they are the `id` column of the candidate lists)
+    val cand0 = KnnSearch.topKOf(visited, baseCand, metric.asc)
+      .select(col("query_id").as("id"), col("rank"), col("neighbor_id"))
+    val allVecs = vecs.unionByName(batch.select(col("id"), col("vec")))
+    val kept0 = diversify(cand0, allVecs, baseM, metric,
+      backfill = backfill)
+      .select(lit(0).as("layer"), col("id"), col("neighbor_id"))
+    val fwd = (kept0 :: links).reduce(_ unionByName _)
+    fwd.unionByName(fwd.select(col("layer"),
+      col("neighbor_id").as("id"), col("id").as("neighbor_id")))
+      .distinct()
+  }
 }

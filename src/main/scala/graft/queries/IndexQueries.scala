@@ -525,6 +525,49 @@ object IndexQueries {
       queries, K, HierBeam, HierRounds, levels, UpperBeam))
   }
 
+  /** q56's held-out insert slice: train rows with id % 9 == 4 — a
+    * residue class disjoint from the test split (id % 10 == 0), so
+    * the batch is real corpus data the stack has never seen and the
+    * query workload stays out-of-sample.
+    */
+  val InsertMod = 9
+  val InsertRes = 4
+
+  /** q56: GRAPH-index incremental insert — HNSW's insert algorithm
+    * (Malkov & Yashunin 2018 Alg. 1) run as a batch against the BUILT
+    * q55-style stack, the graph-family twin of q28's IVF upsert: the
+    * reference serves mutations (module.py insert/update/delete)
+    * against its hnsw engines without rebuilding, and until now the
+    * repo's CRUD story was IVF-only. The stack is built over the
+    * train split MINUS a held-out batch; each batch row then descends
+    * the stack as a query (shared per-round joins — O(batch) work,
+    * no rebuild) and links where the paper links it: top-visited per
+    * layer at its hash-assigned level, SELECT-NEIGHBORS-HEURISTIC
+    * pruned at the base, reverse edges added. Returns the new edges;
+    * deterministic end to end, so the link rule unrolls in SQL
+    * (GraphSearch.insertBatch documents the batching-independence
+    * contract; the recall floor vs a fresh build is spec-gated in
+    * IndexSpec).
+    */
+  def graphInsert(s: SparkSession, dir: String): DataFrame = {
+    val (base, _) = baseAndQueries(s, dir)
+    val batch = base.filter(col("id") % InsertMod === InsertRes)
+    val kept = base.filter(col("id") % InsertMod =!= InsertRes)
+    val (path, levels) = cached(dir, "layered-graph-ins-path") {
+      val lv = levelsFor(kept.count())
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_layer_graph_ins").toString
+      GraphSearch.buildLayeredGraphsDiversified(kept, lv, GraphDeg, DivM,
+        UpperCand, UpperDeg, NndIters, workingDegreeFactor = 1,
+        midCap = OracledMidCap)
+        .write.mode("overwrite").partitionBy("layer").parquet(p)
+      (p, lv)
+    }
+    GraphSearch.insertBatch(kept, s.read.parquet(path), batch, levels,
+      GraphDeg, DivM, UpperDeg, HierBeam, HierRounds, UpperBeam)
+      .orderBy("layer", "id", "neighbor_id")
+  }
+
   /** q28: incremental IVF maintenance — the reference serves CRUD
     * against a BUILT index (base/module.py insert/update/delete)
     * without rebuilding it: only the mutation batch is assigned to the
@@ -1129,6 +1172,7 @@ object IndexQueries {
     "q53_graph_stack_nnd" -> (graphStackNnd _),
     "q54_graph_diversify" -> (graphDiversify _),
     "q55_graph_stack_diversified" -> (graphStackDiversified _),
+    "q56_graph_insert" -> (graphInsert _),
     "q24_lsh_minhash" -> (lshMinhash _),
     "q25_graph_knn" -> (knnGraph _),
     "q27_nn_descent" -> (nnDescentGraph _)
@@ -1669,8 +1713,12 @@ object IndexQueries {
     * keepPrunedConnections flag: survivors first, then pruned
     * candidates, both in candidate-rank order, top m.
     */
+  /** `vecs` names the CTE the three distance lookups resolve against
+    * — "b" for in-corpus nodes (q54/q55); q56 passes a union CTE
+    * because the pruned node is an INSERTED row outside `b`.
+    */
   private def diversifyCtes(tag: String, cand: String, m: Int,
-      backfill: Boolean = false): String = {
+      backfill: Boolean = false, vecs: String = "b"): String = {
     val keep = if (backfill)
       s"""dv$tag AS (SELECT id, neighbor_id FROM (
          |   SELECT k.id, k.neighbor_id,
@@ -1690,9 +1738,9 @@ object IndexQueries {
          | WHERE rn <= $m)""".stripMargin
     s"""pr$tag AS (SELECT DISTINCT ki.id, ki.rank FROM $cand ki
        |       JOIN $cand kj ON kj.id = ki.id AND kj.rank < ki.rank
-       |       JOIN b vi ON vi.id = ki.neighbor_id
-       |       JOIN b vj ON vj.id = kj.neighbor_id
-       |       JOIN b v0 ON v0.id = ki.id
+       |       JOIN $vecs vi ON vi.id = ki.neighbor_id
+       |       JOIN $vecs vj ON vj.id = kj.neighbor_id
+       |       JOIN $vecs v0 ON v0.id = ki.id
        |       WHERE list_distance(vi.v, vj.v) < list_distance(v0.v, vi.v)),
        |$keep""".stripMargin
   }
@@ -1702,25 +1750,40 @@ object IndexQueries {
     * NN-descent build for q53 — the search walk is identical. The
     * upper tier is pluggable too (q55 diversifies it).
     */
-  private def layeredSearchSql(g0Block: String,
-      upperBlock: Int => String = upperGraphExact): String = {
-    val upperGraphs = (1 until GraphLayers).map(upperBlock).mkString(",\n")
-    // descent schedule: one step per upper layer (top-down), then the
-    // base rounds — identical to GraphSearch.hierarchicalSearch
-    val steps = ((GraphLayers - 1) to 1 by -1).map(l => (l, UpperBeam)) ++
+  // descent schedule: one step per upper layer (top-down), then the
+  // base rounds — identical to GraphSearch.hierarchicalSearch. Shared
+  // by the search oracles (q19/q53/q55) and q56's insert oracle
+  // (whose link rule reads the INTERMEDIATE visited sets s_i).
+  private val walkSteps: Seq[(Int, Int)] =
+    ((GraphLayers - 1) to 1 by -1).map(l => (l, UpperBeam)) ++
       Seq.fill(HierRounds)((0, HierBeam))
-    val walk = steps.zipWithIndex.map { case ((g, w), i) =>
+
+  // every visited set is MATERIALIZED: s(i+1) references s(i) twice
+  // (the carry-forward union and the beam re-rank), so inline CTE
+  // expansion doubles per step — 2^steps copies of the whole upstream
+  // build chain in the planner. q19/q53/q55 survived that; q56 reads
+  // four INTERMEDIATE sets on top and tipped the oracle from seconds
+  // into minutes. Materialization is semantics-free (each s_i is
+  // computed once and re-read).
+  private val walkCtes: String =
+    walkSteps.zipWithIndex.map { case ((g, w), i) =>
       s"""bm$i AS (SELECT query_id, id FROM (
          |   SELECT s.query_id, s.id,
          |          row_number() OVER (PARTITION BY s.query_id
          |            ORDER BY list_distance(q.qv, b.v), s.id) AS rn
          |   FROM s$i s JOIN q USING (query_id) JOIN b USING (id))
          | WHERE rn <= $w),
-         |s${i + 1} AS (SELECT query_id, id FROM s$i
+         |s${i + 1} AS MATERIALIZED (SELECT query_id, id FROM s$i
          |        UNION
          |        SELECT m.query_id, g.neighbor_id
          |        FROM bm$i m JOIN g$g g USING (id))""".stripMargin
     }.mkString(",\n")
+
+  private def layeredSearchSql(g0Block: String,
+      upperBlock: Int => String = upperGraphExact): String = {
+    val upperGraphs = (1 until GraphLayers).map(upperBlock).mkString(",\n")
+    val steps = walkSteps
+    val walk = walkCtes
     val topMask = (1L << GraphLayers) - 1
     s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
        |           FROM embeddings WHERE $bPred),
@@ -1809,6 +1872,87 @@ object IndexQueries {
        |g0 AS (SELECT id, neighbor_id FROM dvc0
        |       UNION
        |       SELECT neighbor_id AS id, id AS neighbor_id FROM dvc0)""".stripMargin)
+
+  /** q56 oracle: the insert unrolled. `b` is the stack's corpus (train
+    * MINUS the insert slice), `q` the inserted batch; the stack build
+    * is q55's block verbatim over the reduced `b`, the descent is the
+    * shared [[walkCtes]] chain, and the links read the INTERMEDIATE
+    * visited sets: after the layer-l step the walk has visited
+    * s(GraphLayers - l), all layer-l members by nesting, so lk$l is
+    * its top-UpperDeg for batch nodes whose level-hash reaches l;
+    * the base links are the final set's top-GraphDeg through the
+    * backfilled SELECT-NEIGHBORS-HEURISTIC prune (vectors resolved
+    * against b ∪ batch — the pruned node is the inserted row). The
+    * result is the symmetrized union — GraphSearch.insertBatch bit
+    * for bit.
+    */
+  private val q56Sql: String = {
+    val upperGraphs = (1 until GraphLayers).map(upperGraphExact)
+      .mkString(",\n")
+    val topMask = (1L << GraphLayers) - 1
+    val upperLinks = (1 until GraphLayers).map { l =>
+      val mask = (1L << l) - 1
+      s"""lk$l AS (SELECT $l AS layer, t.query_id AS id, t.id AS neighbor_id
+         | FROM (
+         |   SELECT s.query_id, s.id,
+         |          row_number() OVER (PARTITION BY s.query_id
+         |            ORDER BY list_distance(q.qv, b.v), s.id) AS rn
+         |   FROM s${GraphLayers - l} s JOIN q USING (query_id)
+         |        JOIN b USING (id)
+         |        JOIN qlh USING (query_id)
+         |   WHERE (qlh.h & $mask) = 0) t
+         | WHERE t.rn <= $UpperDeg)""".stripMargin
+    }.mkString(",\n")
+    val fwdUpper = (1 until GraphLayers)
+      .map(l => s"UNION ALL SELECT layer, id, neighbor_id FROM lk$l")
+      .mkString("\n")
+    s"""WITH b AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings
+       |           WHERE ($bPred) AND vec_id % $InsertMod <> $InsertRes),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings
+       |      WHERE ($bPred) AND vec_id % $InsertMod = $InsertRes),
+       |lh AS (SELECT id, v,
+       |         ((id % 1048576) * 2654435761 + 42) >> 20 AS h FROM b),
+       |qlh AS (SELECT query_id,
+       |          ((query_id % 1048576) * 2654435761 + 42) >> 20 AS h FROM q),
+       |${nndCtes(GraphDeg, NndIters)},
+       |kc0 AS (SELECT id, nb AS neighbor_id, rank FROM (
+       |   SELECT e.id, e.nb,
+       |          row_number() OVER (PARTITION BY e.id
+       |            ORDER BY list_distance(vs.v, vd.v), e.nb) AS rank
+       |   FROM e$NndIters e JOIN b vs ON vs.id = e.id
+       |                     JOIN b vd ON vd.id = e.nb)
+       | WHERE rank <= $GraphDeg),
+       |${diversifyCtes("c0", "kc0", DivM, backfill = true)},
+       |g0 AS (SELECT id, neighbor_id FROM dvc0
+       |       UNION
+       |       SELECT neighbor_id AS id, id AS neighbor_id FROM dvc0),
+       |$upperGraphs,
+       |s0 AS (SELECT q.query_id, t.id
+       |       FROM q CROSS JOIN (SELECT id FROM lh WHERE (h & $topMask) = 0) t),
+       |$walkCtes,
+       |$upperLinks,
+       |cand0 AS MATERIALIZED (
+       | SELECT t.query_id AS id, t.id AS neighbor_id, t.rn AS rank
+       | FROM (
+       |   SELECT s.query_id, s.id,
+       |          row_number() OVER (PARTITION BY s.query_id
+       |            ORDER BY list_distance(q.qv, b.v), s.id) AS rn
+       |   FROM s${walkSteps.length} s JOIN q USING (query_id)
+       |        JOIN b USING (id)) t
+       | WHERE t.rn <= $GraphDeg),
+       |bb AS MATERIALIZED (SELECT id, v FROM b
+       |       UNION ALL SELECT query_id AS id, qv AS v FROM q),
+       |${diversifyCtes("i0", "cand0", DivM, backfill = true, vecs = "bb")},
+       |fwd AS (SELECT 0 AS layer, id, neighbor_id FROM dvi0
+       |$fwdUpper)
+       |SELECT DISTINCT layer, id, neighbor_id FROM (
+       |  SELECT layer, id, neighbor_id FROM fwd
+       |  UNION ALL
+       |  SELECT layer, neighbor_id AS id, id AS neighbor_id FROM fwd)
+       |ORDER BY layer, id, neighbor_id""".stripMargin
+  }
 
   /** q36 oracle: the two-level descent in SQL — both levels' sample
     * init and argmin assignments, then the p1-cells → p2-leaves probe
@@ -2183,6 +2327,7 @@ object IndexQueries {
     "q53_graph_stack_nnd" -> q53Sql,
     "q54_graph_diversify" -> q54Sql,
     "q55_graph_stack_diversified" -> q55Sql,
+    "q56_graph_insert" -> q56Sql,
     "q20_ivf_flat" -> ivfFlatSql,
     "q52_ivf_range" -> ivfRangeSql,
     "m05_mm_ann" -> mmAnnSql,

@@ -773,6 +773,68 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("q56 graph insert: batching-independent, inserted rows findable, recall holds") {
+    import graft.queries.IndexQueries._
+    // the gated entry end-to-end (its own cached stack build)
+    val edges = SparkEntry.queries("q56_graph_insert")(spark, sf001)
+      .localCheckpoint(true)
+    assert(edges.count() > 0)
+    // rebuild the same pre-insert world to probe the contracts
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val batch = base.filter(col("id") % InsertMod === InsertRes)
+      .localCheckpoint(true)
+    val kept = base.filter(col("id") % InsertMod =!= InsertRes)
+      .localCheckpoint(true)
+    val lv = levelsFor(kept.count())
+    val stack = GraphSearch.buildLayeredGraphsDiversified(kept, lv,
+      GraphDeg, DivM, UpperCand, UpperDeg, NndIters,
+      workingDegreeFactor = 1).localCheckpoint(true)
+    def ins(b: org.apache.spark.sql.DataFrame) =
+      GraphSearch.insertBatch(kept, stack, b, lv, GraphDeg, DivM,
+        UpperDeg, HierBeam, HierRounds, UpperBeam)
+    val full = ins(batch).localCheckpoint(true)
+    // determinism across independent builds: the gated entry's edges
+    // ARE this rule's edges
+    assert(full.exceptAll(edges).count() == 0 &&
+      edges.exceptAll(full).count() == 0,
+      "gated entry diverged from a fresh stack + insert")
+    // BATCHING-INDEPENDENCE: each node's links depend only on the
+    // pre-insert stack, so any partition of the batch unions to the
+    // same edge set — the contract that lets a 100 TB store apply
+    // mutation batches at any cadence without order effects
+    val halves = ins(batch.filter(col("id") % 2 === 0))
+      .unionByName(ins(batch.filter(col("id") % 2 =!= 0)))
+    assert(halves.exceptAll(full).count() == 0 &&
+      full.exceptAll(halves).count() == 0,
+      "insert result depends on batching")
+    // the post-insert graph must SERVE: (a) each inserted vector
+    // finds itself (the reference's insert-then-retrieve check,
+    // module.py insert contract); (b) held-out recall over the
+    // grown corpus stays in the fresh-build band
+    val post = stack.unionByName(full.select("layer", "id", "neighbor_id"))
+      .localCheckpoint(true)
+    val all = kept.unionByName(batch)
+    val selfHits = GraphSearch.hierarchicalSearch(all, post,
+      batch.select(col("id").as("query_id"), col("vec").as("qvec")),
+      1, HierBeam, HierRounds, lv, UpperBeam)
+      .filter(col("neighbor_id") === col("query_id")).count().toDouble
+    val selfRate = selfHits / batch.count()
+    info(f"inserted-row self-findability $selfRate%.3f")
+    assert(selfRate >= 0.9, s"inserted rows not findable: $selfRate")
+    val queries = emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val approx = GraphSearch.hierarchicalSearch(all, post, queries, 10,
+      HierBeam, HierRounds, lv, UpperBeam)
+      .select("query_id", "neighbor_id")
+    val exact = KnnSearch.bruteForce(all, queries, 10, VecMetric.Euclidean)
+      .select("query_id", "neighbor_id")
+    val rec = approx.intersect(exact).count().toDouble / exact.count()
+    info(f"post-insert held-out recall $rec%.3f")
+    assert(rec >= 0.55, s"post-insert recall floor: $rec")
+  }
+
   test("q52 ivf range: exact subset of q05's ε-pairs, recall >= 0.55 (measured 0.64)") {
     val exact = SparkEntry.queries("q05_range_search")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
