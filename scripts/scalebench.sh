@@ -33,4 +33,4 @@ exec java $OPENS \
   -Dspark.driver.maxResultSize=8g $LOCALDIR_OPT \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp target/scala-2.13/classes:'/opt/spark/jars/*' \
-  graft.ScaleBench "$@"
+  "${GRAFT_MAIN:-graft.ScaleBench}" "$@"

@@ -611,7 +611,8 @@ object GraphSearch {
       rounds: Int,
       upperBeam: Int,
       metric: VecMetric = VecMetric.Euclidean,
-      backfill: Boolean = true): DataFrame = {
+      backfill: Boolean = true,
+      driverTopRows: Int = 1 << 16): DataFrame = {
     val vecs = base.select(col("id"), col("vec"))
     val queries = batch.select(col("id").as("query_id"),
       col("vec").as("qvec"))
@@ -634,15 +635,90 @@ object GraphSearch {
       visited.unionByName(score(fresh)).localCheckpoint(true)
     }
 
-    val entries = vecs.filter(inLayer(col("id"), levels)).select("id")
-    var visited = score(entries.crossJoin(queries.select("query_id")))
-      .localCheckpoint(true)
-    // upper-layer links, captured mid-descent: after the layer-l step
-    // the visited set is exactly the layer-l candidate pool (every
-    // expansion so far went through a layer ≥ l, and membership
-    // nests), and only batch nodes whose level reaches l link there
+    // Driver-resident top of stack, exactly as the search side
+    // ([[hierarchicalSearchWithVisited]]): the layers above the first
+    // ≤ driverTopRows one run as plain Scala — an HNSW serving
+    // process keeps its upper layers in RAM, and a distributed step
+    // per tiny layer is pure job-launch overhead (measured: 7 upper
+    // steps at sf0.1 cost more than the whole base phase). Guarded on
+    // the BATCH size too: the driver walks each batch row, so a bulk
+    // batch past the bound keeps the all-distributed path (an insert
+    // batch is caller-bounded, unlike the corpus). Bit-identical
+    // either way (spec-gated): localScore twins, the heap's
+    // (score, id) order, same link rule.
+    val batchN = batch.count()
+    val cutL: Option[Int] =
+      if (driverTopRows <= 0 || batchN > driverTopRows) None
+      else {
+        val depth = (1 to levels)
+          .map(l => when(inLayer(col("id"), l), 1).otherwise(0))
+          .reduce(_ + _)
+        val hist = vecs.select(depth.as("d")).groupBy("d").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        (1 to levels).find(l =>
+          hist.filter(_._1 >= l).values.sum <= driverTopRows)
+      }
+
+    // upper-layer links are captured mid-descent: after the layer-l
+    // step the visited set is exactly the layer-l candidate pool
+    // (every expansion so far went through a layer ≥ l, and
+    // membership nests), and only batch nodes whose level reaches l
+    // link there
+    var visited: DataFrame = null
+    var lowerFrom = levels - 1
     var links = List.empty[DataFrame]
-    for (l <- (levels - 1) to 1 by -1) {
+    cutL match {
+      case Some(cut) =>
+        val members: Map[Long, Array[Float]] =
+          vecs.filter(inLayer(col("id"), cut)).collect()
+            .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        val edgesByLayer: Map[Int, Map[Long, Array[Long]]] =
+          graphs.filter(col("layer") >= cut && col("layer") < levels)
+            .select("layer", "id", "neighbor_id").collect()
+            .groupBy(_.getInt(0))
+            .map { case (l, rows) =>
+              l -> rows.groupBy(_.getLong(1))
+                .map { case (id, rs) => id -> rs.map(_.getLong(2)) }
+            }
+        val qArr = queries.select(col("query_id"), col("qvec")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val ord = rankOrder(metric.asc)
+        val acc = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)]
+        val lnk = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Long, Long)]
+        qArr.foreach { case (qid, qv) =>
+          val vis = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+          members.keysIterator.filter(inLayerLocal(_, levels)).foreach { id =>
+            vis(id) = metric.localScore(qv, members(id))
+          }
+          for (l <- (levels - 1) to cut by -1) {
+            val beamIds = vis.iterator.map { case (id, s) => (s, id) }
+              .toArray.sorted(ord).take(upperBeam).map(_._2)
+            val edges = edgesByLayer.getOrElse(l, Map.empty)
+            beamIds.iterator
+              .flatMap(id => edges.getOrElse(id, Array.empty[Long]))
+              .toSet[Long].filterNot(vis.contains).foreach { id =>
+                vis(id) = metric.localScore(qv, members(id))
+              }
+            if (inLayerLocal(qid, l))
+              vis.iterator.map { case (id, s) => (s, id) }
+                .toArray.sorted(ord).take(upperDeg)
+                .foreach { case (_, id) => lnk += ((l, qid, id)) }
+          }
+          vis.foreach { case (id, s) => acc += ((qid, id, s)) }
+        }
+        import base.sparkSession.implicits._
+        visited = acc.toSeq.toDF("query_id", "id", "score")
+        if (lnk.nonEmpty)
+          links ::= lnk.toSeq.toDF("layer", "id", "neighbor_id")
+        lowerFrom = cut - 1
+      case None =>
+        val entries = vecs.filter(inLayer(col("id"), levels)).select("id")
+        visited = score(entries.crossJoin(queries.select("query_id")))
+          .localCheckpoint(true)
+    }
+    for (l <- lowerFrom to 1 by -1) {
       visited = step(visited, l, upperBeam)
       links ::= KnnSearch.topKOf(
         visited.filter(inLayer(col("query_id"), l)), upperDeg, metric.asc)

@@ -28,9 +28,11 @@ class BoundedCollectSpec extends AnyFunSuite {
     "operators/BinIvf.scala" ->
       (1, "binary centroid codebook: nlist rows"),
     "operators/GraphSearch.scala" ->
-      (6, "3x layer-membership histograms (<= levels rows); " +
-        "top-of-stack vectors+edges above a histogram-sized cut " +
-        "(<= 64k rows by construction); <= nq query batch"),
+      (10, "4x layer-membership histograms (<= levels rows); " +
+        "2x top-of-stack vectors+edges above a histogram-sized cut " +
+        "(<= 64k rows by construction); <= nq query batch; " +
+        "insertBatch's mutation batch (<= driverTopRows by its own " +
+        "guard — bulk batches keep the all-distributed path)"),
     "operators/IvfIndex.scala" ->
       (4, "centroids (nlist <= 4096 rows); 3x probed cell-id lists " +
         "(<= nprobe x queries ints)"),

@@ -809,6 +809,14 @@ class IndexSpec extends AnyFunSuite {
     assert(halves.exceptAll(full).count() == 0 &&
       full.exceptAll(halves).count() == 0,
       "insert result depends on batching")
+    // driver-resident top of stack == all-distributed descent (the
+    // q19 equality, extended to the insert's link rule)
+    val dist = GraphSearch.insertBatch(kept, stack, batch, lv, GraphDeg,
+      DivM, UpperDeg, HierBeam, HierRounds, UpperBeam,
+      driverTopRows = 0)
+    assert(dist.exceptAll(full).count() == 0 &&
+      full.exceptAll(dist).count() == 0,
+      "driver-top insert diverged from all-distributed")
     // the post-insert graph must SERVE: (a) each inserted vector
     // finds itself (the reference's insert-then-retrieve check,
     // module.py insert contract); (b) held-out recall over the
