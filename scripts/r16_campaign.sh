@@ -77,4 +77,22 @@ run_stage chunk10m_i2 80g 10000000 'graph_nnd_build' \
   SPARK_GRAFT_GRAPH_ITERS=2 SPARK_GRAFT_NND_MIDCAP=12 \
   SPARK_GRAFT_GRAPH_SAVE=target/graphs_10m_stack_mc12_i2_chunk
 
+# E) the identity check the header promises: GraphCompare asserts
+# stage C == stage D bit-for-bit. Gated on BOTH builds having
+# completed rc=0 (their saved stacks carry parquet _SUCCESS markers),
+# so a partial campaign rerun never diffs a half-written artifact.
+if echo "identity" | grep -Eq "$ONLY" \
+    && [ -f target/graphs_10m_stack_mc12_i2_bcast/stack/_SUCCESS ] \
+    && [ -f target/graphs_10m_stack_mc12_i2_chunk/stack/_SUCCESS ]; then
+  env SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 \
+    GRAFT_MAIN=graft.tools.GraphCompare \
+    scripts/scalebench.sh \
+    target/graphs_10m_stack_mc12_i2_bcast/stack \
+    target/graphs_10m_stack_mc12_i2_chunk/stack \
+    > target/r16_identity.log 2>&1
+  echo "identity rc=$? (see target/r16_identity.log)" >> "$SCRATCH"
+else
+  echo "identity skipped (stage filter or missing _SUCCESS)" >> "$SCRATCH"
+fi
+
 echo "campaign complete $(date +%H:%M:%S)" >> "$SCRATCH"

@@ -32,5 +32,5 @@ exec java $OPENS \
   -Dspark.rdd.compress=true \
   -Dspark.driver.maxResultSize=8g $LOCALDIR_OPT \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-  -cp target/scala-2.13/classes:'/opt/spark/jars/*' \
+  -cp "${GRAFT_CP:-target/scala-2.13/classes}":'/opt/spark/jars/*' \
   "${GRAFT_MAIN:-graft.ScaleBench}" "$@"

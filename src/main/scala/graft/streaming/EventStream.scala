@@ -41,7 +41,7 @@ import graft.EventTime
   *  - DocStream.streamNearDedup (q44): LSH-bucket match pairs —
   *    rows ≤ near-duplicate pairs found, state LSH-keyed.
   *
-  * ProfStream's sink is a diagnostic main (not a gated entry).
+  * (ProfStream's diagnostic sink was retired with the r17 tools tidy.)
   */
 object EventStream {
   private val nameCounter = new AtomicInteger(0)

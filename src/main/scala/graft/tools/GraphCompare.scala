@@ -1,4 +1,6 @@
-package graft
+package graft.tools
+
+import graft.GraftSession
 
 /** Bit-identity check between two saved graph edge lists (the
   * r16 campaign's chunked-vs-broadcast gate at 10M: NnDescentSpec
@@ -6,7 +8,7 @@ package graft
   * equality on the full-scale artifacts the campaign built). Prints
   * one JSON line; rc 0 iff the edge sets are identical.
   *
-  *   scripts/scalebench.sh via GRAFT_MAIN=graft.GraphCompare dirA dirB
+  *   scripts/scalebench.sh via GRAFT_MAIN=graft.tools.GraphCompare dirA dirB
   */
 object GraphCompare {
   def main(args: Array[String]): Unit = {

@@ -26,8 +26,8 @@ class StreamingSinkSpec extends AnyFunSuite {
     */
   private val audited: Map[String, Int] = Map(
     "streaming/EventStream.scala" -> 6, // q31 q33 q34 q38 q40 q32
-    "streaming/DocStream.scala" -> 1, // q44 near-dup pairs
-    "ProfStream.scala" -> 1) // diagnostic main, not a gated entry
+    "streaming/DocStream.scala" -> 1) // q44 near-dup pairs
+    // (ProfStream's diagnostic sink retired with the r17 tools tidy)
 
   test("every memory sink in src/main is a registered, audited staging point") {
     val root = Paths.get("src/main/scala/graft")
