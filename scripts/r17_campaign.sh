@@ -52,8 +52,8 @@ run_stage() { # name heap n filter [VAR=VAL ...]
     gb=$((kb / 1048576))
     [ "$gb" -gt "$peak" ] && peak=$gb
     echo "$(date +%H:%M:%S) $name scratch_gb=$gb peak_gb=$peak" >> "$SCRATCH"
-    if [ "$gb" -gt 62 ]; then
-      echo "ABORT $name: scratch ${gb}GB > 62GB guard" >> "$SCRATCH"
+    if [ "$gb" -gt 68 ]; then
+      echo "ABORT $name: scratch ${gb}GB > 68GB guard" >> "$SCRATCH"
       kill "$pid"
       break
     fi

@@ -27,9 +27,18 @@ LOCALDIR_OPT=""
 # candidate-id set serialized to disk (~24 B/row raw at 10M = tens of
 # GB); lz4 on those long-pair blocks roughly halves the largest fixed
 # scratch item. Semantics-free (storage codec only).
+# network/heartbeat timeouts: a campaign build's driver can stall for
+# minutes at a time (full GC of an 80g heap at multi-GB candidate
+# volumes, CPU contention from concurrent jobs); the 120s default let
+# the heartbeater declare the driver dead MID-BUILD and tear down the
+# SparkContext (measured: r17 mc16 build died at the round-2 peak
+# with "Cannot find endpoint: CoarseGrainedScheduler"). Single-JVM
+# local mode has no real network to time out on — raise both.
 exec java $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Dspark.rdd.compress=true \
+  -Dspark.network.timeout=600s \
+  -Dspark.executor.heartbeatInterval=120s \
   -Dspark.driver.maxResultSize=8g $LOCALDIR_OPT \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "${GRAFT_CP:-target/scala-2.13/classes}":'/opt/spark/jars/*' \

@@ -319,7 +319,8 @@ object ScaleBench {
         "grouped_search_100q", "semdedup",
         "graph_nnd_build", "graph_stack_search_100q",
         "graph_stack_recall_100q", "graph_div_build",
-        "graph_div_search_100q", "graph_div_recall_100q")
+        "graph_div_search_100q", "graph_div_recall_100q",
+        "graph_insert", "graph_insert_self", "graph_insert_recall_100q")
         .exists(keep)) {
     val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -476,7 +477,8 @@ object ScaleBench {
     // baseline is built only when a recall stage actually runs.
     if (Seq("graph_nnd_build", "graph_stack_search_100q",
         "graph_stack_recall_100q", "graph_div_build",
-        "graph_div_search_100q", "graph_div_recall_100q")
+        "graph_div_search_100q", "graph_div_recall_100q",
+        "graph_insert", "graph_insert_self", "graph_insert_recall_100q")
         .exists(keep)) {
       val lv = graft.queries.IndexQueries.levelsFor(n)
       // convergence knobs, env-overridable for calibration runs: at
@@ -577,6 +579,65 @@ object ScaleBench {
           graft.queries.IndexQueries.UpperDeg,
           gIters, workingDegreeFactor = gFactor,
           midCap = gMidCap, bcastRows = gBcast))
+
+      // q56 at scale: insertBatch against a SAVED stack
+      // (SPARK_GRAFT_GRAPH_LOAD) — wall for the O(batch) insert, then
+      // self-findability (each inserted row queried back, sampled) and
+      // held-out recall on the merged graph. SPARK_GRAFT_INSERT_N
+      // sizes the batch: ≤ driverTopRows (65536) exercises the
+      // driver-resident top; above it the all-distributed path with
+      // shuffle-joined candidates — the two sides of the flip. The
+      // batch extends the generator's id range (per-id hash vectors,
+      // so ids 0..n-1 reproduce the saved build's corpus exactly and
+      // ids n.. are genuinely new draws from the same distribution).
+      if (Seq("graph_insert", "graph_insert_self",
+          "graph_insert_recall_100q").exists(keep)) {
+        val insN = sys.env.getOrElse("SPARK_GRAFT_INSERT_N", "100000").toInt
+        val Array(insBeam, insRounds) =
+          sys.env.getOrElse("SPARK_GRAFT_INSERT_BEAM", "32:6")
+            .split(":").map(_.trim.toInt)
+        val stack = spark.read.parquet(s"${graphLoad.get}/stack")
+          .localCheckpoint(true)
+        val batch = DataGen.randomFloat(spark, n + insN, dims,
+          centers = 32, seed = 7)
+          .filter(col("vec_id") >= n)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .localCheckpoint(true)
+        var newEdges: org.apache.spark.sql.DataFrame = null
+        timed("graph_insert") {
+          newEdges = graft.operators.GraphSearch.insertBatch(
+            corpus, stack, batch, lv,
+            graft.queries.IndexQueries.GraphDeg,
+            graft.queries.IndexQueries.DivM,
+            graft.queries.IndexQueries.UpperDeg,
+            insBeam, insRounds,
+            graft.queries.IndexQueries.UpperBeam)
+            .localCheckpoint(true)
+          newEdges.count()
+        }
+        val merged = stack.unionByName(newEdges).localCheckpoint(true)
+        val mergedBase = corpus.unionByName(batch)
+        // rows = inserted ids that FIND THEMSELVES in their own top-10
+        // (sampled to 100 queries; self-findability = rows / 100)
+        timed("graph_insert_self") {
+          val sq = batch.filter(col("id") < n + 100)
+            .select(col("id").as("query_id"), col("vec").as("qvec"))
+          graft.operators.GraphSearch.hierarchicalSearch(
+            mergedBase, merged, sq, 10, insBeam, insRounds, lv,
+            graft.queries.IndexQueries.UpperBeam)
+            .filter(col("neighbor_id") === col("query_id")).count()
+        }
+        // rows = hits out of nq*10 vs the exact top-10 over the
+        // POST-insert corpus (recall = rows / (nq*10))
+        timed("graph_insert_recall_100q") {
+          val topk = graft.operators.GraphSearch.hierarchicalSearch(
+            mergedBase, merged, queries, 10, insBeam, insRounds, lv,
+            graft.queries.IndexQueries.UpperBeam)
+          val exactM = KnnSearch.bruteForce(mergedBase, queries, 10,
+            VecMetric.Euclidean).select("query_id", "neighbor_id")
+          topk.select("query_id", "neighbor_id").intersect(exactM).count()
+        }
+      }
     }
 
     timed("packed_hamming_100q") {

@@ -441,6 +441,18 @@ object GraphSearch {
     * ≤ ~20 MB of vectors+edges — the IVF-centroid budget, not a
     * corpus-sized one; set 0 to force the all-distributed path.
     */
+  /** `tombstones`: optional (id) set of DELETED nodes — the HNSW
+    * delete contract (the reference's mutation workloads run delete
+    * against hnsw engines; every real HNSW serves it as a tombstone,
+    * not an edge surgery): tombstoned nodes KEEP their edges and keep
+    * being scored, because their links are what routes walks through
+    * their neighborhood — dropping them would disconnect basins until
+    * the next rebuild. They are excluded from the RESULT only. The
+    * paper's serving caveat "over-fetch ef past tombstones" is
+    * subsumed here: the batch walk retains the FULL visited set (not
+    * a fixed-ef result list), so the exclusion filters before the
+    * final top-k and live results are never crowded out.
+    */
   def hierarchicalSearchWithVisited(
       base: DataFrame,
       graphs: DataFrame,
@@ -451,7 +463,8 @@ object GraphSearch {
       levels: Int,
       upperBeam: Int,
       metric: VecMetric = VecMetric.Euclidean,
-      driverTopRows: Int = 1 << 16): (DataFrame, DataFrame) = {
+      driverTopRows: Int = 1 << 16,
+      tombstones: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val vecs = base.select(col("id"), col("vec"))
 
     def score(cand: DataFrame): DataFrame =
@@ -515,10 +528,16 @@ object GraphSearch {
             val beamIds = vis.iterator.map { case (id, s) => (s, id) }
               .toArray.sorted(ord).take(upperBeam).map(_._2)
             val edges = edgesByLayer.getOrElse(l, Map.empty)
+            // members.get, not members(_): the distributed path's
+            // score() INNER-joins candidates against the vector side,
+            // silently dropping edge targets with no vector row (q57
+            // walks a stack whose updated ids are excluded from the
+            // insert's base) — the driver twin must drop them too
             beamIds.iterator
               .flatMap(id => edges.getOrElse(id, Array.empty[Long]))
               .toSet[Long].filterNot(vis.contains).foreach { id =>
-                vis(id) = metric.localScore(qv, members(id))
+                members.get(id).foreach(v =>
+                  vis(id) = metric.localScore(qv, v))
               }
           }
           vis.foreach { case (id, s) => acc += ((qid, id, s)) }
@@ -538,7 +557,12 @@ object GraphSearch {
 
     val visitedCounts = visited.groupBy("query_id")
       .agg(count(lit(1)).as("n_visited"))
-    (KnnSearch.topKOf(visited, k, metric.asc), visitedCounts)
+    // tombstoned nodes routed the walk above; they just cannot be
+    // ANSWERS — filter before the top-k so live results fill all k
+    // slots (no over-fetch needed; see the scaladoc)
+    val live = tombstones.fold(visited)(t =>
+      visited.join(t.select("id"), Seq("id"), "left_anti"))
+    (KnnSearch.topKOf(live, k, metric.asc), visitedCounts)
   }
 
   def hierarchicalSearch(
@@ -551,9 +575,10 @@ object GraphSearch {
       levels: Int,
       upperBeam: Int,
       metric: VecMetric = VecMetric.Euclidean,
-      driverTopRows: Int = 1 << 16): DataFrame =
+      driverTopRows: Int = 1 << 16,
+      tombstones: Option[DataFrame] = None): DataFrame =
     hierarchicalSearchWithVisited(base, graphs, queries, k, beam, rounds,
-      levels, upperBeam, metric, driverTopRows)._1
+      levels, upperBeam, metric, driverTopRows, tombstones)._1
 
   /** HNSW INSERT (Malkov & Yashunin 2018 Alg. 1), batch-shaped: add
     * new rows to a BUILT layer stack without rebuilding it — the
@@ -591,6 +616,15 @@ object GraphSearch {
     * members (the documented tradeoff vs the paper's sequential
     * insert; intra-batch neighborhoods arrive at the next rebuild,
     * and the recall floor against a fresh build is spec-gated).
+    * Second documented tradeoff, same remedy: symmetrization adds
+    * reverse edges WITHOUT Alg. 1's shrink step (re-pruning an
+    * existing node's list when reverse edges push it past Mmax), so
+    * repeated insert batches grow popular existing nodes' degree
+    * without bound — per-step candidate volume degrades with it.
+    * Both drifts (missing intra-batch edges, over-degree hubs) are
+    * repaired by the periodic rebuild ([[buildLayeredGraphsDiversified]]
+    * as compaction) a production store runs anyway; between rebuilds
+    * [[compactOverDegree]] re-prunes hot nodes in place.
     * Deterministic throughout ((score, id) tie-breaks, the fixed
     * level hash), so the link rule replicates in SQL.
     *
@@ -617,8 +651,20 @@ object GraphSearch {
     val queries = batch.select(col("id").as("query_id"),
       col("vec").as("qvec"))
 
+    // A search batch is ~100 queries; an insert batch is whatever the
+    // mutation cadence delivers. Past ~64k rows the per-step candidate
+    // set (batch × beam × degree) outgrows a broadcast HashedRelation
+    // — a 100k-batch base step carries ~10^7-10^8 candidate rows — so
+    // bulk batches take shuffle joins for the candidate side (and the
+    // beam side that feeds it). Join strategy only, never results; the
+    // threshold matches driverTopRows' default, so the same boundary
+    // that forgoes the driver-resident top forgoes the broadcasts.
+    lazy val batchN = batch.count()
+    def bcastIfSmall(df: DataFrame): DataFrame =
+      if (batchN > (1L << 16)) df else broadcast(df)
+
     def score(cand: DataFrame): DataFrame =
-      vecs.join(broadcast(cand), "id")
+      vecs.join(bcastIfSmall(cand), "id")
         .join(broadcast(queries), "query_id")
         .select(col("query_id"), col("id"),
           metric.score(col("qvec"), col("vec")).as("score"))
@@ -627,7 +673,7 @@ object GraphSearch {
       val beamIds = KnnSearch.topKOf(visited, width, metric.asc)
         .select(col("query_id"), col("neighbor_id").as("id"))
       val cand = graphs.filter(col("layer") === layer)
-        .join(broadcast(beamIds), "id")
+        .join(bcastIfSmall(beamIds), "id")
         .select(col("query_id"), col("neighbor_id").as("id"))
         .distinct()
       val fresh = cand.join(visited.select("query_id", "id"),
@@ -646,7 +692,6 @@ object GraphSearch {
     // batch is caller-bounded, unlike the corpus). Bit-identical
     // either way (spec-gated): localScore twins, the heap's
     // (score, id) order, same link rule.
-    val batchN = batch.count()
     val cutL: Option[Int] =
       if (driverTopRows <= 0 || batchN > driverTopRows) None
       else {
@@ -696,10 +741,16 @@ object GraphSearch {
             val beamIds = vis.iterator.map { case (id, s) => (s, id) }
               .toArray.sorted(ord).take(upperBeam).map(_._2)
             val edges = edgesByLayer.getOrElse(l, Map.empty)
+            // members.get, not members(_): the distributed path's
+            // score() INNER-joins candidates against the vector side,
+            // silently dropping edge targets with no vector row (q57
+            // walks a stack whose updated ids are excluded from the
+            // insert's base) — the driver twin must drop them too
             beamIds.iterator
               .flatMap(id => edges.getOrElse(id, Array.empty[Long]))
               .toSet[Long].filterNot(vis.contains).foreach { id =>
-                vis(id) = metric.localScore(qv, members(id))
+                members.get(id).foreach(v =>
+                  vis(id) = metric.localScore(qv, v))
               }
             if (inLayerLocal(qid, l))
               vis.iterator.map { case (id, s) => (s, id) }
@@ -741,5 +792,61 @@ object GraphSearch {
     fwd.unionByName(fwd.select(col("layer"),
       col("neighbor_id").as("id"), col("id").as("neighbor_id")))
       .distinct()
+  }
+
+  /** Compaction for the insert path's documented degree drift
+    * ([[insertBatch]]: reverse edges accrete on popular nodes without
+    * Alg. 1's shrink step): re-prune every (layer, node) whose
+    * out-degree exceeds `cap(layer)` back down to it, leaving all
+    * other adjacencies untouched — the "rebuild touched neighborhoods"
+    * maintenance a store runs between full rebuilds. Per over-degree
+    * node the current neighbor list is ranked by (distance, id) and
+    * fed through SELECT-NEIGHBORS-HEURISTIC with backfill
+    * ([[diversify]]) so exactly cap survive, diverse-first — the same
+    * edge discipline the q55 build and the insert's base links use.
+    * Cost: one degree histogram + the prune's pairs over ONLY the
+    * touched nodes (each ≤ its current degree² — at 100 TB a
+    * vanishing slice; untouched nodes never shuffle). Deterministic
+    * ((distance, id) ranks, the order-free prune), so spec-gated by
+    * direct assertion: degrees ≤ cap, untouched adjacencies
+    * bit-equal, kept edges ⊆ prior edges.
+    *
+    * graphs: (layer, id, neighbor_id); base: (id, vec) covering every
+    * id in `graphs`. Returns the compacted stack, same shape. NOTE:
+    * output edges are per-node prunes of the FORWARD lists — callers
+    * that require the bidirectional contract re-symmetrize (cheap,
+    * and re-symmetrizing can only re-add reverse edges the prune
+    * kept on the other side).
+    */
+  def compactOverDegree(
+      graphs: DataFrame,
+      base: DataFrame,
+      cap: Int => Int,
+      levels: Int,
+      metric: VecMetric = VecMetric.Euclidean): DataFrame = {
+    val vecs = base.select(col("id"), col("vec"))
+    (0 until levels).map { l =>
+      val lg = graphs.filter(col("layer") === l)
+        .select(col("id"), col("neighbor_id"))
+      val m = cap(l)
+      val deg = lg.groupBy("id").agg(count(lit(1)).as("d"))
+      val hot = deg.filter(col("d") > m).select("id")
+      val cold = lg.join(hot, Seq("id"), "left_anti")
+      // rank the hot nodes' current neighbors by (distance, id) —
+      // the candidate order the heuristic prunes in everywhere else
+      val ranked = lg.join(hot, Seq("id"))
+        .join(vecs.select(col("id"), col("vec").as("v0")), "id")
+        .join(vecs.select(col("id").as("neighbor_id"),
+          col("vec").as("vn")), "neighbor_id")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")
+            .orderBy(metric.score(col("v0"), col("vn")),
+              col("neighbor_id"))))
+        .select(col("id"), col("rank"), col("neighbor_id"))
+      val kept = diversify(ranked, base, m, metric, backfill = true)
+        .select(col("id"), col("neighbor_id"))
+      cold.unionByName(kept)
+        .select(lit(l).as("layer"), col("id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
   }
 }

@@ -137,8 +137,14 @@ object NnDescent {
     // value IS the root (e.g. a file: URI, exercising the Hadoop-FS
     // cleanup path the hdfs://s3a:// cluster shape takes)
     sys.props.get("graft.nnd.spill").map(_.trim).filter(_.nonEmpty) match {
-      case Some("-") => None
-      case Some(root) => Some(root)
+      case Some(p) =>
+        // a -D flag shadowing the deployment's env config must never
+        // be silent: on a cluster it would redirect tens-of-GB spills
+        // away from the configured shared filesystem
+        if (sys.env.get("SPARK_GRAFT_NND_SPILL_DIR").exists(_.trim.nonEmpty))
+          System.err.println("nn-descent: JVM property graft.nnd.spill" +
+            s"='$p' OVERRIDES env SPARK_GRAFT_NND_SPILL_DIR for this build")
+        if (p == "-") None else Some(p)
       case None => sys.env.get("SPARK_GRAFT_NND_SPILL_DIR").map(_.trim)
         .filter(_.nonEmpty)
         .orElse {

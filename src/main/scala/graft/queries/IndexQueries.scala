@@ -568,6 +568,72 @@ object IndexQueries {
       .orderBy("layer", "id", "neighbor_id")
   }
 
+  /** q57's mutation slices: delete = train rows with id % 13 == 3
+    * (tombstoned), update = id % 13 == 5 re-embedded at reverse(vec)
+    * — a bit-exact permutation both engines compute identically (no
+    * float arithmetic to diverge over), standing in for "this row's
+    * embedding changed". The residue classes are mutually disjoint
+    * and independent of q56's mod-9 insert slice.
+    */
+  val MutMod = 13
+  val DelRes = 3
+  val UpdRes = 5
+
+  /** q57: GRAPH-index UPDATE + DELETE — completing the mutation triad
+    * the reference runs against its hnsw engines (module.py
+    * insert/update/delete exercise all three; q56 covers insert, and
+    * until now update/delete were served IVF-side only, q28-q30/a12).
+    * The entry is the POST-MUTATION SEARCH over the q19 stack (shared
+    * build — same model cache key) after a delete batch and an update
+    * batch apply WITHOUT rebuild:
+    *
+    *  - DELETE is a tombstone: the node keeps its edges (they ROUTE —
+    *    every real HNSW serves deletes this way; un-linking would
+    *    disconnect basins until the next rebuild) and keeps being
+    *    scored, but is excluded from results
+    *    (GraphSearch.hierarchicalSearchWithVisited's tombstones
+    *    contract — no over-fetch needed, the filter runs on the full
+    *    visited set before the final top-k);
+    *  - UPDATE is delete ∪ insert at the same id: the vector is
+    *    replaced latest-wins (the walk scores the id at its NEW
+    *    vector wherever stale edges reach it — the old incarnation
+    *    needs no tombstone because scoring is by id) and the id
+    *    re-descends the stack as a q56 insert at the new vector, so
+    *    fresh edges anchor its new neighborhood. Stale edges at the
+    *    old position remain as routing approximation until the
+    *    periodic rebuild — the same drift-and-compact contract q56
+    *    documents (GraphSearch.compactOverDegree is the between-
+    *    rebuilds repair, spec-gated in IndexSpec).
+    *
+    * Deterministic end to end — stack build, insert walk, link rule,
+    * latest-wins merge, tombstone filter — so the whole pipeline
+    * unrolls in SQL (two walk chains in one oracle: the update
+    * batch's descent, then the query descent over the mutated stack).
+    */
+  def graphMutate(s: SparkSession, dir: String): DataFrame = {
+    val (base, queries) = baseAndQueries(s, dir)
+    val (path, levels) = cached(dir, "layered-graph-path") {
+      val lv = levelsFor(base.count())
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_layer_graph").toString
+      GraphSearch.buildLayeredGraphs(base, lv, GraphDeg, UpperDeg,
+        VecMetric.Euclidean)
+        .write.mode("overwrite").partitionBy("layer").parquet(p)
+      (p, lv)
+    }
+    val stack = s.read.parquet(path)
+    val tomb = base.filter(col("id") % MutMod === DelRes).select("id")
+    val updNew = base.filter(col("id") % MutMod === UpdRes)
+      .select(col("id"), reverse(col("vec")).as("vec"))
+    val keptVecs = base.filter(col("id") % MutMod =!= UpdRes)
+    val newEdges = GraphSearch.insertBatch(keptVecs, stack, updNew,
+      levels, GraphDeg, DivM, UpperDeg, HierBeam, HierRounds, UpperBeam)
+    val mergedBase = keptVecs.unionByName(updNew)
+    ranked(GraphSearch.hierarchicalSearch(mergedBase,
+      stack.unionByName(newEdges), queries, K, HierBeam, HierRounds,
+      levels, UpperBeam, tombstones = Some(tomb)))
+  }
+
   /** q28: incremental IVF maintenance — the reference serves CRUD
     * against a BUILT index (base/module.py insert/update/delete)
     * without rebuilding it: only the mutation batch is assigned to the
@@ -1173,6 +1239,7 @@ object IndexQueries {
     "q54_graph_diversify" -> (graphDiversify _),
     "q55_graph_stack_diversified" -> (graphStackDiversified _),
     "q56_graph_insert" -> (graphInsert _),
+    "q57_graph_mutate" -> (graphMutate _),
     "q24_lsh_minhash" -> (lshMinhash _),
     "q25_graph_knn" -> (knnGraph _),
     "q27_nn_descent" -> (nnDescentGraph _)
@@ -1765,19 +1832,31 @@ object IndexQueries {
   // four INTERMEDIATE sets on top and tipped the oracle from seconds
   // into minutes. Materialization is semantics-free (each s_i is
   // computed once and re-read).
-  private val walkCtes: String =
+  // Parameterized so one descent generator serves every walk in the
+  // suite: `p` prefixes the per-step CTE names (q57 runs TWO walks in
+  // one query — the update batch's insert descent and the post-
+  // mutation query descent — which would otherwise collide on s$i),
+  // `qCte`/`vCte` name the query and scoring-vector CTEs (q56 walks
+  // the insert batch; q57's query walk scores against the MERGED
+  // latest-wins vectors), `gPre` prefixes the per-layer graph CTEs
+  // (q57's query walk expands over the mutated stack gm$l).
+  private def walkCtesFor(p: String, qCte: String, vCte: String,
+      gPre: String): String =
     walkSteps.zipWithIndex.map { case ((g, w), i) =>
-      s"""bm$i AS (SELECT query_id, id FROM (
+      s"""${p}bm$i AS (SELECT query_id, id FROM (
          |   SELECT s.query_id, s.id,
          |          row_number() OVER (PARTITION BY s.query_id
          |            ORDER BY list_distance(q.qv, b.v), s.id) AS rn
-         |   FROM s$i s JOIN q USING (query_id) JOIN b USING (id))
+         |   FROM ${p}s$i s JOIN $qCte q ON q.query_id = s.query_id
+         |        JOIN $vCte b ON b.id = s.id)
          | WHERE rn <= $w),
-         |s${i + 1} AS MATERIALIZED (SELECT query_id, id FROM s$i
+         |${p}s${i + 1} AS MATERIALIZED (SELECT query_id, id FROM ${p}s$i
          |        UNION
          |        SELECT m.query_id, g.neighbor_id
-         |        FROM bm$i m JOIN g$g g USING (id))""".stripMargin
+         |        FROM ${p}bm$i m JOIN $gPre$g g ON g.id = m.id)""".stripMargin
     }.mkString(",\n")
+
+  private val walkCtes: String = walkCtesFor("", "q", "b", "g")
 
   private def layeredSearchSql(g0Block: String,
       upperBlock: Int => String = upperGraphExact): String = {
@@ -1952,6 +2031,96 @@ object IndexQueries {
        |  UNION ALL
        |  SELECT layer, neighbor_id AS id, id AS neighbor_id FROM fwd)
        |ORDER BY layer, id, neighbor_id""".stripMargin
+  }
+
+  /** q57 oracle: both walks unrolled in one query. The stack is q19's
+    * exact build over the ORIGINAL vectors; the update batch descends
+    * it exactly as q56's insert (u-prefixed walk chain, scoring
+    * against the corpus MINUS the updated ids — insertBatch's base
+    * excludes its batch), links via the same per-layer rule and the
+    * backfilled prune (vectors resolved against the merged set, since
+    * the pruned node is an updated row); the query walk then descends
+    * the MUTATED stack (gm$l = g$l ∪ the new edges) scoring against
+    * the latest-wins merged vectors; the final top-K excludes
+    * tombstoned ids BEFORE ranking — hierarchicalSearch's tombstones
+    * contract, GraphSearch.graphMutate bit for bit.
+    */
+  private val q57Sql: String = {
+    val upperGraphs = (1 until GraphLayers).map(upperGraphExact)
+      .mkString(",\n")
+    val topMask = (1L << GraphLayers) - 1
+    val upperLinks = (1 until GraphLayers).map { l =>
+      val mask = (1L << l) - 1
+      s"""ulk$l AS (SELECT $l AS layer, t.query_id AS id, t.id AS neighbor_id
+         | FROM (
+         |   SELECT s.query_id, s.id,
+         |          row_number() OVER (PARTITION BY s.query_id
+         |            ORDER BY list_distance(q.qv, b.v), s.id) AS rn
+         |   FROM us${GraphLayers - l} s JOIN uq q ON q.query_id = s.query_id
+         |        JOIN bmu b ON b.id = s.id
+         |        JOIN uqlh ON uqlh.query_id = s.query_id
+         |   WHERE (uqlh.h & $mask) = 0) t
+         | WHERE t.rn <= $UpperDeg)""".stripMargin
+    }.mkString(",\n")
+    val ufwdUpper = (1 until GraphLayers)
+      .map(l => s"UNION ALL SELECT layer, id, neighbor_id FROM ulk$l")
+      .mkString("\n")
+    val mutatedGraphs = (0 until GraphLayers).map { l =>
+      s"""gm$l AS (SELECT id, neighbor_id FROM g$l
+         |        UNION
+         |        SELECT id, neighbor_id FROM ue WHERE layer = $l)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings WHERE $bPred),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE $qPred),
+       |tmb AS (SELECT id FROM b WHERE id % $MutMod = $DelRes),
+       |uq AS MATERIALIZED (SELECT id AS query_id, list_reverse(v) AS qv
+       |      FROM b WHERE id % $MutMod = $UpdRes),
+       |bmu AS MATERIALIZED (SELECT id, v FROM b
+       |      WHERE id % $MutMod <> $UpdRes),
+       |bm AS MATERIALIZED (SELECT id, v FROM bmu
+       |      UNION ALL SELECT query_id AS id, qv AS v FROM uq),
+       |lh AS (SELECT id, v,
+       |         ((id % 1048576) * 2654435761 + 42) >> 20 AS h FROM b),
+       |lhu AS (SELECT id,
+       |         ((id % 1048576) * 2654435761 + 42) >> 20 AS h FROM bmu),
+       |uqlh AS (SELECT query_id,
+       |          ((query_id % 1048576) * 2654435761 + 42) >> 20 AS h FROM uq),
+       |${graphCte(0, "b", GraphDeg)},
+       |$upperGraphs,
+       |us0 AS (SELECT uq.query_id, t.id
+       |       FROM uq CROSS JOIN (SELECT id FROM lhu WHERE (h & $topMask) = 0) t),
+       |${walkCtesFor("u", "uq", "bmu", "g")},
+       |$upperLinks,
+       |ucand0 AS MATERIALIZED (
+       | SELECT t.query_id AS id, t.id AS neighbor_id, t.rn AS rank
+       | FROM (
+       |   SELECT s.query_id, s.id,
+       |          row_number() OVER (PARTITION BY s.query_id
+       |            ORDER BY list_distance(q.qv, b.v), s.id) AS rn
+       |   FROM us${walkSteps.length} s JOIN uq q ON q.query_id = s.query_id
+       |        JOIN bmu b ON b.id = s.id) t
+       | WHERE t.rn <= $GraphDeg),
+       |${diversifyCtes("u0", "ucand0", DivM, backfill = true, vecs = "bm")},
+       |ufwd AS (SELECT 0 AS layer, id, neighbor_id FROM dvu0
+       |$ufwdUpper),
+       |ue AS (SELECT DISTINCT layer, id, neighbor_id FROM (
+       |  SELECT layer, id, neighbor_id FROM ufwd
+       |  UNION ALL
+       |  SELECT layer, neighbor_id AS id, id AS neighbor_id FROM ufwd)),
+       |$mutatedGraphs,
+       |s0 AS (SELECT q.query_id, t.id
+       |       FROM q CROSS JOIN (SELECT id FROM lh WHERE (h & $topMask) = 0) t),
+       |${walkCtesFor("", "q", "bm", "gm")}
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT s.query_id, s.id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY s.query_id
+       |           ORDER BY list_distance(q.qv, b.v), s.id) AS rank
+       |  FROM s${walkSteps.length} s JOIN q ON q.query_id = s.query_id
+       |       JOIN bm b ON b.id = s.id
+       |  WHERE NOT EXISTS (SELECT 1 FROM tmb WHERE tmb.id = s.id))
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
   /** q36 oracle: the two-level descent in SQL — both levels' sample
@@ -2328,6 +2497,7 @@ object IndexQueries {
     "q54_graph_diversify" -> q54Sql,
     "q55_graph_stack_diversified" -> q55Sql,
     "q56_graph_insert" -> q56Sql,
+    "q57_graph_mutate" -> q57Sql,
     "q20_ivf_flat" -> ivfFlatSql,
     "q52_ivf_range" -> ivfRangeSql,
     "m05_mm_ann" -> mmAnnSql,

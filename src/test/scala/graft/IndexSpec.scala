@@ -843,6 +843,150 @@ class IndexSpec extends AnyFunSuite {
     assert(rec >= 0.55, s"post-insert recall floor: $rec")
   }
 
+  test("q57 graph mutate: deleted never returned, k slots stay full, recall floor") {
+    import graft.queries.IndexQueries._
+    val res = SparkEntry.queries("q57_graph_mutate")(spark, sf001)
+      .localCheckpoint(true)
+    // (a) tombstoned ids NEVER appear in results, at any rank
+    assert(res.filter(col("neighbor_id") % MutMod === DelRes).count() == 0,
+      "deleted id returned")
+    // (b) tombstones must not crowd live answers out: every query
+    // still gets its full K (the filter runs on the whole visited
+    // set BEFORE the top-k — the no-over-fetch contract)
+    val perQ = res.groupBy("query_id").count()
+      .agg(org.apache.spark.sql.functions.min("count")).head().getLong(0)
+    assert(perQ == K, s"a query returned $perQ < $K rows post-delete")
+    // (c) recall floor vs the exact ground truth of the POST-mutation
+    // world: merged latest-wins vectors, tombstones excluded
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val merged = base.filter(col("id") % MutMod =!= UpdRes)
+      .unionByName(base.filter(col("id") % MutMod === UpdRes)
+        .select(col("id"), reverse(col("vec")).as("vec")))
+      .filter(col("id") % MutMod =!= DelRes)
+    val exact = KnnSearch.bruteForce(merged, queries, 10,
+      VecMetric.Euclidean).select("query_id", "neighbor_id")
+    val rec = res.select("query_id", "neighbor_id").intersect(exact)
+      .count().toDouble / exact.count()
+    info(f"post-mutation recall $rec%.3f")
+    assert(rec >= 0.55, s"post-mutation recall floor: $rec")
+  }
+
+  test("q57 update contract: served at the NEW embedding; halves == one batch") {
+    import graft.queries.IndexQueries._
+    // synthetic corpus so the update target is constructible: move
+    // node 1501 exactly onto held-out query 3's position — the
+    // post-update search MUST return it at rank 1 (score 0), and the
+    // pre-update search must not
+    val corpus = graft.datagen.DataGen
+      .randomFloat(spark, 2000, 32, centers = 16, seed = 11)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .localCheckpoint(true)
+    val qRow = corpus.filter(col("id") === 3)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+      .localCheckpoint(true)
+    val movedId = 1501L
+    val xNew = corpus.filter(col("id") === movedId)
+      .crossJoin(qRow.select(col("qvec")))
+      .select(col("id"), col("qvec").as("vec")).localCheckpoint(true)
+    val lv = levelsFor(2000)
+    val stack = GraphSearch.buildLayeredGraphs(corpus, lv, GraphDeg,
+      UpperDeg, VecMetric.Euclidean).localCheckpoint(true)
+    // the query's own row sits at score 0 — tombstone it so the walk
+    // must serve the MOVED row there (delete + update in one search)
+    val tomb3 = qRow.select(col("query_id").as("id"))
+    val pre = GraphSearch.hierarchicalSearch(corpus, stack, qRow, 1,
+      HierBeam, HierRounds, lv, UpperBeam,
+      tombstones = Some(tomb3)).head()
+    assert(pre.getLong(2) != movedId, "update target already top-1")
+    val kept = corpus.filter(col("id") =!= movedId)
+    val newEdges = GraphSearch.insertBatch(kept, stack, xNew, lv,
+      GraphDeg, DivM, UpperDeg, HierBeam, HierRounds, UpperBeam)
+    val post = GraphSearch.hierarchicalSearch(
+      kept.unionByName(xNew), stack.unionByName(newEdges), qRow, 1,
+      HierBeam, HierRounds, lv, UpperBeam,
+      tombstones = Some(tomb3)).head()
+    assert(post.getLong(2) == movedId && post.getDouble(3) == 0.0,
+      s"updated row not served at its new embedding: $post")
+
+    // update(B1 ∪ B2) = update(B1) ∪ update(B2): the q57 pipeline's
+    // search result is identical whether the update slice descends as
+    // one batch or as two halves — insertBatch's batching-independence
+    // carried through merge + tombstone + search
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(graft.queries.Split.isQuery(col("vec_id"), 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val lvB = levelsFor(base.count())
+    val stackB = GraphSearch.buildLayeredGraphs(base, lvB, GraphDeg,
+      UpperDeg, VecMetric.Euclidean).localCheckpoint(true)
+    val updNew = base.filter(col("id") % MutMod === UpdRes)
+      .select(col("id"), reverse(col("vec")).as("vec"))
+      .localCheckpoint(true)
+    val keptB = base.filter(col("id") % MutMod =!= UpdRes)
+    val tomb = base.filter(col("id") % MutMod === DelRes).select("id")
+    def pipeline(edges: org.apache.spark.sql.DataFrame) =
+      GraphSearch.hierarchicalSearch(keptB.unionByName(updNew),
+        stackB.unionByName(edges), queries, K, HierBeam, HierRounds,
+        lvB, UpperBeam, tombstones = Some(tomb))
+    def ins(b: org.apache.spark.sql.DataFrame) =
+      GraphSearch.insertBatch(keptB, stackB, b, lvB, GraphDeg, DivM,
+        UpperDeg, HierBeam, HierRounds, UpperBeam)
+    val one = pipeline(ins(updNew)).localCheckpoint(true)
+    val two = pipeline(ins(updNew.filter(col("id") % 2 === 0))
+      .unionByName(ins(updNew.filter(col("id") % 2 =!= 0))))
+      .localCheckpoint(true)
+    assert(one.exceptAll(two).count() == 0 &&
+      two.exceptAll(one).count() == 0,
+      "q57 search depends on update batching")
+  }
+
+  test("compactOverDegree: over-cap nodes re-pruned, everyone else untouched") {
+    import graft.queries.IndexQueries._
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.filter(graft.queries.Split.isTrain(col("vec_id")))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .localCheckpoint(true)
+    val lv = levelsFor(base.count())
+    val stack = GraphSearch.buildLayeredGraphs(base, lv, GraphDeg,
+      UpperDeg, VecMetric.Euclidean).localCheckpoint(true)
+    // inflate one hub: give the smallest id EVERY node as a neighbor
+    // at layer 0 — the insert path's accreted-reverse-edge shape
+    val hub = base.agg(org.apache.spark.sql.functions.min("id"))
+      .head().getLong(0)
+    val inflated = stack.unionByName(
+      base.filter(col("id") =!= hub)
+        .select(lit(0).as("layer"), lit(hub).as("id"),
+          col("id").as("neighbor_id"))).distinct().localCheckpoint(true)
+    val cap = GraphDeg * 2 // symmetrized base degree bound
+    val compact = GraphSearch.compactOverDegree(inflated, base,
+      l => if (l == 0) cap else UpperDeg * 2, lv).localCheckpoint(true)
+    // (a) no layer-0 node exceeds the cap afterwards
+    val maxDeg = compact.filter(col("layer") === 0)
+      .groupBy("id").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxDeg <= cap, s"degree $maxDeg > cap $cap after compaction")
+    // (b) kept edges are a subset of the prior edges (compaction
+    // never invents links)
+    assert(compact.exceptAll(inflated).count() == 0,
+      "compaction invented edges")
+    // (c) nodes under the cap are bit-untouched
+    val deg = inflated.groupBy("layer", "id").count()
+    val cold = inflated.join(deg.filter(
+        (col("layer") === 0 && col("count") > cap) ||
+        (col("layer") > 0 && col("count") > UpperDeg * 2))
+      .select("layer", "id"), Seq("layer", "id"), "left_anti")
+    val coldAfter = compact.join(cold.select("layer", "id").distinct(),
+      Seq("layer", "id"), "left_semi")
+    assert(cold.exceptAll(coldAfter).count() == 0 &&
+      coldAfter.exceptAll(cold).count() == 0,
+      "compaction touched an under-cap node")
+  }
+
   test("q52 ivf range: exact subset of q05's ε-pairs, recall >= 0.55 (measured 0.64)") {
     val exact = SparkEntry.queries("q05_range_search")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
