@@ -517,11 +517,15 @@ object GraphSearch {
         val qArr = queries.select(col("query_id"), col("qvec")).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         val ord = rankOrder(metric.asc)
+        // the entry set is query-independent — hoist it (scanning all
+        // collected members once per query is O(members * batch))
+        val entryIds =
+          members.keysIterator.filter(inLayerLocal(_, levels)).toArray
         val acc = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Double)] // (query_id, id, score)
         qArr.foreach { case (qid, qv) =>
           val vis = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
-          members.keysIterator.filter(inLayerLocal(_, levels)).foreach { id =>
+          entryIds.foreach { id =>
             vis(id) = metric.localScore(qv, members(id))
           }
           for (l <- (levels - 1) to cut by -1) {
@@ -732,9 +736,13 @@ object GraphSearch {
           .empty[(Long, Long, Double)]
         val lnk = scala.collection.mutable.ArrayBuffer
           .empty[(Int, Long, Long)]
+        // entry set hoisted as in the search twin — a 50k insert
+        // batch otherwise rescans all collected members per row
+        val entryIds =
+          members.keysIterator.filter(inLayerLocal(_, levels)).toArray
         qArr.foreach { case (qid, qv) =>
           val vis = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
-          members.keysIterator.filter(inLayerLocal(_, levels)).foreach { id =>
+          entryIds.foreach { id =>
             vis(id) = metric.localScore(qv, members(id))
           }
           for (l <- (levels - 1) to cut by -1) {
