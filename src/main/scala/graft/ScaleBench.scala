@@ -320,7 +320,8 @@ object ScaleBench {
         "graph_nnd_build", "graph_stack_search_100q",
         "graph_stack_recall_100q", "graph_div_build",
         "graph_div_search_100q", "graph_div_recall_100q",
-        "graph_insert", "graph_insert_self", "graph_insert_recall_100q")
+        "graph_insert", "graph_insert_self", "graph_insert_recall_100q",
+        "graph_tombstone_search_100q")
         .exists(keep)) {
     val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -478,7 +479,8 @@ object ScaleBench {
     if (Seq("graph_nnd_build", "graph_stack_search_100q",
         "graph_stack_recall_100q", "graph_div_build",
         "graph_div_search_100q", "graph_div_recall_100q",
-        "graph_insert", "graph_insert_self", "graph_insert_recall_100q")
+        "graph_insert", "graph_insert_self", "graph_insert_recall_100q",
+        "graph_tombstone_search_100q")
         .exists(keep)) {
       val lv = graft.queries.IndexQueries.levelsFor(n)
       // convergence knobs, env-overridable for calibration runs: at
@@ -591,7 +593,8 @@ object ScaleBench {
       // so ids 0..n-1 reproduce the saved build's corpus exactly and
       // ids n.. are genuinely new draws from the same distribution).
       if (Seq("graph_insert", "graph_insert_self",
-          "graph_insert_recall_100q").exists(keep)) {
+          "graph_insert_recall_100q",
+          "graph_tombstone_search_100q").exists(keep)) {
         val insN = sys.env.getOrElse("SPARK_GRAFT_INSERT_N", "100000").toInt
         val Array(insBeam, insRounds) =
           sys.env.getOrElse("SPARK_GRAFT_INSERT_BEAM", "32:6")
@@ -636,6 +639,19 @@ object ScaleBench {
           val exactM = KnnSearch.bruteForce(mergedBase, queries, 10,
             VecMetric.Euclidean).select("query_id", "neighbor_id")
           topk.select("query_id", "neighbor_id").intersect(exactM).count()
+        }
+        // q57's delete path at scale: tombstone 1% of the corpus
+        // (100k ids at 10M) and search — the filter is one anti-join
+        // on the visited set, so rows must stay nq×k (tombstones
+        // cannot crowd live answers out) and the wall should sit on
+        // top of graph_insert_recall_100q's search leg, not above it
+        timed("graph_tombstone_search_100q") {
+          val tomb = corpus.filter(pmod(col("id"), lit(100L)) === 7L)
+            .select("id")
+          graft.operators.GraphSearch.hierarchicalSearch(
+            mergedBase, merged, queries, 10, insBeam, insRounds, lv,
+            graft.queries.IndexQueries.UpperBeam,
+            tombstones = Some(tomb)).count()
         }
       }
     }
