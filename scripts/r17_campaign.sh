@@ -42,7 +42,7 @@ run_stage() { # name heap n filter [VAR=VAL ...]
   fi
   local log=target/r17_${name}.log
   env SPARK_DRIVER_MEM="$heap" SPARK_GRAFT_CPUS=32 \
-    SPARK_LOCAL_DIR="$RUNDIR" GRAFT_CP="${GRAFT_CP:-target/r17classes}" "$@" \
+    SPARK_LOCAL_DIR="$RUNDIR" GRAFT_CP="${GRAFT_CP:-target/scala-2.13/classes}" "$@" \
     scripts/scalebench.sh "$n" 64 "$filter" > "$log" 2>&1 &
   local pid=$!
   echo "stage $name pid $pid started $(date +%H:%M:%S)" >> "$SCRATCH"

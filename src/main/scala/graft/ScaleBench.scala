@@ -594,7 +594,15 @@ object ScaleBench {
       // ids n.. are genuinely new draws from the same distribution).
       if (Seq("graph_insert", "graph_insert_self",
           "graph_insert_recall_100q",
-          "graph_tombstone_search_100q").exists(keep)) {
+          "graph_tombstone_search_100q").exists(keep) &&
+          // insert-at-scale only makes sense against a SAVED graph;
+          // an unfiltered run (keep = everything) without
+          // SPARK_GRAFT_GRAPH_LOAD must skip it, not crash mid-bench
+          (graphLoad.nonEmpty || {
+            System.err.println("graph_insert stages skipped: set " +
+              "SPARK_GRAFT_GRAPH_LOAD to a saved stack")
+            false
+          })) {
         val insN = sys.env.getOrElse("SPARK_GRAFT_INSERT_N", "100000").toInt
         val Array(insBeam, insRounds) =
           sys.env.getOrElse("SPARK_GRAFT_INSERT_BEAM", "32:6")

@@ -660,16 +660,24 @@ object GraphSearch {
     // set (batch × beam × degree) outgrows a broadcast HashedRelation
     // — a 100k-batch base step carries ~10^7-10^8 candidate rows — so
     // bulk batches take shuffle joins for the candidate side (and the
-    // beam side that feeds it). Join strategy only, never results; the
-    // threshold matches driverTopRows' default, so the same boundary
-    // that forgoes the driver-resident top forgoes the broadcasts.
+    // beam side that feeds it). The QUERY side is degree-free (one
+    // row per batch member, ~(4·dim+16) B each) so it stays broadcast
+    // up to the repo's standard 4M-row vector-broadcast ceiling
+    // (~1 GB at 64d — the NnDescent bcastRows analog); above that it
+    // shuffles too, joining the already-shuffled candidate stream.
+    // Join strategy only, never results; the candidate threshold
+    // matches driverTopRows' default, so the same boundary that
+    // forgoes the driver-resident top forgoes the candidate
+    // broadcasts.
     lazy val batchN = batch.count()
     def bcastIfSmall(df: DataFrame): DataFrame =
       if (batchN > (1L << 16)) df else broadcast(df)
+    val qSide =
+      if (batchN > (1L << 22)) queries else broadcast(queries)
 
     def score(cand: DataFrame): DataFrame =
       vecs.join(bcastIfSmall(cand), "id")
-        .join(broadcast(queries), "query_id")
+        .join(qSide, "query_id")
         .select(col("query_id"), col("id"),
           metric.score(col("qvec"), col("vec")).as("score"))
 
