@@ -63,11 +63,11 @@ run_stage() { # name heap n filter [VAR=VAL ...]
   echo "done $name rc=$? peak_gb=$peak at $(date +%H:%M:%S)" >> "$SCRATCH"
 }
 
-run_stage mc16_i5 80g 10000000 \
+run_stage mc16_i2 80g 10000000 \
   'graph_nnd_build|graph_stack_search_100q|graph_stack_recall_100q' \
-  SPARK_GRAFT_GRAPH_ITERS=5 SPARK_GRAFT_NND_MIDCAP=16 \
+  SPARK_GRAFT_GRAPH_ITERS=2 SPARK_GRAFT_NND_MIDCAP=16 \
   SPARK_GRAFT_GRAPH_BEAMS="16:4,32:6,64:8" \
-  SPARK_GRAFT_GRAPH_SAVE=target/graphs_10m_stack_mc16_i5
+  SPARK_GRAFT_GRAPH_SAVE=target/graphs_10m_stack_mc16_i2
 
 run_stage insert10m_100k 48g 10000000 'graph_insert|graph_tombstone' \
   SPARK_GRAFT_INSERT_N=100000 \
