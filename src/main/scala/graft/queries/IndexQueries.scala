@@ -550,6 +550,19 @@ object IndexQueries {
     * IndexSpec).
     */
   def graphInsert(s: SparkSession, dir: String): DataFrame = {
+    val (kept, batch, stack, levels) = insertContext(s, dir)
+    GraphSearch.insertBatch(kept, stack, batch, levels,
+      GraphDeg, DivM, UpperDeg, HierBeam, HierRounds, UpperBeam)
+      .orderBy("layer", "id", "neighbor_id")
+  }
+
+  /** q56/q58's shared setup: the train split minus the insert slice,
+    * the slice itself, and the q55-style stack built over the
+    * reduced corpus (memoised per dataset — q56 and q58 read the
+    * same build).
+    */
+  private def insertContext(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, Int) = {
     val (base, _) = baseAndQueries(s, dir)
     val batch = base.filter(col("id") % InsertMod === InsertRes)
     val kept = base.filter(col("id") % InsertMod =!= InsertRes)
@@ -563,8 +576,52 @@ object IndexQueries {
         .write.mode("overwrite").partitionBy("layer").parquet(p)
       (p, lv)
     }
-    GraphSearch.insertBatch(kept, s.read.parquet(path), batch, levels,
-      GraphDeg, DivM, UpperDeg, HierBeam, HierRounds, UpperBeam)
+    (kept, batch, s.read.parquet(path), levels)
+  }
+
+  /** q58: GRAPH-index COMPACTION — the maintenance pass that closes
+    * the mutation loop (insert q56, update/delete q57, compact q58):
+    * a store applying the reference's mutation workloads
+    * (module.py:142-180) between rebuilds accretes reverse edges on
+    * popular nodes (GraphSearch.insertBatch's documented drift —
+    * Alg. 1's shrink step deferred), and this entry runs the repair:
+    * merge the insert batch's edges into the stack, find every
+    * (layer, node) over its degree cap (DivM at the base, UpperDeg
+    * above — the build's forward-degree discipline), and re-prune
+    * exactly those adjacencies through the backfilled
+    * SELECT-NEIGHBORS-HEURISTIC (GraphSearch.compactOverDegree).
+    * Gated output: the re-pruned (hot) adjacencies only — the rows
+    * compaction changes; untouched rows pass through bit-equal
+    * (spec-asserted in IndexSpec, so gating them would only dilute
+    * the hash). Deterministic end to end, so the degree histogram,
+    * the (distance, id) rank, and the prune all unroll in SQL on top
+    * of q56's insert chain. At 100 TB the cost is the degree
+    * histogram plus pairs over ONLY the touched nodes — the
+    * O(touched · cap²) slice, never O(|E|).
+    */
+  def graphCompact(s: SparkSession, dir: String): DataFrame = {
+    val (kept, batch, stack, levels) = insertContext(s, dir)
+    val edgesPath = cached(dir, "graph-ins-edges-path") {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_graph_ins_edges").toString
+      GraphSearch.insertBatch(kept, stack, batch, levels,
+        GraphDeg, DivM, UpperDeg, HierBeam, HierRounds, UpperBeam)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val merged = stack.select("layer", "id", "neighbor_id")
+      .unionByName(s.read.parquet(edgesPath)
+        .select("layer", "id", "neighbor_id"))
+      .distinct()
+    val cap = (l: Int) => if (l == 0) DivM else UpperDeg
+    val compacted = GraphSearch.compactOverDegree(merged,
+      kept.unionByName(batch), cap, levels)
+    val hot = merged.groupBy("layer", "id").agg(count(lit(1)).as("d"))
+      .filter(col("d") >
+        when(col("layer") === 0, DivM).otherwise(UpperDeg))
+      .select("layer", "id")
+    compacted.join(hot, Seq("layer", "id"))
+      .select("layer", "id", "neighbor_id")
       .orderBy("layer", "id", "neighbor_id")
   }
 
@@ -1240,6 +1297,7 @@ object IndexQueries {
     "q55_graph_stack_diversified" -> (graphStackDiversified _),
     "q56_graph_insert" -> (graphInsert _),
     "q57_graph_mutate" -> (graphMutate _),
+    "q58_graph_compact" -> (graphCompact _),
     "q24_lsh_minhash" -> (lshMinhash _),
     "q25_graph_knn" -> (knnGraph _),
     "q27_nn_descent" -> (nnDescentGraph _)
@@ -1964,8 +2022,13 @@ object IndexQueries {
     * against b ∪ batch — the pruned node is the inserted row). The
     * result is the symmetrized union — GraphSearch.insertBatch bit
     * for bit.
+    *
+    * Factored as the shared prefix [[insertChainCtes]] (everything up
+    * to the forward link set `fwd`) because q58's compaction oracle
+    * replays the identical build + insert chain before re-pruning the
+    * merged stack.
     */
-  private val q56Sql: String = {
+  private val insertChainCtes: String = {
     val upperGraphs = (1 until GraphLayers).map(upperGraphExact)
       .mkString(",\n")
     val topMask = (1L << GraphLayers) - 1
@@ -2025,11 +2088,59 @@ object IndexQueries {
        |       UNION ALL SELECT query_id AS id, qv AS v FROM q),
        |${diversifyCtes("i0", "cand0", DivM, backfill = true, vecs = "bb")},
        |fwd AS (SELECT 0 AS layer, id, neighbor_id FROM dvi0
-       |$fwdUpper)
+       |$fwdUpper)""".stripMargin
+  }
+
+  private val q56Sql: String =
+    s"""$insertChainCtes
        |SELECT DISTINCT layer, id, neighbor_id FROM (
        |  SELECT layer, id, neighbor_id FROM fwd
        |  UNION ALL
        |  SELECT layer, neighbor_id AS id, id AS neighbor_id FROM fwd)
+       |ORDER BY layer, id, neighbor_id""".stripMargin
+
+  /** q58 oracle: the compaction unrolled. Replays q56's chain
+    * ([[insertChainCtes]]: stack build over the reduced corpus, the
+    * batch's descent, the link rule), symmetrizes the new edges into
+    * `ins`, merges them into each layer's graph (mg$$l — set union,
+    * mirroring the entry's distinct), then per layer: degree
+    * histogram, hot = degree > cap, the hot nodes' CURRENT neighbors
+    * ranked by (distance, id) against the full vector set `bb`, and
+    * the backfilled SELECT-NEIGHBORS-HEURISTIC prune
+    * ([[diversifyCtes]]) down to cap — GraphSearch.compactOverDegree
+    * bit for bit, gated on the re-pruned adjacencies only (cold rows
+    * pass through the operator verbatim; the spec asserts that, the
+    * gate hashes the part compaction actually changes).
+    */
+  private val q58Sql: String = {
+    val perLayer = (0 until GraphLayers).map { l =>
+      val m = if (l == 0) DivM else UpperDeg
+      s"""mg$l AS (SELECT id, neighbor_id FROM g$l
+         |        UNION
+         |        SELECT id, neighbor_id FROM ins WHERE layer = $l),
+         |hot$l AS (SELECT id FROM (
+         |   SELECT id, count(*) AS d FROM mg$l GROUP BY id)
+         | WHERE d > $m),
+         |hc$l AS (SELECT e.id, e.neighbor_id,
+         |          row_number() OVER (PARTITION BY e.id
+         |            ORDER BY list_distance(v0.v, vn.v), e.neighbor_id) AS rank
+         |   FROM mg$l e JOIN hot$l h ON h.id = e.id
+         |        JOIN bb v0 ON v0.id = e.id
+         |        JOIN bb vn ON vn.id = e.neighbor_id),
+         |${diversifyCtes(s"h$l", s"hc$l", m, backfill = true, vecs = "bb")}"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (0 until GraphLayers)
+      .map(l => s"SELECT $l AS layer, id, neighbor_id FROM dvh$l")
+      .mkString("\n  UNION ALL\n  ")
+    s"""$insertChainCtes,
+       |ins AS MATERIALIZED (SELECT DISTINCT layer, id, neighbor_id FROM (
+       |  SELECT layer, id, neighbor_id FROM fwd
+       |  UNION ALL
+       |  SELECT layer, neighbor_id AS id, id AS neighbor_id FROM fwd)),
+       |$perLayer
+       |SELECT layer, id, neighbor_id FROM (
+       |  $out)
        |ORDER BY layer, id, neighbor_id""".stripMargin
   }
 
@@ -2498,6 +2609,7 @@ object IndexQueries {
     "q55_graph_stack_diversified" -> q55Sql,
     "q56_graph_insert" -> q56Sql,
     "q57_graph_mutate" -> q57Sql,
+    "q58_graph_compact" -> q58Sql,
     "q20_ivf_flat" -> ivfFlatSql,
     "q52_ivf_range" -> ivfRangeSql,
     "m05_mm_ann" -> mmAnnSql,

@@ -987,6 +987,27 @@ class IndexSpec extends AnyFunSuite {
       "compaction touched an under-cap node")
   }
 
+  test("q58 graph compact: hot nodes land exactly on cap, no duplicate edges") {
+    import graft.queries.IndexQueries._
+    val res = SparkEntry.queries("q58_graph_compact")(spark, sf001)
+      .localCheckpoint(true)
+    // the merged (build ∪ insert) stack must actually have over-cap
+    // nodes at gate scale — otherwise the gate hashes nothing
+    assert(res.count() > 0, "no over-cap nodes to compact at sf0.01")
+    // every gated adjacency belonged to an over-cap node, so the
+    // backfilled prune keeps EXACTLY cap edges (DivM base, UpperDeg
+    // above) — no more (the cap), no fewer (backfill)
+    val sizes = res.groupBy("layer", "id").count()
+    val offenders = sizes.filter(
+      (col("layer") === 0 && col("count") =!= DivM) ||
+        (col("layer") > 0 && col("count") =!= UpperDeg))
+    assert(offenders.count() == 0,
+      s"gated adjacency not cap-sized: ${offenders.take(3).toSeq}")
+    // set semantics: the prune emits each kept edge once
+    assert(res.distinct().count() == res.count(),
+      "duplicate edges in compacted output")
+  }
+
   test("q52 ivf range: exact subset of q05's ε-pairs, recall >= 0.55 (measured 0.64)") {
     val exact = SparkEntry.queries("q05_range_search")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
