@@ -321,7 +321,7 @@ object ScaleBench {
         "graph_stack_recall_100q", "graph_div_build",
         "graph_div_search_100q", "graph_div_recall_100q",
         "graph_insert", "graph_insert_self", "graph_insert_recall_100q",
-        "graph_tombstone_search_100q")
+        "graph_tombstone_search_100q", "graph_compact")
         .exists(keep)) {
     val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -480,7 +480,7 @@ object ScaleBench {
         "graph_stack_recall_100q", "graph_div_build",
         "graph_div_search_100q", "graph_div_recall_100q",
         "graph_insert", "graph_insert_self", "graph_insert_recall_100q",
-        "graph_tombstone_search_100q")
+        "graph_tombstone_search_100q", "graph_compact")
         .exists(keep)) {
       val lv = graft.queries.IndexQueries.levelsFor(n)
       // convergence knobs, env-overridable for calibration runs: at
@@ -594,7 +594,7 @@ object ScaleBench {
       // ids n.. are genuinely new draws from the same distribution).
       if (Seq("graph_insert", "graph_insert_self",
           "graph_insert_recall_100q",
-          "graph_tombstone_search_100q").exists(keep) &&
+          "graph_tombstone_search_100q", "graph_compact").exists(keep) &&
           // insert-at-scale only makes sense against a SAVED graph;
           // an unfiltered run (keep = everything) without
           // SPARK_GRAFT_GRAPH_LOAD must skip it, not crash mid-bench
@@ -660,6 +660,30 @@ object ScaleBench {
             mergedBase, merged, queries, 10, insBeam, insRounds, lv,
             graft.queries.IndexQueries.UpperBeam,
             tombstones = Some(tomb)).count()
+        }
+        // q58's compaction at scale: re-prune the post-insert merged
+        // stack's over-cap nodes back to the symmetrized degree
+        // discipline (2×GraphDeg base / 2×UpperDeg upper — HNSW's
+        // Mmax0 = 2M convention). The cost claim this wall gates:
+        // one degree histogram over |E| plus prune pairs over ONLY
+        // the touched nodes (each ≤ degree²) — far below a build
+        // round at the same |E|. rows = surviving edge count.
+        // graph_compact_touched's rows = over-cap node count, the
+        // denominator of the O(touched · cap²) claim.
+        if (keep("graph_compact") || keep("graph_compact_touched")) {
+          val capB = 2 * graft.queries.IndexQueries.GraphDeg
+          val capU = 2 * graft.queries.IndexQueries.UpperDeg
+          timed("graph_compact_touched") {
+            merged.groupBy("layer", "id").count()
+              .filter((col("layer") === 0 && col("count") > capB) ||
+                (col("layer") > 0 && col("count") > capU))
+              .count()
+          }
+          timed("graph_compact") {
+            graft.operators.GraphSearch.compactOverDegree(
+              merged, mergedBase,
+              l => if (l == 0) capB else capU, lv).count()
+          }
         }
       }
     }
