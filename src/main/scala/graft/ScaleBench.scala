@@ -321,7 +321,8 @@ object ScaleBench {
         "graph_stack_recall_100q", "graph_div_build",
         "graph_div_search_100q", "graph_div_recall_100q",
         "graph_insert", "graph_insert_self", "graph_insert_recall_100q",
-        "graph_tombstone_search_100q", "graph_compact")
+        "graph_tombstone_search_100q", "graph_compact",
+        "graph_compact_touched")
         .exists(keep)) {
     val corpus = DataGen.randomFloat(spark, n, dims, centers = 32, seed = 7)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -480,7 +481,8 @@ object ScaleBench {
         "graph_stack_recall_100q", "graph_div_build",
         "graph_div_search_100q", "graph_div_recall_100q",
         "graph_insert", "graph_insert_self", "graph_insert_recall_100q",
-        "graph_tombstone_search_100q", "graph_compact")
+        "graph_tombstone_search_100q", "graph_compact",
+        "graph_compact_touched")
         .exists(keep)) {
       val lv = graft.queries.IndexQueries.levelsFor(n)
       // convergence knobs, env-overridable for calibration runs: at
@@ -594,7 +596,8 @@ object ScaleBench {
       // ids n.. are genuinely new draws from the same distribution).
       if (Seq("graph_insert", "graph_insert_self",
           "graph_insert_recall_100q",
-          "graph_tombstone_search_100q", "graph_compact").exists(keep) &&
+          "graph_tombstone_search_100q", "graph_compact",
+        "graph_compact_touched").exists(keep) &&
           // insert-at-scale only makes sense against a SAVED graph;
           // an unfiltered run (keep = everything) without
           // SPARK_GRAFT_GRAPH_LOAD must skip it, not crash mid-bench
