@@ -654,6 +654,18 @@ object GraphSearch {
     val vecs = base.select(col("id"), col("vec"))
     val queries = batch.select(col("id").as("query_id"),
       col("vec").as("qvec"))
+    // The scoring copy gets FRESH attribute ids (each Alias mints a
+    // new exprId): `visited` is seeded from `queries` and then
+    // localCheckpoint'ed, and a checkpoint PRESERVES output attribute
+    // ids — so joining the original `queries` onto any
+    // post-checkpoint visited set puts the same exprId on both sides
+    // of a join between two DIFFERENT relations, which
+    // DeduplicateRelations cannot rewrite ("conflicting references"
+    // analysis failure). The broadcast-hinted small-batch join
+    // happened to dodge it; the un-hinted bulk join (batch > 64k,
+    // first driven by the 100k insert-at-scale run) did not.
+    val qScore = queries.select(col("query_id").as("query_id"),
+      col("qvec").as("qvec"))
 
     // A search batch is ~100 queries; an insert batch is whatever the
     // mutation cadence delivers. Past ~64k rows the per-step candidate
@@ -673,7 +685,7 @@ object GraphSearch {
     def bcastIfSmall(df: DataFrame): DataFrame =
       if (batchN > (1L << 16)) df else broadcast(df)
     val qSide =
-      if (batchN > (1L << 22)) queries else broadcast(queries)
+      if (batchN > (1L << 22)) qScore else broadcast(qScore)
 
     def score(cand: DataFrame): DataFrame =
       vecs.join(bcastIfSmall(cand), "id")

@@ -945,6 +945,38 @@ class IndexSpec extends AnyFunSuite {
       "q57 search depends on update batching")
   }
 
+  test("insertBatch bulk path (batch > 64k): analyzes, and == two broadcast-path halves") {
+    import graft.queries.IndexQueries._
+    // regression for the 100k insert-at-scale crash: past 64k batch
+    // rows the candidate joins drop their broadcast hints, and the
+    // un-hinted join surfaced a Catalyst "conflicting references"
+    // failure (visited's localCheckpoint preserves the attribute ids
+    // it inherited from `queries`, so re-joining `queries` put the
+    // same exprId on both sides of a join between different
+    // relations). The fix re-aliases the scoring copy; this spec
+    // pins BOTH contracts: the bulk path analyzes/executes, and the
+    // join strategy never changes results — insert(66k bulk) ==
+    // insert(33k bcast) ∪ insert(33k bcast).
+    val all = graft.datagen.DataGen
+      .randomFloat(spark, 67000, 4, centers = 8, seed = 23)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val base = all.filter(col("id") < 1000).localCheckpoint(true)
+    val batch = all.filter(col("id") >= 1000).localCheckpoint(true)
+    val lv = 4
+    val stack = GraphSearch.buildLayeredGraphs(base, lv, GraphDeg,
+      UpperDeg, VecMetric.Euclidean).localCheckpoint(true)
+    def ins(b: org.apache.spark.sql.DataFrame) =
+      GraphSearch.insertBatch(base, stack, b, lv, 8, 4, 3,
+        beam = 4, rounds = 1, upperBeam = 2)
+    val bulk = ins(batch).localCheckpoint(true) // 66k > 1<<16: bulk joins
+    val halves = ins(batch.filter(col("id") % 2 === 0))
+      .unionByName(ins(batch.filter(col("id") % 2 =!= 0)))
+      .localCheckpoint(true) // 33k each: broadcast-hinted joins
+    assert(bulk.exceptAll(halves).count() == 0 &&
+      halves.exceptAll(bulk).count() == 0,
+      "bulk-join insert diverged from broadcast-join halves")
+  }
+
   test("compactOverDegree: over-cap nodes re-pruned, everyone else untouched") {
     import graft.queries.IndexQueries._
     val emb = Tables.embeddings(spark, sf001)
