@@ -668,27 +668,30 @@ object GraphSearch {
       col("qvec").as("qvec"))
 
     // A search batch is ~100 queries; an insert batch is whatever the
-    // mutation cadence delivers. Past ~64k rows the per-step candidate
-    // set (batch × beam × degree) outgrows a broadcast HashedRelation
-    // — a 100k-batch base step carries ~10^7-10^8 candidate rows — so
-    // bulk batches take shuffle joins for the candidate side (and the
-    // beam side that feeds it). The QUERY side is degree-free (one
-    // row per batch member, ~(4·dim+16) B each) so it stays broadcast
-    // up to the repo's standard 4M-row vector-broadcast ceiling
-    // (~1 GB at 64d — the NnDescent bcastRows analog); above that it
-    // shuffles too, joining the already-shuffled candidate stream.
-    // Join strategy only, never results; the candidate threshold
-    // matches driverTopRows' default, so the same boundary that
-    // forgoes the driver-resident top forgoes the candidate
-    // broadcasts.
+    // mutation cadence delivers. The broadcast ceiling is CANDIDATE
+    // volume, not batch rows: a base step's candidate set carries
+    // ~batch × beam × degree rows, so even a sub-64k batch can put a
+    // multi-10M-row HashedRelation on the build side (measured: the
+    // 50k insert-at-scale run at beam 32 carried ~38M candidate
+    // rows, whose pinned broadcast starved every HashAggregate's
+    // first 256 KB page and OOM'd a 48 GB heap), while the beam side
+    // is only batch × width. Each join therefore guards on its OWN
+    // estimated row count against the repo's standard 4M-row
+    // broadcast ceiling (the NnDescent bcastRows analog), degree
+    // bounded conservatively by the symmetrized base discipline
+    // (~2 × baseCand). Join strategy only, never results
+    // (spec-gated: bulk path == broadcast-path halves bit-for-bit).
+    // The QUERY side is degree-free (one row per batch member) so it
+    // stays broadcast to the same ceiling.
     lazy val batchN = batch.count()
-    def bcastIfSmall(df: DataFrame): DataFrame =
-      if (batchN > (1L << 16)) df else broadcast(df)
+    val bcastRows = 1L << 22
+    def bcastIfUnder(estRows: Long)(df: DataFrame): DataFrame =
+      if (estRows > bcastRows) df else broadcast(df)
     val qSide =
-      if (batchN > (1L << 22)) qScore else broadcast(qScore)
+      if (batchN > bcastRows) qScore else broadcast(qScore)
 
-    def score(cand: DataFrame): DataFrame =
-      vecs.join(bcastIfSmall(cand), "id")
+    def score(cand: DataFrame, estRows: Long): DataFrame =
+      vecs.join(bcastIfUnder(estRows)(cand), "id")
         .join(qSide, "query_id")
         .select(col("query_id"), col("id"),
           metric.score(col("qvec"), col("vec")).as("score"))
@@ -697,12 +700,14 @@ object GraphSearch {
       val beamIds = KnnSearch.topKOf(visited, width, metric.asc)
         .select(col("query_id"), col("neighbor_id").as("id"))
       val cand = graphs.filter(col("layer") === layer)
-        .join(bcastIfSmall(beamIds), "id")
+        .join(bcastIfUnder(batchN * width)(beamIds), "id")
         .select(col("query_id"), col("neighbor_id").as("id"))
         .distinct()
       val fresh = cand.join(visited.select("query_id", "id"),
         Seq("query_id", "id"), "left_anti")
-      visited.unionByName(score(fresh)).localCheckpoint(true)
+      visited
+        .unionByName(score(fresh, batchN * width * 2 * baseCand))
+        .localCheckpoint(true)
     }
 
     // Driver-resident top of stack, exactly as the search side
@@ -794,7 +799,10 @@ object GraphSearch {
         lowerFrom = cut - 1
       case None =>
         val entries = vecs.filter(inLayer(col("id"), levels)).select("id")
-        visited = score(entries.crossJoin(queries.select("query_id")))
+        // levelsFor targets ~16 top-layer members; 64 is a safe
+        // estimate factor for the seed's broadcast guard
+        visited = score(entries.crossJoin(queries.select("query_id")),
+          batchN * 64)
           .localCheckpoint(true)
     }
     for (l <- lowerFrom to 1 by -1) {
