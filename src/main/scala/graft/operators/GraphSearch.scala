@@ -696,6 +696,17 @@ object GraphSearch {
         .select(col("query_id"), col("id"),
           metric.score(col("qvec"), col("vec")).as("score"))
 
+    // The visited set is checkpointed per step and grows to
+    // ~batch × (visited-per-query) rows — hundreds of millions for a
+    // bulk batch. Two disciplines keep that bounded on a
+    // serving-sized heap (measured: the 100k insert-at-scale run at
+    // 48 GB died re-caching spilled DESERIALIZED checkpoint blocks
+    // with ~25 of them still registered): blocks are stored
+    // SERIALIZED (no deserialized re-cache on read-back), and each
+    // step unpersists the checkpoint it just superseded — only the
+    // newest (plus the one being built) is ever live. The superseded
+    // set has no remaining consumers because the per-layer link rows
+    // are eagerly materialized before the next step runs.
     def step(visited: DataFrame, layer: Int, width: Int): DataFrame = {
       val beamIds = KnnSearch.topKOf(visited, width, metric.asc)
         .select(col("query_id"), col("neighbor_id").as("id"))
@@ -705,9 +716,12 @@ object GraphSearch {
         .distinct()
       val fresh = cand.join(visited.select("query_id", "id"),
         Seq("query_id", "id"), "left_anti")
-      visited
+      val next = visited
         .unionByName(score(fresh, batchN * width * 2 * baseCand))
-        .localCheckpoint(true)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      visited.unpersist() // no-op on the unpersisted driver-top seed
+      next
     }
 
     // Driver-resident top of stack, exactly as the search side
@@ -807,10 +821,14 @@ object GraphSearch {
     }
     for (l <- lowerFrom to 1 by -1) {
       visited = step(visited, l, upperBeam)
+      // eager: the link rows must not lazily reference a visited
+      // checkpoint the NEXT step will unpersist. Small by
+      // construction (~batch/2^l nodes × upperDeg rows)
       links ::= KnnSearch.topKOf(
         visited.filter(inLayer(col("query_id"), l)), upperDeg, metric.asc)
         .select(lit(l).as("layer"), col("query_id").as("id"),
           col("neighbor_id"))
+        .localCheckpoint(true)
     }
     for (_ <- 1 to rounds)
       visited = step(visited, 0, beam)
