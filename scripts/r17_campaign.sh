@@ -69,12 +69,12 @@ run_stage mc16_i2 80g 10000000 \
   SPARK_GRAFT_GRAPH_BEAMS="16:4,32:6,64:8" \
   SPARK_GRAFT_GRAPH_SAVE=target/graphs_10m_stack_mc16_i2
 
-run_stage insert10m_100k 48g 10000000 \
+run_stage insert10m_100k 64g 10000000 \
   'graph_insert|graph_tombstone|graph_compact' \
   SPARK_GRAFT_INSERT_N=100000 \
   SPARK_GRAFT_GRAPH_LOAD=target/graphs_10m_stack_mc12_i9
 
-run_stage insert10m_50k 48g 10000000 'graph_insert' \
+run_stage insert10m_50k 64g 10000000 'graph_insert' \
   SPARK_GRAFT_INSERT_N=50000 \
   SPARK_GRAFT_GRAPH_LOAD=target/graphs_10m_stack_mc12_i9
 

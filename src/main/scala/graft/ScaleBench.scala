@@ -610,8 +610,16 @@ object ScaleBench {
         val Array(insBeam, insRounds) =
           sys.env.getOrElse("SPARK_GRAFT_INSERT_BEAM", "32:6")
             .split(":").map(_.trim.toInt)
+        // |E|-sized checkpoints are stored SERIALIZED: the default
+        // deserialized level kept ~15+ GB of boxed edge rows live,
+        // and the insert walk's shuffle pressure evicted them to
+        // disk only for every read-back to re-materialize values —
+        // the allocation storm that OOM'd the 48 GB insert stages
+        // (search-only stages never squeezed storage enough to
+        // surface it)
+        val SER = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
         val stack = spark.read.parquet(s"${graphLoad.get}/stack")
-          .localCheckpoint(true)
+          .localCheckpoint(true, SER)
         val batch = DataGen.randomFloat(spark, n + insN, dims,
           centers = 32, seed = 7)
           .filter(col("vec_id") >= n)
@@ -626,10 +634,10 @@ object ScaleBench {
             graft.queries.IndexQueries.UpperDeg,
             insBeam, insRounds,
             graft.queries.IndexQueries.UpperBeam)
-            .localCheckpoint(true)
+            .localCheckpoint(true, SER)
           newEdges.count()
         }
-        val merged = stack.unionByName(newEdges).localCheckpoint(true)
+        val merged = stack.unionByName(newEdges).localCheckpoint(true, SER)
         val mergedBase = corpus.unionByName(batch)
         // rows = inserted ids that FIND THEMSELVES in their own top-10
         // (sampled to 100 queries; self-findability = rows / 100)
