@@ -78,6 +78,14 @@ run_stage insert10m_50k 64g 10000000 'graph_insert' \
   SPARK_GRAFT_INSERT_N=50000 \
   SPARK_GRAFT_GRAPH_LOAD=target/graphs_10m_stack_mc12_i9
 
+# Compaction in its intended regime: cap ABOVE the i9 graph's degree
+# mode (avg 36.7 — cap 48 catches only the accreted tail; the
+# cap-32 point measured 3.79M touched = a rebuild-class prune that
+# filled one box's disk). Compact-only: operates on the loaded stack.
+run_stage compact48 64g 10000000 'graph_compact' \
+  SPARK_GRAFT_COMPACT_CAP=48 \
+  SPARK_GRAFT_GRAPH_LOAD=target/graphs_10m_stack_mc12_i9
+
 run_stage beamsat 48g 10000000 \
   'graph_stack_search_100q|graph_stack_recall_100q' \
   SPARK_GRAFT_GRAPH_BEAMS="256:12,512:14" \

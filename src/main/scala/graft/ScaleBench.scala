@@ -637,8 +637,15 @@ object ScaleBench {
             .localCheckpoint(true, SER)
           newEdges.count()
         }
-        val merged = stack.unionByName(newEdges).localCheckpoint(true, SER)
-        val mergedBase = corpus.unionByName(batch)
+        // compact-only runs (insert stages filtered out) leave
+        // newEdges unset and operate on the LOADED stack itself —
+        // compaction is defined on any stack, and this spares a
+        // cap-sweep the ~30 min insert prerequisite
+        val merged =
+          if (newEdges == null) stack
+          else stack.unionByName(newEdges).localCheckpoint(true, SER)
+        val mergedBase =
+          if (newEdges == null) corpus else corpus.unionByName(batch)
         // rows = inserted ids that FIND THEMSELVES in their own top-10
         // (sampled to 100 queries; self-findability = rows / 100)
         timed("graph_insert_self") {
@@ -682,7 +689,14 @@ object ScaleBench {
         // graph_compact_touched's rows = over-cap node count, the
         // denominator of the O(touched · cap²) claim.
         if (keep("graph_compact") || keep("graph_compact_touched")) {
-          val capB = 2 * graft.queries.IndexQueries.GraphDeg
+          // SPARK_GRAFT_COMPACT_CAP overrides the base cap: touched
+          // volume is CAP-RELATIVE (measured at 10M: cap 32 under
+          // the i9 graph's 36.7 avg degree touched 3.79M nodes —
+          // 38% of the corpus, a rebuild-class prune that exceeded
+          // one box's disk; a cap above the degree mode catches
+          // only the accreted tail, the operator's intended regime)
+          val capB = sys.env.getOrElse("SPARK_GRAFT_COMPACT_CAP",
+            (2 * graft.queries.IndexQueries.GraphDeg).toString).toInt
           val capU = 2 * graft.queries.IndexQueries.UpperDeg
           timed("graph_compact_touched") {
             merged.groupBy("layer", "id").count()
