@@ -147,7 +147,28 @@ object GraphSearch {
       metric: VecMetric = VecMetric.Euclidean,
       backfill: Boolean = false,
       nKnown: Long = -1L,
-      bcastRows: Long = 1L << 22): DataFrame = {
+      bcastRows: Long = 1L << 22): DataFrame =
+    diversifyBy(knn, base, lit(m), metric, backfill, nKnown, bcastRows,
+      Nil)
+
+  /** [[diversify]] generalised over a composite node key and a
+    * per-row cap: `extraKeys` columns (e.g. "layer") ride along with
+    * `id` through the pair join, the prune and the re-rank, so ONE
+    * plan prunes every (extraKeys, id) group — [[compactOverDegree]]
+    * runs all layers of a stack in a single pass instead of a plan
+    * per layer (a job-count, never a result, difference). `m` is a
+    * Column so the cap can depend on the key (layer 0 vs upper).
+    */
+  def diversifyBy(
+      knn: DataFrame,
+      base: DataFrame,
+      m: Column,
+      metric: VecMetric,
+      backfill: Boolean,
+      nKnown: Long,
+      bcastRows: Long,
+      extraKeys: Seq[String]): DataFrame = {
+    val keys = extraKeys :+ "id"
     // the pair stream is n·cand²/2 rows; each of the three vector
     // joins would shuffle it WITH vector payload unless the (much
     // smaller) vector table is broadcast. Callers that know the
@@ -155,38 +176,38 @@ object GraphSearch {
     // while it fits — join strategy only, never changes the result.
     val vraw = base.select(col("id"), col("vec"))
     val v = if (nKnown > 0 && nKnown <= bcastRows) broadcast(vraw) else vraw
-    val ci = knn.select(col("id"), col("rank").as("ri"),
-      col("neighbor_id").as("ni"))
-    val cj = knn.select(col("id"), col("rank").as("rj"),
-      col("neighbor_id").as("nj"))
+    val ci = knn.select(keys.map(col) ++ Seq(col("rank").as("ri"),
+      col("neighbor_id").as("ni")): _*)
+    val cj = knn.select(keys.map(col) ++ Seq(col("rank").as("rj"),
+      col("neighbor_id").as("nj")): _*)
     // prune i when metric ranks (i, j) strictly better than (node, i)
     val better: (Column, Column) => Column =
       if (metric.asc) _ < _ else _ > _
-    val pruned = ci.join(cj, Seq("id")).filter(col("rj") < col("ri"))
+    val pruned = ci.join(cj, keys).filter(col("rj") < col("ri"))
       .join(v.select(col("id").as("ni"), col("vec").as("vi")), "ni")
       .join(v.select(col("id").as("nj"), col("vec").as("vj")), "nj")
       .join(v.select(col("id"), col("vec").as("v0")), "id")
       .filter(better(metric.score(col("vi"), col("vj")),
         metric.score(col("v0"), col("vi"))))
-      .select(col("id"), col("ri")).distinct()
+      .select(keys.map(col) :+ col("ri"): _*).distinct()
     import org.apache.spark.sql.expressions.Window
     if (backfill) {
       knn.join(pruned.withColumnRenamed("ri", "rank")
-          .withColumn("pruned", lit(1)), Seq("id", "rank"), "left")
+          .withColumn("pruned", lit(1)), keys :+ "rank", "left")
         .withColumn("rank", row_number().over(
-          Window.partitionBy("id")
+          Window.partitionBy(keys.map(col): _*)
             .orderBy(coalesce(col("pruned"), lit(0)), col("rank"))))
         .filter(col("rank") <= m)
-        .select(col("id"), col("rank").cast("long").as("rank"),
-          col("neighbor_id"))
+        .select(keys.map(col) ++ Seq(col("rank").cast("long").as("rank"),
+          col("neighbor_id")): _*)
     } else
-    knn.join(pruned, knn("id") === pruned("id") &&
-        knn("rank") === pruned("ri"), "left_anti")
+    knn.join(pruned.withColumnRenamed("ri", "rank"),
+        keys :+ "rank", "left_anti")
       .withColumn("rank", row_number().over(
-        Window.partitionBy("id").orderBy("rank")))
+        Window.partitionBy(keys.map(col): _*).orderBy("rank")))
       .filter(col("rank") <= m)
-      .select(col("id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"))
+      .select(keys.map(col) ++ Seq(col("rank").cast("long").as("rank"),
+        col("neighbor_id")): _*)
   }
 
   // ----- true multi-layer hierarchy (the HNSW layer stack) -----
@@ -433,13 +454,20 @@ object GraphSearch {
     * histogram job + two bounded collects, memoisable by the caller),
     * eliminating a sequential Spark job per upper layer; the
     * remaining lower layers and the base rounds keep the distributed
-    * join shape. Bit-identical to the all-distributed descent:
+    * join shape. When the WHOLE graph fits (members(0) = N ≤
+    * driverTopRows) the cut extends to the base layer and the base
+    * rounds run driver-side too — the fully-RAM-resident serving
+    * process small stores actually are; at corpus scale N exceeds
+    * the bound and the base rounds stay distributed, unchanged.
+    * Bit-identical to the all-distributed descent:
     * [[VecMetric.localScore]] is the kernels' scalar twin, beam
     * selection uses the heap's exact (score, id) order, and the
     * handoff carries the full visited set (spec-gated equal at
     * driverTopRows = 0 vs default). At 64k rows the driver holds
-    * ≤ ~20 MB of vectors+edges — the IVF-centroid budget, not a
-    * corpus-sized one; set 0 to force the all-distributed path.
+    * ≤ ~20 MB of vectors+edges above the cut (≤ ~80 MB with the
+    * base layer's edge lists when the cut reaches 0) — the
+    * IVF-centroid budget class, never a corpus-sized one; set 0 to
+    * force the all-distributed path.
     */
   /** `tombstones`: optional (id) set of DELETED nodes — the HNSW
     * delete contract (the reference's mutation workloads run delete
@@ -485,16 +513,17 @@ object GraphSearch {
       visited.unionByName(score(fresh)).localCheckpoint(true)
     }
 
-    // the driver cut: smallest layer L (≥ 1) whose member count fits
-    // driverTopRows — one histogram job over the id column (layer
-    // membership NESTS, so members(L) = Σ_{depth ≥ L} histogram(depth))
+    // the driver cut: smallest layer L (0 when even the base layer
+    // fits) whose member count fits driverTopRows — one histogram job
+    // over the id column (layer membership NESTS, so members(L) =
+    // Σ_{depth ≥ L} histogram(depth); members(0) = N)
     val cutL: Option[Int] = if (driverTopRows <= 0) None else {
       val depth = (1 to levels)
         .map(l => when(inLayer(col("id"), l), 1).otherwise(0))
         .reduce(_ + _)
       val hist = base.select(depth.as("d")).groupBy("d").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      (1 to levels).find(l =>
+      (0 to levels).find(l =>
         hist.filter(_._1 >= l).values.sum <= driverTopRows)
     }
 
@@ -528,9 +557,12 @@ object GraphSearch {
           entryIds.foreach { id =>
             vis(id) = metric.localScore(qv, members(id))
           }
-          for (l <- (levels - 1) to cut by -1) {
+          // one local beam expansion == one distributed step(): top
+          // `width` of visited, expand through layer-l edges, score
+          // the fresh ids
+          def expand(l: Int, width: Int): Unit = {
             val beamIds = vis.iterator.map { case (id, s) => (s, id) }
-              .toArray.sorted(ord).take(upperBeam).map(_._2)
+              .toArray.sorted(ord).take(width).map(_._2)
             val edges = edgesByLayer.getOrElse(l, Map.empty)
             // members.get, not members(_): the distributed path's
             // score() INNER-joins candidates against the vector side,
@@ -544,6 +576,11 @@ object GraphSearch {
                   vis(id) = metric.localScore(qv, v))
               }
           }
+          for (l <- (levels - 1) to math.max(cut, 1) by -1)
+            expand(l, upperBeam)
+          // cut == 0: the base rounds run here too — same width/
+          // rounds schedule as the distributed loop below
+          if (cut == 0) for (_ <- 1 to rounds) expand(0, beam)
           vis.foreach { case (id, s) => acc += ((qid, id, s)) }
         }
         import base.sparkSession.implicits._
@@ -556,8 +593,9 @@ object GraphSearch {
     }
     for (l <- lowerFrom to 1 by -1)
       visited = step(visited, l, upperBeam)
-    for (_ <- 1 to rounds)
-      visited = step(visited, 0, beam)
+    if (!cutL.contains(0)) // cut == 0 already ran the base rounds
+      for (_ <- 1 to rounds)
+        visited = step(visited, 0, beam)
 
     val visitedCounts = visited.groupBy("query_id")
       .agg(count(lit(1)).as("n_visited"))
@@ -743,7 +781,9 @@ object GraphSearch {
           .reduce(_ + _)
         val hist = vecs.select(depth.as("d")).groupBy("d").count()
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        (1 to levels).find(l =>
+        // 0: the whole base fits — the walk, the base rounds AND the
+        // link rule run driver-side (see the search twin's scaladoc)
+        (0 to levels).find(l =>
           hist.filter(_._1 >= l).values.sum <= driverTopRows)
       }
 
@@ -784,9 +824,9 @@ object GraphSearch {
           entryIds.foreach { id =>
             vis(id) = metric.localScore(qv, members(id))
           }
-          for (l <- (levels - 1) to cut by -1) {
+          def expand(l: Int, width: Int): Unit = {
             val beamIds = vis.iterator.map { case (id, s) => (s, id) }
-              .toArray.sorted(ord).take(upperBeam).map(_._2)
+              .toArray.sorted(ord).take(width).map(_._2)
             val edges = edgesByLayer.getOrElse(l, Map.empty)
             // members.get, not members(_): the distributed path's
             // score() INNER-joins candidates against the vector side,
@@ -799,14 +839,49 @@ object GraphSearch {
                 members.get(id).foreach(v =>
                   vis(id) = metric.localScore(qv, v))
               }
+          }
+          for (l <- (levels - 1) to math.max(cut, 1) by -1) {
+            expand(l, upperBeam)
             if (inLayerLocal(qid, l))
               vis.iterator.map { case (id, s) => (s, id) }
                 .toArray.sorted(ord).take(upperDeg)
                 .foreach { case (_, id) => lnk += ((l, qid, id)) }
           }
+          if (cut == 0) {
+            // base rounds, then the base link rule — both the exact
+            // local twins of the distributed tail below ([[diversify]]
+            // with the same (score, id) candidate rank, strict
+            // better-than prune against ALL lower-ranked candidates,
+            // backfill ordering (un-pruned first, then pruned, each
+            // by rank), take baseM)
+            for (_ <- 1 to rounds) expand(0, beam)
+            val cands = vis.iterator.map { case (id, s) => (s, id) }
+              .toArray.sorted(ord).take(baseCand).map(_._2)
+            val cvecs = cands.map(members(_))
+            val toQ = cvecs.map(v => metric.localScore(qv, v))
+            def betterL(a: Double, b: Double): Boolean =
+              if (metric.asc) a < b else a > b
+            val pruned = Array.tabulate(cands.length) { i =>
+              (0 until i).exists(j =>
+                betterL(metric.localScore(cvecs(i), cvecs(j)), toQ(i)))
+            }
+            val keptIdx =
+              if (backfill)
+                cands.indices.sortBy(i => (pruned(i), i)).take(baseM)
+              else cands.indices.filter(i => !pruned(i)).take(baseM)
+            keptIdx.foreach(i => lnk += ((0, qid, cands(i))))
+          }
           vis.foreach { case (id, s) => acc += ((qid, id, s)) }
         }
         import base.sparkSession.implicits._
+        if (cut == 0) {
+          // every link was derived locally: symmetrize + dedup here
+          // and return — the distributed tail below never runs
+          val fwdL = lnk.toSeq
+          val symL = (fwdL ++ fwdL.map { case (l, a, b) => (l, b, a) })
+            .distinct
+          return symL.toDF("layer", "id", "neighbor_id")
+        }
         visited = acc.toSeq.toDF("query_id", "id", "score")
         if (lnk.nonEmpty)
           links ::= lnk.toSeq.toDF("layer", "id", "neighbor_id")
@@ -879,28 +954,37 @@ object GraphSearch {
       levels: Int,
       metric: VecMetric = VecMetric.Euclidean): DataFrame = {
     val vecs = base.select(col("id"), col("vec"))
-    (0 until levels).map { l =>
-      val lg = graphs.filter(col("layer") === l)
-        .select(col("id"), col("neighbor_id"))
-      val m = cap(l)
-      val deg = lg.groupBy("id").agg(count(lit(1)).as("d"))
-      val hot = deg.filter(col("d") > m).select("id")
-      val cold = lg.join(hot, Seq("id"), "left_anti")
-      // rank the hot nodes' current neighbors by (distance, id) —
-      // the candidate order the heuristic prunes in everywhere else
-      val ranked = lg.join(hot, Seq("id"))
-        .join(vecs.select(col("id"), col("vec").as("v0")), "id")
-        .join(vecs.select(col("id").as("neighbor_id"),
-          col("vec").as("vn")), "neighbor_id")
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("id")
-            .orderBy(metric.score(col("v0"), col("vn")),
-              col("neighbor_id"))))
-        .select(col("id"), col("rank"), col("neighbor_id"))
-      val kept = diversify(ranked, base, m, metric, backfill = true)
-        .select(col("id"), col("neighbor_id"))
-      cold.unionByName(kept)
-        .select(lit(l).as("layer"), col("id"), col("neighbor_id"))
-    }.reduce(_ unionByName _)
+    // ONE keyed pass over all layers (the per-layer loop union'd
+    // `levels` copies of this plan — ~8x the jobs for the same rows;
+    // keying the histogram, the splits and the prune by (layer, id)
+    // is a plan-shape change only, the per-layer results are
+    // identical). The cap becomes a layer-dependent column.
+    // layer < levels: the old per-layer loop silently dropped any
+    // out-of-range layer; keep that contract
+    val lg = graphs.select(col("layer"), col("id"), col("neighbor_id"))
+      .filter(col("layer") >= 0 && col("layer") < levels)
+    val capCol = (1 until levels).foldLeft(
+      when(col("layer") === 0, cap(0))) {
+      case (acc, l) => acc.when(col("layer") === l, cap(l))
+    }
+    val deg = lg.groupBy("layer", "id").agg(count(lit(1)).as("d"))
+    val hot = deg.filter(col("d") > capCol).select("layer", "id")
+    val cold = lg.join(hot, Seq("layer", "id"), "left_anti")
+    // rank the hot nodes' current neighbors by (distance, id) —
+    // the candidate order the heuristic prunes in everywhere else
+    val ranked = lg.join(hot, Seq("layer", "id"))
+      .join(vecs.select(col("id"), col("vec").as("v0")), "id")
+      .join(vecs.select(col("id").as("neighbor_id"),
+        col("vec").as("vn")), "neighbor_id")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("layer", "id")
+          .orderBy(metric.score(col("v0"), col("vn")),
+            col("neighbor_id"))))
+      .select(col("layer"), col("id"), col("rank"), col("neighbor_id"))
+    val kept = diversifyBy(ranked, base, capCol, metric, backfill = true,
+      nKnown = -1L, bcastRows = 1L << 22, extraKeys = Seq("layer"))
+      .select(col("layer"), col("id"), col("neighbor_id"))
+    cold.select(col("layer"), col("id"), col("neighbor_id"))
+      .unionByName(kept)
   }
 }

@@ -609,10 +609,15 @@ object IndexQueries {
         .write.mode("overwrite").parquet(p)
       p
     }
+    // eagerly materialised: compactOverDegree scans the merged stack
+    // ~4x per layer (degree histogram, hot/cold split, rank) and the
+    // union+distinct would otherwise be recomputed on every scan —
+    // |E|-sized once, job-count-sized saved
     val merged = stack.select("layer", "id", "neighbor_id")
       .unionByName(s.read.parquet(edgesPath)
         .select("layer", "id", "neighbor_id"))
       .distinct()
+      .localCheckpoint(true)
     val cap = (l: Int) => if (l == 0) DivM else UpperDeg
     val compacted = GraphSearch.compactOverDegree(merged,
       kept.unionByName(batch), cap, levels)
@@ -683,8 +688,14 @@ object IndexQueries {
     val updNew = base.filter(col("id") % MutMod === UpdRes)
       .select(col("id"), reverse(col("vec")).as("vec"))
     val keptVecs = base.filter(col("id") % MutMod =!= UpdRes)
+    // eagerly materialised: the search below scans the merged stack
+    // once per walk step plus the driver-phase collect, and a lazy
+    // insertBatch tail (top-k + heuristic prune + distinct) would be
+    // recomputed on EVERY one of those scans — measured 4x the whole
+    // insert cost at sf0.1. O(batch · degree) rows, driver-safe.
     val newEdges = GraphSearch.insertBatch(keptVecs, stack, updNew,
       levels, GraphDeg, DivM, UpperDeg, HierBeam, HierRounds, UpperBeam)
+      .localCheckpoint(true)
     val mergedBase = keptVecs.unionByName(updNew)
     ranked(GraphSearch.hierarchicalSearch(mergedBase,
       stack.unionByName(newEdges), queries, K, HierBeam, HierRounds,
