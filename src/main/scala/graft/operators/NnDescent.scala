@@ -237,7 +237,8 @@ object NnDescent {
       nKnown: Long = -1L,
       midCap: Int = 0,
       bcastRows: Long = 1L << 22,
-      scratchBudget: Long = 0L): DataFrame = {
+      scratchBudget: Long = 0L,
+      localRows: Long = 1L << 16): DataFrame = {
     // iterate with a larger working degree than the requested k —
     // on high-intrinsic-dimension data the neighbor-of-neighbor
     // signal is weak, and the extra width is what carries convergence
@@ -245,6 +246,26 @@ object NnDescent {
     // nKnown > 0 skips the count job — callers that already ran a
     // membership histogram (buildLayeredGraphsNnd) pass the size in
     val n = if (nKnown > 0) nKnown else base.count()
+
+    // Driver-resident build for sub-bound corpora/layers (the
+    // NN-descent twin of GraphSearch's driver-resident top): when the
+    // member set fits the repo's standard driver budget AND the
+    // per-round candidate volume is laptop-class, every one of the
+    // ~10 shuffles × iters below is pure job-launch overhead over a
+    // few MB — run the identical rounds as plain Scala instead
+    // (measured at sf0.1 q27: 44 jobs / 3.8 s → 1 collect + the local
+    // loop). At corpus scale (or any layer past the bound) the
+    // distributed path below is untouched; an upper stack layer of a
+    // 10^9-row build that halves under the bound takes this path too,
+    // exactly as the serving walk keeps those layers in driver RAM.
+    // Bit-identical by construction (same init hash, same per-round
+    // sample orders, same (score, id) top-k ties — localScore is the
+    // spec-gated scalar twin of vec_l2) and spec-gated against the
+    // distributed build; localRows = 0 forces distributed.
+    if (n <= localRows &&
+        n * (if (midCap > 0) midCap.toLong * midCap else 4L * wk * wk) +
+          n * wk <= (1L << 23))
+      return buildLocal(base, wk, k, n, iters, seed, midCap)
 
     // ContextCleaner nudge gate + shuffle-width sizing share the same
     // structural number: the per-round candidate volume (n·midCap²
@@ -555,5 +576,131 @@ object NnDescent {
       .localCheckpoint(true)
     vecs.unpersist()
     out
+  }
+
+  /** The driver-resident build ([[build]]'s sub-bound fast path):
+    * the SAME rounds as [[buildAt]] — init hash, reverse cap and
+    * mid cap by the same per-round [[sampleOrder]] permutations
+    * (ties by id), shared-neighbor candidate pairs + current-edge
+    * add-back, per-src top-wk by (score, id), final top-k rerank —
+    * run as plain Scala over one bounded collect. Multiset
+    * faithfulness note: the distributed mid cap ranks the und
+    * MULTISET (edges ++ rev can repeat a pair), so the local cap
+    * takes the first midCap ROWS of the same ordered multiset;
+    * candidate pairs then dedupe through the per-src sets exactly as
+    * the distributed .distinct() does. Scoring drops endpoints with
+    * no vector row (the init hash targets the full [0, n) id ring;
+    * real id spaces have gaps) — the inner-join semantics of the
+    * distributed vector join.
+    */
+  private def buildLocal(
+      base: DataFrame,
+      wk: Int,
+      k: Int,
+      n: Long,
+      iters: Int,
+      seed: Long,
+      midCap: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val rows = base.select(col("id"), col("vec")).collect()
+    val vecs = new java.util.HashMap[Long, Array[Float]](rows.length * 2)
+    rows.foreach(r => vecs.put(r.getLong(0), r.getSeq[Float](1).toArray))
+    val ids = rows.map(_.getLong(0))
+    val m = VecMetric.Euclidean
+
+    def ord(x: Long, salt: Long, round: Int): Long =
+      Math.floorMod(
+        Math.floorMod(x, 1048576L) * mult(round, salt) + salt, 1048576L)
+
+    // init: k candidates per node from the multiplicative hash,
+    // self-loops dropped, deduped — [[buildAt]]'s expression verbatim
+    var edges: Array[(Long, Long)] = ids.flatMap { id =>
+      (1 to wk).map(i =>
+        id -> Math.floorMod((id + i * 7919L) * 2654435761L + seed, n))
+        .filter { case (a, b) => a != b }
+    }.distinct
+
+    // per-src top-k over a candidate array, the collect_topk order:
+    // (score asc, id asc); srcs/dsts without vectors drop
+    def topOf(src: Long, dsts: Array[Long], kk: Int): Array[(Double, Long)] = {
+      val sv = vecs.get(src)
+      if (sv == null) Array.empty
+      else dsts.iterator.flatMap { d =>
+        val dv = vecs.get(d)
+        if (dv == null) Iterator.empty
+        else Iterator((m.localScore(sv, dv), d))
+      }.toArray.sorted(Ordering.Tuple2(
+        Ordering.Double.TotalOrdering, Ordering.Long)).take(kk)
+    }
+    // parallel per-src map with deterministic output slots
+    def perSrc[T: scala.reflect.ClassTag](
+        srcs: Array[Long], dsts: Long => Array[Long],
+        f: (Long, Array[Long]) => T): Array[T] = {
+      val out = new Array[T](srcs.length)
+      java.util.stream.IntStream.range(0, srcs.length).parallel()
+        .forEach(i => out(i) = f(srcs(i), dsts(srcs(i))))
+      out
+    }
+
+    for (it <- 1 to iters) {
+      // reverse edges capped at wk per target by the round's sample
+      // order, ties by id
+      val byNb = edges.groupBy(_._2)
+      val rev: Iterator[(Long, Long)] = byNb.iterator.flatMap {
+        case (nb, es) =>
+          es.map(_._1).sortBy(src => (ord(src, 97L, it), src)).take(wk)
+            .map(src => nb -> src)
+      }
+      var und: Array[(Long, Long)] = edges ++ rev
+      if (midCap > 0)
+        und = und.groupBy(_._2).iterator.flatMap { case (_, rws) =>
+          rws.sortBy { case (id, _) => (ord(id, 131L, it), id) }
+            .take(midCap)
+        }.toArray
+      // candidate sets: nodes sharing a neighbor, plus the current
+      // edge list add-back; the per-src HashSet is the .distinct()
+      val cset = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+      def add(s: Long, d: Long): Unit =
+        if (s != d)
+          cset.computeIfAbsent(s, _ => new java.util.HashSet[Long]())
+            .add(d): Unit
+      und.groupBy(_._2).valuesIterator.foreach { grp =>
+        val srcs = grp.map(_._1)
+        var i = 0
+        while (i < srcs.length) {
+          var j = 0
+          while (j < srcs.length) {
+            if (i != j) add(srcs(i), srcs(j)); j += 1
+          }
+          i += 1
+        }
+      }
+      edges.foreach { case (s, d) => add(s, d) }
+      val srcs = new Array[Long](cset.size())
+      val itKeys = cset.keySet().iterator()
+      var si = 0
+      while (itKeys.hasNext) { srcs(si) = itKeys.next(); si += 1 }
+      val dstOf = (s: Long) => {
+        val hs = cset.get(s)
+        val a = new Array[Long](hs.size())
+        val hi = hs.iterator(); var i = 0
+        while (hi.hasNext) { a(i) = hi.next(); i += 1 }
+        a
+      }
+      edges = perSrc(srcs, dstOf,
+        (s: Long, ds: Array[Long]) => topOf(s, ds, wk).map(t => s -> t._2))
+        .flatten
+    }
+
+    // final top-k rerank of the working lists
+    val bySrc = edges.groupBy(_._1)
+    val srcs = bySrc.keysIterator.toArray
+    val out = perSrc(srcs, (s: Long) => bySrc(s).map(_._2),
+      (s: Long, ds: Array[Long]) =>
+        topOf(s, ds, k).zipWithIndex.map { case ((_, d), i) =>
+          (s, (i + 1).toLong, d)
+        }).flatten
+    out.toSeq.toDF("id", "rank", "neighbor_id")
   }
 }

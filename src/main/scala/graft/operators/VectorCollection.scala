@@ -63,6 +63,48 @@ class VectorCollection(
   private var pq: PqIndex.Model = _
   private var data: DataFrame = initial.localCheckpoint(true)
 
+  /** Driver-resident serving replica for the single-query path: a
+    * real vector DB answers query() from index state held in the
+    * serving process, and below [[ServeLocalRows]] entities the whole
+    * cell table IS that state (the same 64k driver budget as
+    * GraphSearch's driver-resident top). Populated lazily on first
+    * query(), invalidated by every mutation batch (rebuilt from the
+    * post-mutation assigned table — O(entities) ≤ the bound), absent
+    * above the bound or for quantized modes (their scans stay
+    * distributed) — so a corpus-scale collection never pays or holds
+    * it. Serving from it is bit-identical to the distributed probed
+    * scan: same probe cells (probedQueriesLocal math), localScore
+    * twins, (score, id) top-k ties — spec-gated against a 1-row
+    * batchQuery.
+    */
+  private val ServeLocalRows = 1L << 16
+  private var localCells:
+    java.util.HashMap[Int, Array[(Long, Array[Float])]] = _
+  private var localDirty = true
+
+  private def localServe():
+      Option[java.util.HashMap[Int, Array[(Long, Array[Float])]]] = {
+    if (localDirty) {
+      localDirty = false
+      localCells =
+        if (quantization != "none" || data.count() > ServeLocalRows) null
+        else {
+          val mp = new java.util.HashMap[Int,
+            scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]()
+          assigned.select(col("cluster"), col("id"), col("vec"))
+            .collect().foreach { r =>
+              mp.computeIfAbsent(r.getInt(0),
+                _ => scala.collection.mutable.ArrayBuffer.empty)
+                .append((r.getLong(1), r.getSeq[Float](2).toArray))
+            }
+          val out = new java.util.HashMap[Int, Array[(Long, Array[Float])]]()
+          mp.forEach((k, v) => out.put(k, v.toArray): Unit)
+          out
+        }
+    }
+    Option(localCells)
+  }
+
   def numEntities: Long = data.count()
 
   /** Build the IVF index (+ quantization model) over the current
@@ -103,6 +145,29 @@ class VectorCollection(
       filterExpr: Option[Column] = None): Seq[Long] = {
     requireIndex()
     import spark.implicits._
+    // driver-resident serve (see [[localServe]]): probe cells with
+    // the same driver math, scan them in process — ZERO Spark jobs
+    // per query. filterExpr references collection columns only the
+    // distributed scan carries, so a filtered query keeps that path.
+    if (filterExpr.isEmpty) localServe() match {
+      case Some(cells) =>
+        val probeIdx = cents.zipWithIndex.map { case (c, i) =>
+          var acc = 0.0; var j = 0
+          val m = math.min(v.length, c.length)
+          while (j < m) { val d = v(j).toDouble - c(j); acc += d * d; j += 1 }
+          (math.sqrt(acc), i)
+        }.sortBy { case (d, i) => (d, i) }.take(nprobe).map(_._2)
+        val ord: Ordering[(Double, Long)] =
+          if (metric.asc) Ordering.Tuple2(Ordering.Double.TotalOrdering,
+            Ordering.Long)
+          else Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse,
+            Ordering.Long)
+        return probeIdx.iterator
+          .flatMap(ci => Option(cells.get(ci)).iterator.flatten)
+          .map { case (id, vec) => (metric.localScore(v, vec), id) }
+          .toArray.sorted(ord).take(n).map(_._2).toSeq
+      case None => ()
+    }
     val probed = IvfIndex.probedQueriesLocal(spark, Seq((0L, v)),
       cents, nprobe)
     val base = filterExpr.map(assigned.filter).getOrElse(assigned)
@@ -256,6 +321,7 @@ class VectorCollection(
         withCodes(IvfIndex.assign(upserts, "vec", cents)), deletes, "id")
         .localCheckpoint(true)
     }
+    localDirty = true // the serving replica re-collects post-mutation
   }
 
   private def emptyKeys: DataFrame = {

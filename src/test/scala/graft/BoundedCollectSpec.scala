@@ -30,9 +30,15 @@ class BoundedCollectSpec extends AnyFunSuite {
     "operators/GraphSearch.scala" ->
       (10, "4x layer-membership histograms (<= levels rows); " +
         "2x top-of-stack vectors+edges above a histogram-sized cut " +
-        "(<= 64k rows by construction); <= nq query batch; " +
-        "insertBatch's mutation batch (<= driverTopRows by its own " +
-        "guard — bulk batches keep the all-distributed path)"),
+        "(<= driverTopRows = 64k member rows by construction — the " +
+        "cut may reach the base layer ONLY when the whole graph " +
+        "fits that bound, edges then <= 64k x 2 deg); <= nq query " +
+        "batch; insertBatch's mutation batch (<= driverTopRows by " +
+        "its own guard — bulk batches keep the all-distributed path)"),
+    "operators/NnDescent.scala" ->
+      (1, "driver-resident build's member collect: <= localRows " +
+        "(64k default) rows by build()'s own guard — corpus-scale " +
+        "builds keep the distributed path"),
     "operators/IvfIndex.scala" ->
       (4, "centroids (nlist <= 4096 rows); 3x probed cell-id lists " +
         "(<= nprobe x queries ints)"),
@@ -47,8 +53,10 @@ class BoundedCollectSpec extends AnyFunSuite {
     "operators/TextAnalysis.scala" ->
       (2, "two-level prefix sum: <= 4096 superbucket totals, twice"),
     "operators/VectorCollection.scala" ->
-      (1, "single-query serve result: k ids (the BaseANN query() " +
-        "contract returns a local list)"),
+      (2, "single-query serve result: k ids (the BaseANN query() " +
+        "contract returns a local list); driver-resident serving " +
+        "replica: <= ServeLocalRows (64k) entities by its own count " +
+        "guard — corpus-scale collections never build it"),
     "queries/AnalyticsQueries.scala" ->
       (3, "a12 mutation op batch (nOps = 32 rows, twice); a13 query " +
         "vector batch (A13NQ rows — the per-query latency series " +

@@ -20,6 +20,24 @@ class NnDescentSpec extends AnyFunSuite {
     assert(again.exceptAll(approx).count() == 0)
   }
 
+  test("driver-resident build is bit-identical to the distributed build") {
+    import graft.operators.NnDescent
+    val emb = Tables.embeddings(spark, sf)
+      .filter(graft.queries.Split.isTrain(col("vec_id")))
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .localCheckpoint(true)
+    // both the uncapped and the mid-capped rounds (the cap ranks the
+    // und MULTISET — the local twin must stay multiset-faithful)
+    for (mc <- Seq(0, 16)) {
+      val local = NnDescent.build(base, k = 5, midCap = mc)
+      val dist = NnDescent.build(base, k = 5, midCap = mc,
+        localRows = 0L) // force the distributed path
+      assert(local.exceptAll(dist).count() == 0 &&
+        dist.exceptAll(local).count() == 0,
+        s"local build diverged from distributed at midCap=$mc")
+    }
+  }
+
   test("mid-capped candidate sampling is deterministic and keeps most of the recall") {
     import graft.operators.NnDescent
     val emb = Tables.embeddings(spark, sf)
@@ -216,7 +234,11 @@ class NnDescentSpec extends AnyFunSuite {
       .filter(graft.queries.Split.isTrain(col("vec_id")))
     val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val e = intercept[IllegalArgumentException] {
-      NnDescent.build(base, k = 5, bcastRows = 1, scratchBudget = -1L)
+      // localRows = 0: the refusal under test lives on the
+      // distributed shuffle path; the driver-resident fast path
+      // never touches scratch
+      NnDescent.build(base, k = 5, bcastRows = 1, scratchBudget = -1L,
+        localRows = 0L)
     }
     assert(e.getMessage.contains("SPARK_GRAFT_NND_SCRATCH_GB"))
   }

@@ -85,6 +85,23 @@ class VectorCollectionSpec extends AnyFunSuite {
     }
   }
 
+  test("exact serving replica refreshes across mutations (CRUD on quant=none)") {
+    import spark.implicits._
+    val coll = new VectorCollection(spark, embBase)
+    coll.createIndex()
+    val v0 = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // local serve: self wins at distance 0
+    assert(coll.query(v0, 5).head == 0L)
+    // a duplicate insert must be visible to the NEXT query (the
+    // driver-resident replica re-collects post-mutation)
+    coll.insert(Seq((999999L, v0)).toDF("id", "vec"))
+    assert(coll.query(v0, 5).take(2).toSet == Set(0L, 999999L))
+    coll.delete(Seq(0L).toDF("id"))
+    val res = coll.query(v0, 5)
+    assert(res.head == 999999L && !res.contains(0L), s"$res")
+  }
+
   test("quantized serving: sq8 and pq collections keep the CRUD surface") {
     import spark.implicits._
     for (quant <- Seq("sq8", "pq")) {
