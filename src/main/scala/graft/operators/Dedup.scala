@@ -356,8 +356,48 @@ object Dedup {
     * what lets a recursive-CTE oracle replicate it.
     */
   def connectedComponents(pairs: DataFrame,
-      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      localRows: Long = 1L << 16): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // Driver-resident union-find for sub-bound pair sets: the
+    // min-label propagation below CONVERGES to "every node labelled
+    // with its component's minimum id" — an algorithm-independent
+    // fixpoint a local union-find computes identically, with zero
+    // per-round jobs (gate-scale dedup pair sets are a few hundred
+    // rows; each propagation round was a join + agg + checkpoint +
+    // convergence count). Above the bound — any corpus-scale dedup —
+    // the distributed rounds below run unchanged; localRows = 0
+    // forces them (spec-gated identical).
+    if (localRows > 0 &&
+        fwd.limit(localRows.toInt + 1).count() <= localRows) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      def add(x: Long): Unit =
+        if (!parent.containsKey(x)) parent.put(x, x): Unit
+      es.foreach { case (a, b) =>
+        add(a); add(b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(ra, rb): Unit
+      }
+      val minOf = new java.util.HashMap[Long, Long]()
+      val nodes = parent.keySet().toArray(Array.empty[java.lang.Long])
+      nodes.foreach { n =>
+        val r = find(n)
+        val cur = minOf.getOrDefault(r, Long.MaxValue)
+        if (n < cur) minOf.put(r, n.longValue()): Unit
+      }
+      return nodes.map(n => (n.longValue(), minOf.get(find(n)).longValue()))
+        .toSeq.toDF("doc_id", "cluster_id")
+    }
     // undirected edges + a self-loop per node: the self-loop folds a
     // node's own label into the same neighbor-min aggregation
     val und = fwd
@@ -370,13 +410,16 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
+      // prev rides the same aggregation (the self-loop row dst == src
+      // carries the node's own current label), so the convergence
+      // check is a memory-scan count instead of a second join
       val next = und
         .join(labels.select(col("src").as("dst"), col("comp")), "dst")
-        .groupBy("src").agg(min("comp").as("comp"))
+        .groupBy("src").agg(min("comp").as("comp"),
+          min(when(col("dst") === col("src"), col("comp"))).as("prev"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "src")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.select("src", "comp")
     }
     labels.select(col("src").as("doc_id"), col("comp").as("cluster_id"))
   }

@@ -100,10 +100,15 @@ object DocStream {
     // byte footprint (EventStream.statePartitionsFor): per-partition
     // store-commit cost is paid every micro-batch — especially under
     // maxFilesPerTrigger=1, where the spec's multi-batch layout
-    // commits each partition once per file
+    // commits each partition once per file. Floor 8, not cores: the
+    // per-key LIST state makes this entry COMMIT-bound at gate scale
+    // (r17 measured the sf0.1 micro-batch at 1.5 s with 8 state
+    // partitions vs 2.2 s with 32 on the same 32-core box — the
+    // q40/q38/q43 behavior class, not q32/q33/q34's), and at scale
+    // the byte term sizes the layout anyway
     EventStream.withStatePartitions(spark,
       EventStream.statePartitionsForGlob(spark, sfDir,
-        "documents*.parquet", EventStream.coresFloor(spark))) {
+        "documents*.parquet", 8)) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = pairs.writeStream
         .option("checkpointLocation", chk)

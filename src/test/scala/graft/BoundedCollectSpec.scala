@@ -27,6 +27,10 @@ class BoundedCollectSpec extends AnyFunSuite {
   private val audited: Map[String, (Int, String)] = Map(
     "operators/BinIvf.scala" ->
       (1, "binary centroid codebook: nlist rows"),
+    "operators/Dedup.scala" ->
+      (1, "driver-resident union-find's pair collect: <= localRows " +
+        "(64k default) rows by its own limit+count guard — " +
+        "corpus-scale dedup keeps the distributed propagation"),
     "operators/GraphSearch.scala" ->
       (10, "4x layer-membership histograms (<= levels rows); " +
         "2x top-of-stack vectors+edges above a histogram-sized cut " +

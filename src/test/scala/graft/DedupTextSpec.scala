@@ -234,6 +234,20 @@ class DedupTextSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(pairs).count() == 0)
   }
 
+  test("driver-resident union-find == distributed label propagation") {
+    import spark.implicits._
+    // a shape with a long chain (many propagation rounds), a cycle,
+    // reversed-order edges and a duplicate edge
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L),
+      (30L, 31L), (31L, 30L), (40L, 41L), (41L, 42L), (42L, 40L),
+      (40L, 41L)).toDF("doc_a", "doc_b")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = norm(Dedup.connectedComponents(pairs))
+    val dist = norm(Dedup.connectedComponents(pairs, localRows = 0L))
+    assert(local == dist, s"local $local != distributed $dist")
+  }
+
   test("piiScrub redacts planted PII and counts it, leaves clean text alone") {
     import spark.implicits._
     val docs = Seq(
