@@ -622,16 +622,35 @@ object NnDescent {
     }.distinct
 
     // per-src top-k over a candidate array, the collect_topk order:
-    // (score asc, id asc); srcs/dsts without vectors drop
+    // (score asc, id asc); srcs/dsts without vectors drop. Bounded
+    // insertion into primitive arrays — the hot loop scores ~n·(2wk)²
+    // pairs per round, and a boxed sort per src dominated the wall
     def topOf(src: Long, dsts: Array[Long], kk: Int): Array[(Double, Long)] = {
       val sv = vecs.get(src)
-      if (sv == null) Array.empty
-      else dsts.iterator.flatMap { d =>
+      if (sv == null) return Array.empty
+      val ss = new Array[Double](kk)
+      val dd = new Array[Long](kk)
+      var cnt = 0
+      var i = 0
+      while (i < dsts.length) {
+        val d = dsts(i)
         val dv = vecs.get(d)
-        if (dv == null) Iterator.empty
-        else Iterator((m.localScore(sv, dv), d))
-      }.toArray.sorted(Ordering.Tuple2(
-        Ordering.Double.TotalOrdering, Ordering.Long)).take(kk)
+        if (dv != null) {
+          val s = m.localScore(sv, dv)
+          if (cnt < kk || s < ss(cnt - 1) ||
+              (s == ss(cnt - 1) && d < dd(cnt - 1))) {
+            var p = if (cnt < kk) cnt else kk - 1
+            while (p > 0 && (s < ss(p - 1) ||
+                (s == ss(p - 1) && d < dd(p - 1)))) {
+              ss(p) = ss(p - 1); dd(p) = dd(p - 1); p -= 1
+            }
+            ss(p) = s; dd(p) = d
+            if (cnt < kk) cnt += 1
+          }
+        }
+        i += 1
+      }
+      Array.tabulate(cnt)(j => (ss(j), dd(j)))
     }
     // parallel per-src map with deterministic output slots
     def perSrc[T: scala.reflect.ClassTag](

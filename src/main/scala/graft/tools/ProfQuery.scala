@@ -47,6 +47,19 @@ object ProfQuery {
         }
     })
 
+    // streaming entries: print Spark's own per-batch duration
+    // breakdown (triggerExecution / queryPlanning / stateCommit ...)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit =
+          println(s"  stream ${e.name} started")
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          println(s"  stream batch ${e.progress.batchId} durationMs=" +
+            e.progress.durationMs)
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      })
+
     (1 to runs).foreach { r =>
       jobs.synchronized(jobs.clear())
       val t0 = System.nanoTime()
