@@ -54,32 +54,31 @@ object EventStream {
     * of source, capped at 4096 — at 100 TB/day the byte term picks
     * the count; state volume, not a constant, must size the layout.
     *
-    * `floor` is the gate-scale (bytes « 64 MB·cores) knob, and the
-    * right floor depends on the query's STORES-PER-PARTITION — both
-    * directions measured at sf0.1, same window:
-    *  - q40's stream-stream join keeps 4 stores per partition, so
-    *    per-partition commit cost dominates: 32 partitions measured
-    *    5.4 s of its 5.4 s wall in pure store commits vs 2.1 s at 8
-    *    → floor 8.
-    *  - single-store entries (windowed aggs, dropDuplicates,
-    *    flatMapGroupsWithState) pay 1/4 of that commit constant and
-    *    are PARALLELISM-bound instead: flooring them at 8 measured
-    *    q34 3.42 s vs 1.25 s, q33 2.88 vs 1.77, q32 3.69 vs 2.38 at
-    *    the 32-partition default (only 8 of 32 cores doing the
-    *    stateful stage) → floor defaultParallelism.
-    *  - EXCEPT single-store entries whose SINK commit scales with the
-    *    partition count: complete-mode rewrites (q38) and per-flush
-    *    file commits (q43) behave commit-bound at gate scale despite
-    *    the single store → floor 8, measured at their call sites.
+    * `floor` is the gate-scale (bytes « 64 MB·cores) knob. History,
+    * because the right value has MOVED with the code: r15 measured
+    * the single-store entries (windowed aggs, dropDuplicates,
+    * flatMapGroupsWithState) parallelism-bound (q34 3.42 s floored
+    * at 8 vs 1.25 s at the 32-partition default) and the multi-store/
+    * heavy-commit entries (q40's 4-store join, q38's complete-mode
+    * rewrite, q43's per-flush file commits) commit-bound → split
+    * floors. Re-measured in r17 (same box, 32 cores, warm JVM,
+    * floor 8 vs floor 32 at sf0.1): EVERY stateful entry is now
+    * commit-bound at gate scale — q32 2.0-2.4 vs 3.1-3.2 s,
+    * q33 1.5-1.7 vs 2.1-2.2, q34 1.6-2.3 vs 2.0-2.1, q31 1.4-1.6 vs
+    * 1.7-1.9 — the r15 parallelism-bound regime no longer reproduces
+    * (the stateful stages' per-row work shrank across rounds while
+    * the per-partition commit constant did not). Floor 8 everywhere;
+    * at 100 TB/day the byte term picks the count regardless.
     */
   private[streaming] def statePartitionsFor(
       spark: SparkSession, path: String, floor: Int): Int =
     sizePartitions(spark.read.parquet(path)
       .queryExecution.optimizedPlan.stats.sizeInBytes, floor)
 
-  /** The single-store floor: every core runs a state partition. */
-  private[streaming] def coresFloor(spark: SparkSession): Int =
-    spark.sparkContext.defaultParallelism
+  /** The gate-scale state-partition floor (see [[statePartitionsFor]]
+    * — r17 re-measured every stateful entry commit-bound).
+    */
+  private[streaming] def stateFloor(spark: SparkSession): Int = 8
 
   /** [[statePartitionsFor]] over a directory + glob — the layout the
     * document stream reads (documents*.parquet slices, one per
@@ -137,7 +136,7 @@ object EventStream {
     // store-commit cost each micro-batch, so the count must track
     // state volume, not the session's batch-shuffle default
     withStatePartitions(spark,
-      statePartitionsFor(spark, s"$sfDir/events.parquet", coresFloor(spark))) {
+      statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor(spark))) {
       Checkpoints.withEphemeral("graft_chk_") { chk =>
         val q = agg.writeStream
           .option("checkpointLocation", chk)
@@ -179,7 +178,7 @@ object EventStream {
         col("event_type"), col("n_events"), col("value_cents"))
     val out = java.nio.file.Files
       .createTempDirectory("graft_file_sink").toString
-    // byte-driven state sizing, but floor 8, not coresFloor: the
+    // byte-driven state sizing, but floor 8 (pre-r17 note; now the shared stateFloor): the
     // parquet sink commits one FILE per non-empty partition per flush
     // (plus the sink-log entry), so at gate scale this entry is
     // commit/file-bound like q40, not parallelism-bound (same-window
@@ -223,7 +222,7 @@ object EventStream {
       .select("user_id", "event_type", "hour_start")
     val sink = s"graft_dedup_${nameCounter.incrementAndGet()}"
     withStatePartitions(spark,
-      statePartitionsFor(spark, s"$sfDir/events.parquet", coresFloor(spark))) {
+      statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor(spark))) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = deduped.writeStream
         .option("checkpointLocation", chk)
@@ -279,7 +278,7 @@ object EventStream {
       .toDF("user_id", "ts_us", "event_id", "event_type", "value_cents")
     val sink = s"graft_upsert_${nameCounter.incrementAndGet()}"
     withStatePartitions(spark,
-      statePartitionsFor(spark, s"$sfDir/events.parquet", coresFloor(spark))) {
+      statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor(spark))) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = merged.writeStream
         .option("checkpointLocation", chk)
@@ -339,7 +338,7 @@ object EventStream {
         unix_timestamp(col("w.start")).as("hour_start"),
         col("c_mktsegment").as("segment"), col("n_events"), col("value_cents"))
     val sink = s"graft_enrich_${nameCounter.incrementAndGet()}"
-    // floor 8, not coresFloor: this entry is single-store but COMPLETE
+    // floor 8 (pre-r17 note; now the shared stateFloor): single-store but COMPLETE
     // mode — every commit rewrites the whole per-partition result into
     // the sink, so like q40's multi-store join it is commit-bound at
     // gate scale, not parallelism-bound (same-window A/B at sf0.1:
@@ -404,7 +403,7 @@ object EventStream {
         unix_micros(col("error_time")).as("error_us"),
         unix_micros(col("click_time")).as("click_us"))
     val sink = s"graft_ssjoin_${nameCounter.incrementAndGet()}"
-    // floor 8, NOT coresFloor: the interval join keeps 4 state stores
+    // floor 8 (pre-r17 note; now the shared stateFloor): the interval join keeps 4 state stores
     // per partition, so the commit constant dominates at gate scale
     // (measured 5.4 s at 32 partitions vs 2.1 s at 8)
     val parts = statePartitionsFor(spark, s"$sfDir/events.parquet", 8)
@@ -446,7 +445,7 @@ object EventStream {
         col("user_id"), col("n_events"))
     val sink = s"graft_sessions_${nameCounter.incrementAndGet()}"
     withStatePartitions(spark,
-      statePartitionsFor(spark, s"$sfDir/events.parquet", coresFloor(spark))) {
+      statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor(spark))) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = agg.writeStream
         .option("checkpointLocation", chk)
