@@ -39,6 +39,19 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate (collect_list/collect_topk folds) falls
+      // back to SORT-BASED aggregation once a task's hash map holds
+      // 128 groups (the conservative default) — an external sort of
+      // every input row. Every object agg in this engine keeps
+      // bounded per-group state (collect_topk is O(k); the BM25/
+      // substring/shingle folds are bounded by terms-per-doc), so the
+      // map is small even at 64k groups and the fallback is pure
+      // overhead: measured at sf0.1/local[32], t06 1.82->1.63 s and
+      // q41 3.63->3.09 s min-of-5. Scale-safe for the same reason —
+      // per-group payloads stay KB-sized at any corpus size; override
+      // per-session if an unbounded-group aggregate is ever added.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       // Spark 4.1: InferFiltersFromConstraints substitutes alias-
       // defined join keys (e.g. an IVF cluster assignment computed
       // from the base scan) into inferred predicates and pushes them

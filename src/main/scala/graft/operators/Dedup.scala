@@ -368,8 +368,12 @@ object Dedup {
     // convergence count). Above the bound — any corpus-scale dedup —
     // the distributed rounds below run unchanged; localRows = 0
     // forces them (spec-gated identical).
+    // clamp before the Int cast: localRows near Int.MaxValue would
+    // overflow to a negative limit and throw instead of falling back
+    // to the distributed path
+    val localLim = math.min(localRows, (Int.MaxValue - 1).toLong)
     if (localRows > 0 &&
-        fwd.limit(localRows.toInt + 1).count() <= localRows) {
+        fwd.limit(localLim.toInt + 1).count() <= localLim) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))

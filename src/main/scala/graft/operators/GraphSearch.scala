@@ -968,10 +968,19 @@ object GraphSearch {
       case (acc, l) => acc.when(col("layer") === l, cap(l))
     }
     val deg = lg.groupBy("layer", "id").agg(count(lit(1)).as("d"))
+    // hot feeds the cold anti-join AND the ranked join: materialise
+    // the tiny (touched-node) list or the degree histogram runs twice
     val hot = deg.filter(col("d") > capCol).select("layer", "id")
+      .localCheckpoint(true)
     val cold = lg.join(hot, Seq("layer", "id"), "left_anti")
     // rank the hot nodes' current neighbors by (distance, id) —
-    // the candidate order the heuristic prunes in everywhere else
+    // the candidate order the heuristic prunes in everywhere else.
+    // Materialised: diversifyBy consumes it THREE times (ci, cj, the
+    // backfill join), and an unmaterialised input triples this whole
+    // join+window subtree in the physical plan (q58 read 52 Exchanges
+    // from exactly that). O(touched · cap) rows, no vector payload —
+    // the compaction slice, never O(|E|), so driver/executor-safe at
+    // any scale.
     val ranked = lg.join(hot, Seq("layer", "id"))
       .join(vecs.select(col("id"), col("vec").as("v0")), "id")
       .join(vecs.select(col("id").as("neighbor_id"),
@@ -981,6 +990,7 @@ object GraphSearch {
           .orderBy(metric.score(col("v0"), col("vn")),
             col("neighbor_id"))))
       .select(col("layer"), col("id"), col("rank"), col("neighbor_id"))
+      .localCheckpoint(true)
     val kept = diversifyBy(ranked, base, capCol, metric, backfill = true,
       nKnown = -1L, bcastRows = 1L << 22, extraKeys = Seq("layer"))
       .select(col("layer"), col("id"), col("neighbor_id"))

@@ -182,7 +182,7 @@ object IvfIndex {
       upsAssigned0: DataFrame,
       deletes: DataFrame): Unit = {
     val upsAssigned = upsAssigned0.localCheckpoint(true)
-    val idx = spark.read.parquet(path)
+    val idx = graft.Tables.parquetAt(spark, path)
     val touchedKeys = upsAssigned.select("id")
       .unionAll(deletes.select("id")).distinct()
     val touched = idx.join(touchedKeys, "id").select("cluster")
@@ -223,7 +223,7 @@ object IvfIndex {
     // collect; isin() on the partition column prunes directories
     val cells = probed.select("cluster").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val scan = spark.read.parquet(indexPath)
+    val scan = graft.Tables.parquetAt(spark, indexPath)
       .filter(col("cluster").isin(cells: _*))
     val scored = scan
       .join(broadcast(probed), "cluster")

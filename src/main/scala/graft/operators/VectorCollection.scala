@@ -120,6 +120,10 @@ class VectorCollection(
     }
     assigned = withCodes(IvfIndex.assign(data, "vec", cents))
       .localCheckpoint(true)
+    // a re-index after mutations re-samples centroids and re-clusters:
+    // the serving replica is keyed by the OLD clustering and must be
+    // rebuilt, or query() probes new centroids against stale cells
+    localDirty = true
   }
 
   /** Encode a batch against the FROZEN quantization model. */

@@ -56,15 +56,15 @@ object DataGenQueries {
         max(width).cast("long").as("width"))
         .withColumn("dataset", lit(name))
         .select("dataset", "n_rows", "n_train", "n_test", "width")
-    val ft = s.read.parquet(s"$p/filter")
-    summarize("float", s.read.parquet(s"$p/float"), size(col("embedding")))
-      .unionAll(summarize("bitstring", s.read.parquet(s"$p/bitstring"),
+    val ft = graft.Tables.parquetAt(s, s"$p/filter")
+    summarize("float", graft.Tables.parquetAt(s, s"$p/float"), size(col("embedding")))
+      .unionAll(summarize("bitstring", graft.Tables.parquetAt(s, s"$p/bitstring"),
         size(col("bits"))))
-      .unionAll(summarize("jaccard", s.read.parquet(s"$p/jaccard"),
+      .unionAll(summarize("jaccard", graft.Tables.parquetAt(s, s"$p/jaccard"),
         size(col("elems"))))
       .unionAll(summarize("filter", ft,
         lit(ft.columns.count(_.startsWith("label_")))))
-      .unionAll(summarize("mv", s.read.parquet(s"$p/mv"),
+      .unionAll(summarize("mv", graft.Tables.parquetAt(s, s"$p/mv"),
         size(col("field_0")) + size(col("field_1")) +
           size(col("field_2")) + size(col("field_3"))))
       .orderBy("dataset")

@@ -305,7 +305,7 @@ object IndexQueries {
     val probed = IvfIndex.probedQueries(queries, cents, NProbe)
     val cells = probed.select("cluster").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val scan = s.read.parquet(path).filter(col("cluster").isin(cells: _*))
+    val scan = Tables.parquetAt(s, path).filter(col("cluster").isin(cells: _*))
       .withColumn("codes", transform(col("codes"),
         c => c.cast("int") + lit(128)))
     val scored = scan
@@ -432,7 +432,7 @@ object IndexQueries {
         .write.mode("overwrite").partitionBy("layer").parquet(p)
       (p, lv)
     }
-    ranked(GraphSearch.hierarchicalSearch(base, s.read.parquet(path),
+    ranked(GraphSearch.hierarchicalSearch(base, Tables.parquetAt(s, path),
       queries, K, HierBeam, HierRounds, levels, UpperBeam))
   }
 
@@ -456,7 +456,7 @@ object IndexQueries {
         .write.mode("overwrite").partitionBy("layer").parquet(p)
       (p, lv)
     }
-    ranked(GraphSearch.hierarchicalSearch(base, s.read.parquet(path),
+    ranked(GraphSearch.hierarchicalSearch(base, Tables.parquetAt(s, path),
       queries, K, HierBeam, HierRounds, levels, UpperBeam))
   }
 
@@ -521,7 +521,7 @@ object IndexQueries {
         .write.mode("overwrite").partitionBy("layer").parquet(p)
       (p, lv)
     }
-    ranked(GraphSearch.hierarchicalSearch(base, s.read.parquet(path),
+    ranked(GraphSearch.hierarchicalSearch(base, Tables.parquetAt(s, path),
       queries, K, HierBeam, HierRounds, levels, UpperBeam))
   }
 
@@ -576,7 +576,7 @@ object IndexQueries {
         .write.mode("overwrite").partitionBy("layer").parquet(p)
       (p, lv)
     }
-    (kept, batch, s.read.parquet(path), levels)
+    (kept, batch, Tables.parquetAt(s, path), levels)
   }
 
   /** q58: GRAPH-index COMPACTION — the maintenance pass that closes
@@ -614,7 +614,7 @@ object IndexQueries {
     // union+distinct would otherwise be recomputed on every scan —
     // |E|-sized once, job-count-sized saved
     val merged = stack.select("layer", "id", "neighbor_id")
-      .unionByName(s.read.parquet(edgesPath)
+      .unionByName(Tables.parquetAt(s, edgesPath)
         .select("layer", "id", "neighbor_id"))
       .distinct()
       .localCheckpoint(true)
@@ -683,7 +683,7 @@ object IndexQueries {
         .write.mode("overwrite").partitionBy("layer").parquet(p)
       (p, lv)
     }
-    val stack = s.read.parquet(path)
+    val stack = Tables.parquetAt(s, path)
     val tomb = base.filter(col("id") % MutMod === DelRes).select("id")
     val updNew = base.filter(col("id") % MutMod === UpdRes)
       .select(col("id"), reverse(col("vec")).as("vec"))

@@ -50,7 +50,7 @@ object DocStream {
       seed: Long = 42L,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val schema = graft.Tables.schemaAt(spark, s"$sfDir/documents.parquet")
     // documents*.parquet: the driver layout is one documents.parquet
     // file; the multi-batch spec lays out documents_0..N.parquet so
     // each becomes its own micro-batch
@@ -108,7 +108,7 @@ object DocStream {
     // the byte term sizes the layout anyway
     EventStream.withStatePartitions(spark,
       EventStream.statePartitionsForGlob(spark, sfDir,
-        "documents*.parquet", 8)) {
+        "documents*.parquet", EventStream.stateFloor)) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = pairs.writeStream
         .option("checkpointLocation", chk)
@@ -149,7 +149,7 @@ object DocStream {
       hotF: Int = 65536,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.DataFrame
-    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batchDocs = graft.Tables.parquetAt(spark, s"$sfDir/documents.parquet")
     val model = graft.operators.TextAnalysis.ngramCounts(batchDocs)
       .localCheckpoint(true)
     val schema = batchDocs.schema

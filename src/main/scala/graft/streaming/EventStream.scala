@@ -72,13 +72,13 @@ object EventStream {
     */
   private[streaming] def statePartitionsFor(
       spark: SparkSession, path: String, floor: Int): Int =
-    sizePartitions(spark.read.parquet(path)
+    sizePartitions(graft.Tables.parquetAt(spark, path)
       .queryExecution.optimizedPlan.stats.sizeInBytes, floor)
 
   /** The gate-scale state-partition floor (see [[statePartitionsFor]]
     * — r17 re-measured every stateful entry commit-bound).
     */
-  private[streaming] def stateFloor(spark: SparkSession): Int = 8
+  private[streaming] def stateFloor: Int = 8
 
   /** [[statePartitionsFor]] over a directory + glob — the layout the
     * document stream reads (documents*.parquet slices, one per
@@ -87,7 +87,9 @@ object EventStream {
     */
   private[streaming] def statePartitionsForGlob(
       spark: SparkSession, dir: String, glob: String, floor: Int): Int =
-    sizePartitions(spark.read.option("pathGlobFilter", glob).parquet(dir)
+    sizePartitions(spark.read
+      .schema(graft.Tables.schemaAt(spark, s"$dir/$glob"))
+      .option("pathGlobFilter", glob).parquet(dir)
       .queryExecution.optimizedPlan.stats.sizeInBytes, floor)
 
   private def sizePartitions(bytes: BigInt, floor: Int): Int =
@@ -113,7 +115,7 @@ object EventStream {
     * integer cents, so results are order-independent and exact).
     */
   def hourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.Tables.schemaAt(spark, s"$sfDir/events.parquet")
     // the streaming file source wants a directory: stream the sf dir
     // with a glob that selects only the events table
     val stream = spark.readStream.schema(schema)
@@ -136,7 +138,7 @@ object EventStream {
     // store-commit cost each micro-batch, so the count must track
     // state volume, not the session's batch-shuffle default
     withStatePartitions(spark,
-      statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor(spark))) {
+      statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor)) {
       Checkpoints.withEphemeral("graft_chk_") { chk =>
         val q = agg.writeStream
           .option("checkpointLocation", chk)
@@ -162,7 +164,7 @@ object EventStream {
     * window_end <= max(ts) predicate q32 gates on.
     */
   def hourlyAggFileSink(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.Tables.schemaAt(spark, s"$sfDir/events.parquet")
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
@@ -186,7 +188,7 @@ object EventStream {
     // The byte term still governs at real scale, where it also bounds
     // the file count per window flush.
     withStatePartitions(spark,
-      statePartitionsFor(spark, s"$sfDir/events.parquet", 8)) {
+      statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor)) {
       val q = agg.writeStream
         .outputMode("append")
         .format("parquet")
@@ -209,7 +211,7 @@ object EventStream {
     * batch-reproducible.
     */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.Tables.schemaAt(spark, s"$sfDir/events.parquet")
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
@@ -222,7 +224,7 @@ object EventStream {
       .select("user_id", "event_type", "hour_start")
     val sink = s"graft_dedup_${nameCounter.incrementAndGet()}"
     withStatePartitions(spark,
-      statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor(spark))) {
+      statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor)) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = deduped.writeStream
         .option("checkpointLocation", chk)
@@ -250,7 +252,7 @@ object EventStream {
     */
   def streamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.Tables.schemaAt(spark, s"$sfDir/events.parquet")
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
@@ -278,7 +280,7 @@ object EventStream {
       .toDF("user_id", "ts_us", "event_id", "event_type", "value_cents")
     val sink = s"graft_upsert_${nameCounter.incrementAndGet()}"
     withStatePartitions(spark,
-      statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor(spark))) {
+      statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor)) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = merged.writeStream
         .option("checkpointLocation", chk)
@@ -319,8 +321,8 @@ object EventStream {
     * batch-reproducible.
     */
   def enrichedHourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+    val schema = graft.Tables.schemaAt(spark, s"$sfDir/events.parquet")
+    val dim = graft.Tables.parquetAt(spark, s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
@@ -345,7 +347,7 @@ object EventStream {
     // 1.37 s at floor 8 vs 1.73 at defaultParallelism). The byte term
     // still governs at real scale.
     withStatePartitions(spark,
-      statePartitionsFor(spark, s"$sfDir/events.parquet", 8)) {
+      statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor)) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = agg.writeStream
         .option("checkpointLocation", chk)
@@ -374,7 +376,7 @@ object EventStream {
     * pair set).
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.Tables.schemaAt(spark, s"$sfDir/events.parquet")
     // ONE streaming source split by filter into the two sides (a
     // streaming self-join): both sides share a single
     // FileStreamSource, so each micro-batch lists and admits the
@@ -406,7 +408,7 @@ object EventStream {
     // floor 8 (pre-r17 note; now the shared stateFloor): the interval join keeps 4 state stores
     // per partition, so the commit constant dominates at gate scale
     // (measured 5.4 s at 32 partitions vs 2.1 s at 8)
-    val parts = statePartitionsFor(spark, s"$sfDir/events.parquet", 8)
+    val parts = statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor)
     withStatePartitions(spark, parts) {
       Checkpoints.withEphemeral("graft_chk_") { chk =>
         val q = joined.writeStream
@@ -430,7 +432,7 @@ object EventStream {
     * batch-reproducible, so it oracle-checks.
     */
   def sessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.Tables.schemaAt(spark, s"$sfDir/events.parquet")
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
@@ -445,7 +447,7 @@ object EventStream {
         col("user_id"), col("n_events"))
     val sink = s"graft_sessions_${nameCounter.incrementAndGet()}"
     withStatePartitions(spark,
-      statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor(spark))) {
+      statePartitionsFor(spark, s"$sfDir/events.parquet", stateFloor)) {
     Checkpoints.withEphemeral("graft_chk_") { chk =>
       val q = agg.writeStream
         .option("checkpointLocation", chk)

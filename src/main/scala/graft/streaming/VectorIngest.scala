@@ -26,7 +26,7 @@ object VectorIngest {
     */
   def streamIndexIngest(spark: SparkSession, sfDir: String,
       cents: Array[Array[Double]]): String = {
-    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val schema = graft.Tables.schemaAt(spark, s"$sfDir/embeddings.parquet")
     val idxPath = Files.createTempDirectory("graft_stream_ivf").toString
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet")

@@ -27,6 +27,10 @@ object ProfQuery {
     final case class JobRec(id: Int, desc: String, start: Long,
         var end: Long = 0L, var stages: Int = 0, var tasks: Int = 0)
     val jobs = mutable.LinkedHashMap.empty[Int, JobRec]
+    // stage -> job via the job's declared stageIds: concurrent /
+    // overlapping jobs (streaming entries, AQE subqueries) would be
+    // misattributed by any "first unfinished job" heuristic
+    val stageToJob = mutable.HashMap.empty[Int, Int]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties)
@@ -35,13 +39,14 @@ object ProfQuery {
           .getOrElse("")
         jobs.synchronized {
           jobs(e.jobId) = JobRec(e.jobId, d.take(100), e.time)
+          e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
         }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized { jobs.get(e.jobId).foreach(_.end = e.time) }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
-          jobs.values.find(j => j.end == 0L).foreach { j =>
+          stageToJob.get(e.stageInfo.stageId).flatMap(jobs.get).foreach { j =>
             j.stages += 1; j.tasks += e.stageInfo.numTasks
           }
         }

@@ -67,7 +67,11 @@ class BoundedCollectSpec extends AnyFunSuite {
         "is driver-timed by design)"),
     "queries/IndexQueries.scala" ->
       (2, "probed cell ids (nprobe ints); vocabulary ranking " +
-        "(VocabSize rows)"))
+        "(VocabSize rows)"),
+    "queries/TextQueries.scala" ->
+      (2, "q41's two rank lists: <= NQ x k rows each BY CONSTRUCTION " +
+        "(top-k per bounded benchmark query, Split.isQuery) — the " +
+        "driver-side RRF fusion's inputs at any corpus size"))
 
   /** Driver-materialisation calls the scan flags. `collect()` plus
     * the aliases that smuggle the same thing.

@@ -100,6 +100,16 @@ class VectorCollectionSpec extends AnyFunSuite {
     coll.delete(Seq(0L).toDF("id"))
     val res = coll.query(v0, 5)
     assert(res.head == 999999L && !res.contains(0L), s"$res")
+    // a RE-INDEX after mutations re-samples centroids over the mutated
+    // data: the replica must be rebuilt against the NEW clustering
+    // (stale cells + new probe math silently returns wrong neighbors)
+    coll.createIndex()
+    val res2 = coll.query(v0, 5)
+    assert(res2.head == 999999L && !res2.contains(0L), s"post-reindex $res2")
+    val batch2 = coll
+      .batchQuery(Seq((0L, v0)).toDF("query_id", "qvec"), 5)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(res2 == batch2, s"post-reindex fast=$res2 batch=$batch2")
   }
 
   test("quantized serving: sq8 and pq collections keep the CRUD surface") {
