@@ -604,122 +604,355 @@ object NnDescent {
     val spark = base.sparkSession
     import spark.implicits._
     val rows = base.select(col("id"), col("vec")).collect()
-    val vecs = new java.util.HashMap[Long, Array[Float]](rows.length * 2)
-    rows.foreach(r => vecs.put(r.getLong(0), r.getSeq[Float](1).toArray))
-    val ids = rows.map(_.getLong(0))
+    val nv = rows.length
+    // (sorted id -> vec) parallel arrays: primitive binary-search
+    // lookup. The loop's previous boxed structures (tuple edge
+    // arrays, HashMap[Long, HashSet[Long]] candidate sets) spent more
+    // wall on allocation than on scoring (q27: 1.2 s driver loop for
+    // ~0.2 s of distances); everything below is primitive arrays.
+    // Selection semantics are UNCHANGED — every cap/top-k picks by a
+    // total order ((ord, id) sample ranks, (score, id) ties), so
+    // the results are independent of grouping/iteration order and
+    // stay bit-identical to the distributed build (spec-gated).
+    val perm = Array.range(0, nv).sortBy(rows(_).getLong(0))
+    val idArr = new Array[Long](nv)
+    val vecArr = new Array[Array[Float]](nv)
+    var vi = 0
+    while (vi < nv) {
+      val r = rows(perm(vi))
+      idArr(vi) = r.getLong(0)
+      vecArr(vi) = r.getSeq[Float](1).toArray
+      vi += 1
+    }
+    def vecOf(id: Long): Array[Float] = {
+      val s = java.util.Arrays.binarySearch(idArr, id)
+      if (s >= 0) vecArr(s) else null
+    }
     val m = VecMetric.Euclidean
 
     def ord(x: Long, salt: Long, round: Int): Long =
       Math.floorMod(
         Math.floorMod(x, 1048576L) * mult(round, salt) + salt, 1048576L)
 
-    // init: k candidates per node from the multiplicative hash,
-    // self-loops dropped, deduped — [[buildAt]]'s expression verbatim
-    var edges: Array[(Long, Long)] = ids.flatMap { id =>
-      (1 to wk).map(i =>
-        id -> Math.floorMod((id + i * 7919L) * 2654435761L + seed, n))
-        .filter { case (a, b) => a != b }
-    }.distinct
+    // quicksort of idx(lo..hi) by a long key — index-permutation
+    // grouping (group by dst/src) without boxing
+    def qsortIdx(idx: Array[Int], lo0: Int, hi0: Int,
+        key: Array[Long]): Unit = {
+      var stack = List((lo0, hi0))
+      while (stack.nonEmpty) {
+        val (lo, hi) = stack.head; stack = stack.tail
+        if (hi - lo < 24) { // insertion sort small ranges
+          var i = lo + 1
+          while (i <= hi) {
+            val t = idx(i); val kt = key(t); var j = i - 1
+            while (j >= lo && key(idx(j)) > kt) { idx(j + 1) = idx(j); j -= 1 }
+            idx(j + 1) = t; i += 1
+          }
+        } else {
+          val mid = lo + ((hi - lo) >> 1)
+          val p = key(idx(mid))
+          var i = lo; var j = hi
+          while (i <= j) {
+            while (key(idx(i)) < p) i += 1
+            while (key(idx(j)) > p) j -= 1
+            if (i <= j) { val t = idx(i); idx(i) = idx(j); idx(j) = t; i += 1; j -= 1 }
+          }
+          if (lo < j) stack = (lo, j) :: stack
+          if (i < hi) stack = (i, hi) :: stack
+        }
+      }
+    }
+    // in-place sort of a(lo..hi-1) by (ord(x, salt, round), x) — the
+    // per-round sample rank with id ties, exactly sortBy's key
+    def sortByOrd(a: Array[Long], lo0: Int, hi0: Int,
+        salt: Long, round: Int): Unit = {
+      def lt(x: Long, y: Long): Boolean = {
+        val ox = ord(x, salt, round); val oy = ord(y, salt, round)
+        ox < oy || (ox == oy && x < y)
+      }
+      var stack = List((lo0, hi0 - 1))
+      while (stack.nonEmpty) {
+        val (lo, hi) = stack.head; stack = stack.tail
+        if (hi - lo < 24) {
+          var i = lo + 1
+          while (i <= hi) {
+            val t = a(i); var j = i - 1
+            while (j >= lo && lt(t, a(j))) { a(j + 1) = a(j); j -= 1 }
+            a(j + 1) = t; i += 1
+          }
+        } else {
+          val p = a(lo + ((hi - lo) >> 1))
+          var i = lo; var j = hi
+          while (i <= j) {
+            while (lt(a(i), p)) i += 1
+            while (lt(p, a(j))) j -= 1
+            if (i <= j) { val t = a(i); a(i) = a(j); a(j) = t; i += 1; j -= 1 }
+          }
+          if (lo < j) stack = (lo, j) :: stack
+          if (i < hi) stack = (i, hi) :: stack
+        }
+      }
+    }
 
-    // per-src top-k over a candidate array, the collect_topk order:
-    // (score asc, id asc); srcs/dsts without vectors drop. Bounded
-    // insertion into primitive arrays — the hot loop scores ~n·(2wk)²
-    // pairs per round, and a boxed sort per src dominated the wall
-    def topOf(src: Long, dsts: Array[Long], kk: Int): Array[(Double, Long)] = {
-      val sv = vecs.get(src)
-      if (sv == null) return Array.empty
-      val ss = new Array[Double](kk)
-      val dd = new Array[Long](kk)
+    // edge multiset as parallel primitive arrays
+    var eSrc = new Array[Long](nv * wk)
+    var eDst = new Array[Long](nv * wk)
+    var eN = 0
+    // init: wk candidates per node from the multiplicative hash,
+    // self-loops dropped, deduped — [[buildAt]]'s expression verbatim
+    // (the old global .distinct dedupes only within one id's block:
+    // pairs share their first element)
+    locally {
+      val cand = new Array[Long](wk)
+      var ii = 0
+      while (ii < nv) {
+        val id = idArr(ii)
+        var cn = 0
+        var j = 1
+        while (j <= wk) {
+          val nb = Math.floorMod((id + j * 7919L) * 2654435761L + seed, n)
+          if (nb != id) {
+            var dup = false; var t = 0
+            while (t < cn && !dup) { dup = cand(t) == nb; t += 1 }
+            if (!dup) { cand(cn) = nb; cn += 1 }
+          }
+          j += 1
+        }
+        var t = 0
+        while (t < cn) { eSrc(eN) = id; eDst(eN) = cand(t); eN += 1; t += 1 }
+        ii += 1
+      }
+    }
+
+    // per-src top-k over a candidate slice, the collect_topk order:
+    // (score asc, id asc); srcs/dsts without vectors drop; duplicate
+    // dsts pre-deduped by the caller (sort + skip-equal)
+    def topInto(sv: Array[Float], dsts: Array[Long], lo: Int, hi: Int,
+        kk: Int, ss: Array[Double], dd: Array[Long]): Int = {
       var cnt = 0
-      var i = 0
-      while (i < dsts.length) {
+      var i = lo
+      var prev = 0L
+      var first = true
+      while (i < hi) {
         val d = dsts(i)
-        val dv = vecs.get(d)
-        if (dv != null) {
-          val s = m.localScore(sv, dv)
-          if (cnt < kk || s < ss(cnt - 1) ||
-              (s == ss(cnt - 1) && d < dd(cnt - 1))) {
-            var p = if (cnt < kk) cnt else kk - 1
-            while (p > 0 && (s < ss(p - 1) ||
-                (s == ss(p - 1) && d < dd(p - 1)))) {
-              ss(p) = ss(p - 1); dd(p) = dd(p - 1); p -= 1
+        if (first || d != prev) { // caller sorts: equal dsts adjacent
+          first = false
+          val dv = vecOf(d)
+          if (dv != null) {
+            val s = m.localScore(sv, dv)
+            if (cnt < kk || s < ss(cnt - 1) ||
+                (s == ss(cnt - 1) && d < dd(cnt - 1))) {
+              var p = if (cnt < kk) cnt else kk - 1
+              while (p > 0 && (s < ss(p - 1) ||
+                  (s == ss(p - 1) && d < dd(p - 1)))) {
+                ss(p) = ss(p - 1); dd(p) = dd(p - 1); p -= 1
+              }
+              ss(p) = s; dd(p) = d
+              if (cnt < kk) cnt += 1
             }
-            ss(p) = s; dd(p) = d
-            if (cnt < kk) cnt += 1
           }
         }
+        prev = d
         i += 1
       }
-      Array.tabulate(cnt)(j => (ss(j), dd(j)))
-    }
-    // parallel per-src map with deterministic output slots
-    def perSrc[T: scala.reflect.ClassTag](
-        srcs: Array[Long], dsts: Long => Array[Long],
-        f: (Long, Array[Long]) => T): Array[T] = {
-      val out = new Array[T](srcs.length)
-      java.util.stream.IntStream.range(0, srcs.length).parallel()
-        .forEach(i => out(i) = f(srcs(i), dsts(srcs(i))))
-      out
+      cnt
     }
 
-    for (it <- 1 to iters) {
-      // reverse edges capped at wk per target by the round's sample
-      // order, ties by id
-      val byNb = edges.groupBy(_._2)
-      val rev: Iterator[(Long, Long)] = byNb.iterator.flatMap {
-        case (nb, es) =>
-          es.map(_._1).sortBy(src => (ord(src, 97L, it), src)).take(wk)
-            .map(src => nb -> src)
+    var it = 1
+    while (it <= iters) {
+      // ---- reverse edges capped at wk per target by the round's
+      // sample order, ties by id ----
+      val idx = Array.range(0, eN)
+      qsortIdx(idx, 0, eN - 1, eDst)
+      val rSrc = new Array[Long](eN)
+      val rDst = new Array[Long](eN)
+      var rN = 0
+      val scratch = new Array[Long](eN.max(1))
+      var p = 0
+      while (p < eN) {
+        val d = eDst(idx(p))
+        var q = p
+        while (q < eN && eDst(idx(q)) == d) q += 1
+        val len = q - p
+        var t = 0
+        while (t < len) { scratch(t) = eSrc(idx(p + t)); t += 1 }
+        sortByOrd(scratch, 0, len, 97L, it)
+        val keep = if (len < wk) len else wk
+        t = 0
+        while (t < keep) { rSrc(rN) = d; rDst(rN) = scratch(t); rN += 1; t += 1 }
+        p = q
       }
-      var und: Array[(Long, Long)] = edges ++ rev
-      if (midCap > 0)
-        und = und.groupBy(_._2).iterator.flatMap { case (_, rws) =>
-          rws.sortBy { case (id, _) => (ord(id, 131L, it), id) }
-            .take(midCap)
-        }.toArray
-      // candidate sets: nodes sharing a neighbor, plus the current
-      // edge list add-back; the per-src HashSet is the .distinct()
-      val cset = new java.util.HashMap[Long, java.util.HashSet[Long]]()
-      def add(s: Long, d: Long): Unit =
-        if (s != d)
-          cset.computeIfAbsent(s, _ => new java.util.HashSet[Long]())
-            .add(d): Unit
-      und.groupBy(_._2).valuesIterator.foreach { grp =>
-        val srcs = grp.map(_._1)
-        var i = 0
-        while (i < srcs.length) {
-          var j = 0
-          while (j < srcs.length) {
-            if (i != j) add(srcs(i), srcs(j)); j += 1
+      // ---- und = edges ++ rev, optionally mid-capped per target
+      // (group by the row's SECOND element; rank rows by the FIRST's
+      // sample order, id ties; keep the first midCap ROWS — multiset
+      // faithful) ----
+      var uSrc = new Array[Long](eN + rN)
+      var uDst = new Array[Long](eN + rN)
+      System.arraycopy(eSrc, 0, uSrc, 0, eN)
+      System.arraycopy(rSrc, 0, uSrc, eN, rN)
+      System.arraycopy(eDst, 0, uDst, 0, eN)
+      System.arraycopy(rDst, 0, uDst, eN, rN)
+      var uN = eN + rN
+      if (midCap > 0) {
+        val ui = Array.range(0, uN)
+        qsortIdx(ui, 0, uN - 1, uDst)
+        val kSrc = new Array[Long](uN)
+        val kDst = new Array[Long](uN)
+        val uScratch = new Array[Long](uN.max(1)) // und runs exceed eN
+        var kN = 0
+        var pp = 0
+        while (pp < uN) {
+          val d = uDst(ui(pp))
+          var qq = pp
+          while (qq < uN && uDst(ui(qq)) == d) qq += 1
+          val len = qq - pp
+          var t = 0
+          while (t < len) { uScratch(t) = uSrc(ui(pp + t)); t += 1 }
+          sortByOrd(uScratch, 0, len, 131L, it)
+          val keep = if (len < midCap) len else midCap
+          t = 0
+          while (t < keep) { kSrc(kN) = uScratch(t); kDst(kN) = d; kN += 1; t += 1 }
+          pp = qq
+        }
+        uSrc = kSrc; uDst = kDst; uN = kN
+      }
+      // ---- candidate lists: nodes sharing a neighbor (all ordered
+      // pairs within each und target group), plus the current edge
+      // list add-back; duplicates kept here, deduped at scoring ----
+      val ui2 = Array.range(0, uN)
+      qsortIdx(ui2, 0, uN - 1, uDst)
+      // distinct candidate srcs -> dense slots (insertion order)
+      val slotOf = new java.util.HashMap[Long, Integer](uN * 2)
+      val srcList = new Array[Long](uN + eN)
+      var nSlots = 0
+      def slot(s: Long): Int = {
+        val got = slotOf.get(s)
+        if (got != null) got.intValue()
+        else {
+          val ns = nSlots
+          slotOf.put(s, Integer.valueOf(ns))
+          srcList(ns) = s
+          nSlots += 1
+          ns
+        }
+      }
+      // first pass: count candidates per slot (exact sizing, no
+      // growable buffers in the hot loop)
+      val cntOf = new Array[Int]((uN + eN).max(1))
+      var pp = 0
+      while (pp < uN) {
+        val d = uDst(ui2(pp))
+        var qq = pp
+        while (qq < uN && uDst(ui2(qq)) == d) qq += 1
+        val g = qq - pp
+        var i = pp
+        while (i < qq) {
+          val si = slot(uSrc(ui2(i)))
+          // g-1 ordered partners minus self-pairs (s == s) are kept;
+          // self-DST pairs (s(i) == s(j), i != j) are still appended
+          // to mirror add()'s s != d guard exactly below
+          cntOf(si) += g - 1
+          i += 1
+        }
+        pp = qq
+      }
+      var ei = 0
+      while (ei < eN) { cntOf(slot(eSrc(ei))) += 1; ei += 1 }
+      val offs = new Array[Int](nSlots + 1)
+      var si2 = 0
+      while (si2 < nSlots) { offs(si2 + 1) = offs(si2) + cntOf(si2); si2 += 1 }
+      val candBuf = new Array[Long](offs(nSlots))
+      val fill = java.util.Arrays.copyOf(offs, nSlots)
+      pp = 0
+      while (pp < uN) {
+        val d = uDst(ui2(pp))
+        var qq = pp
+        while (qq < uN && uDst(ui2(qq)) == d) qq += 1
+        var i = pp
+        while (i < qq) {
+          val s = uSrc(ui2(i))
+          val si = slot(s)
+          var j = pp
+          while (j < qq) {
+            if (j != i) { candBuf(fill(si)) = uSrc(ui2(j)); fill(si) += 1 }
+            j += 1
           }
           i += 1
         }
+        pp = qq
       }
-      edges.foreach { case (s, d) => add(s, d) }
-      val srcs = new Array[Long](cset.size())
-      val itKeys = cset.keySet().iterator()
-      var si = 0
-      while (itKeys.hasNext) { srcs(si) = itKeys.next(); si += 1 }
-      val dstOf = (s: Long) => {
-        val hs = cset.get(s)
-        val a = new Array[Long](hs.size())
-        val hi = hs.iterator(); var i = 0
-        while (hi.hasNext) { a(i) = hi.next(); i += 1 }
-        a
+      ei = 0
+      while (ei < eN) {
+        val si = slot(eSrc(ei))
+        candBuf(fill(si)) = eDst(ei); fill(si) += 1
+        ei += 1
       }
-      edges = perSrc(srcs, dstOf,
-        (s: Long, ds: Array[Long]) => topOf(s, ds, wk).map(t => s -> t._2))
-        .flatten
+      // ---- parallel per-slot scoring: sort+dedup the slice (set
+      // semantics == the old per-src HashSet), drop self, top-wk ----
+      val outD = new Array[Array[Long]](nSlots)
+      java.util.stream.IntStream.range(0, nSlots).parallel().forEach { si =>
+        val s = srcList(si)
+        val sv = vecOf(s)
+        if (sv == null) outD(si) = Array.emptyLongArray
+        else {
+          val lo = offs(si); val hi = fill(si)
+          java.util.Arrays.sort(candBuf, lo, hi)
+          // drop self-candidates (the old add() s != d guard)
+          var w = lo
+          var r = lo
+          while (r < hi) {
+            if (candBuf(r) != s) { candBuf(w) = candBuf(r); w += 1 }
+            r += 1
+          }
+          val ss = new Array[Double](wk)
+          val dd = new Array[Long](wk)
+          val cnt = topInto(sv, candBuf, lo, w, wk, ss, dd)
+          outD(si) = java.util.Arrays.copyOf(dd, cnt)
+        }
+      }
+      var total = 0
+      si2 = 0
+      while (si2 < nSlots) { total += outD(si2).length; si2 += 1 }
+      eSrc = new Array[Long](total)
+      eDst = new Array[Long](total)
+      eN = 0
+      si2 = 0
+      while (si2 < nSlots) {
+        val ds = outD(si2)
+        var t = 0
+        while (t < ds.length) {
+          eSrc(eN) = srcList(si2); eDst(eN) = ds(t); eN += 1; t += 1
+        }
+        si2 += 1
+      }
+      it += 1
     }
 
-    // final top-k rerank of the working lists
-    val bySrc = edges.groupBy(_._1)
-    val srcs = bySrc.keysIterator.toArray
-    val out = perSrc(srcs, (s: Long) => bySrc(s).map(_._2),
-      (s: Long, ds: Array[Long]) =>
-        topOf(s, ds, k).zipWithIndex.map { case ((_, d), i) =>
-          (s, (i + 1).toLong, d)
-        }).flatten
-    out.toSeq.toDF("id", "rank", "neighbor_id")
+    // final top-k rerank of the working lists (per-src groups; the
+    // per-src dsts are unique already — last round's top lists)
+    val fi = Array.range(0, eN)
+    qsortIdx(fi, 0, eN - 1, eSrc)
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    val fss = new Array[Double](k)
+    val fdd = new Array[Long](k)
+    val fScratch = new Array[Long](eN.max(1))
+    var fp = 0
+    while (fp < eN) {
+      val s = eSrc(fi(fp))
+      var fq = fp
+      while (fq < eN && eSrc(fi(fq)) == s) fq += 1
+      val sv = vecOf(s)
+      if (sv != null) {
+        var t = fp
+        var len = 0
+        while (t < fq) { fScratch(len) = eDst(fi(t)); len += 1; t += 1 }
+        java.util.Arrays.sort(fScratch, 0, len)
+        val cnt = topInto(sv, fScratch, 0, len, k, fss, fdd)
+        var r = 0
+        while (r < cnt) { out += ((s, (r + 1).toLong, fdd(r))); r += 1 }
+      }
+      fp = fq
+    }
+    out.result().toDF("id", "rank", "neighbor_id")
   }
 }
